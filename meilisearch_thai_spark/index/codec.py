@@ -1,0 +1,72 @@
+"""Delta + varbyte posting-block codec (vectorized numpy).
+
+The reference delegates posting storage to MeiliSearch (opaque,
+src/meilisearch_integration/client.py:64-71); the north rule requires native
+delta+varbyte-compressed posting blocks with per-block max-score metadata.
+Implemented with fixed-iteration numpy ops (no per-int Python loops) so it
+runs at Arrow-batch speed inside ``applyInPandas``.
+
+Format per block: doc ids are sorted; stored as varbyte(delta) where the first
+value is absolute. Term frequencies stored as varbyte(tf). Varbyte is the
+classic 7-bit little-endian encoding with a continuation high bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_BYTES = 10  # ceil(64/7)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array; vectorized over the array (≤10 passes)."""
+    if len(values) == 0:
+        return b""
+    a = values.astype(np.uint64, copy=True)
+    out = np.zeros((len(a), _MAX_BYTES), dtype=np.uint8)
+    nbytes = np.ones(len(a), dtype=np.int64)
+    for i in range(_MAX_BYTES):
+        out[:, i] = (a & np.uint64(0x7F)).astype(np.uint8)
+        a >>= np.uint64(7)
+        more = a > 0
+        if i + 1 < _MAX_BYTES:
+            # set continuation bit on this byte where more bytes follow
+            out[more, i] |= 0x80
+            nbytes[more] = i + 2
+        if not more.any():
+            break
+    mask = np.arange(_MAX_BYTES)[None, :] < nbytes[:, None]
+    return out[mask].tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Decode to uint64 array; vectorized (≤10 passes over byte planes)."""
+    if not buf:
+        return np.zeros(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    values = np.zeros(len(ends), dtype=np.uint64)
+    lens = ends - starts + 1
+    for i in range(int(lens.max())):
+        sel = lens > i
+        values[sel] |= (b[starts[sel] + i] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * i)
+    return values
+
+
+def encode_doc_block(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """Encode one posting block: sorted doc ids (delta) + parallel tfs."""
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    deltas = np.empty_like(doc_ids)
+    deltas[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+    return varbyte_encode(deltas), varbyte_encode(np.asarray(tfs, dtype=np.uint64))
+
+
+def decode_doc_block(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one posting block back to (doc_ids, tfs)."""
+    deltas = varbyte_decode(doc_bytes)
+    return np.cumsum(deltas, dtype=np.uint64), varbyte_decode(tf_bytes)

@@ -9,8 +9,11 @@ pandas UDFs, explicit shuffle partitioning sized by caller.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+_PKG_ROOT = str(Path(__file__).resolve().parents[1])
 
 
 def build_spark(
@@ -21,6 +24,11 @@ def build_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 32)
+    # Make this package importable inside executor Python workers regardless
+    # of the driver's cwd (cluster equivalent: spark-submit --py-files).
+    prev = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in prev.split(":"):
+        os.environ["PYTHONPATH"] = f"{_PKG_ROOT}:{prev}" if prev else _PKG_ROOT
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -35,6 +43,7 @@ def build_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
