@@ -1,38 +1,267 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps SURVEY.md §2 operator IDs onto the driver's testdata
+tables; each entry has a DuckDB ``oracle_sql()`` twin computing the identical
+result (column names and rounding matched on both sides).  Thai-specific
+operators (newmm segmentation, ZWSP byte-identity, the compressed posting
+index) are verified in ``tests/`` against in-process oracles because DuckDB
+cannot tokenize Thai; the entries here exercise the same engine code paths on
+the Latin ``documents`` corpus where SQL parity is exact.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T  # noqa: F401
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from meilisearch_thai_spark.pipeline import dedup as dd
+from meilisearch_thai_spark.pipeline import similarity as sim
+from meilisearch_thai_spark.pipeline import textstats as ts
+from meilisearch_thai_spark.query import adhoc
+from meilisearch_thai_spark.query import ranker as rk
+
+_BM25_QUERY = ["merge", "join", "table", "scan"]
+_BM25_CONJ = ["key", "value", "hash"]
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return adhoc.bm25_topk(docs, "doc_id", "text", _BM25_QUERY, k=10)
 
 
+# ---------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def r11_bm25_topk(spark, sf):
+        return adhoc.bm25_topk(_t(spark, sf, "documents"), "doc_id", "text", _BM25_QUERY, k=20)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def r11_bm25_conjunctive(spark, sf):
+        return adhoc.bm25_topk(
+            _t(spark, sf, "documents"), "doc_id", "text", _BM25_CONJ, k=20, matching="all"
+        )
+
+    def x4_dedup_best_per_key(spark, sf):
+        ev = _t(spark, sf, "events").select("user_id", "event_id", "value")
+        return rk.dedup_by_key_max(ev, "user_id", ["value", "event_id"])
+
+    def x5_content_signature_dedup(spark, sf):
+        docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+        out = rk.dedup_by_content_signature(docs, "text", 100, ["n_chars"], "doc_id")
+        return out.select("doc_id", "n_chars")
+
+    def x8_distribution(spark, sf):
+        return (
+            _t(spark, sf, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .orderBy("event_type")
+        )
+
+    def x9_enrichment(spark, sf):
+        return (
+            _t(spark, sf, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.max("value"), 4).alias("max_value"),
+                F.round(F.avg("value"), 4).alias("avg_value"),
+            )
+        )
+
+    def p4_filter_translation(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(
+                (F.col("l_quantity") >= 30)
+                & (F.col("l_discount").isin(0.05, 0.07))
+                & (F.col("l_returnflag") != "A")
+            )
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            )
+        )
+
+    def r4_position_decay(spark, sf):
+        ev = _t(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+        decayed = rk.position_decay(ev, "user_id", "ts", "value")
+        return decayed.groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("decayed_sum"))
+
+    def r6_score_normalization(spark, sf):
+        ev = _t(spark, sf, "events").select("event_id", F.col("value").alias("score"))
+        out = rk.normalize_scores(ev, "score")
+        return out.select("event_id", F.round("score", 4).alias("norm_score"))
+
+    def r10_topk_pagination(spark, sf):
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        # deterministic: price desc, key asc — offset 10, page size 20
+        ordered = o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(30)
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        return (
+            ordered.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 10)
+            .drop("_rn")
+        )
+
+    def dedup_exact(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+            F.min("doc_id").alias("representative"), F.count("*").alias("n_copies")
+        )
+
+    def dedup_fingerprint(spark, sf):
+        return ts.doc_fingerprint(_t(spark, sf, "documents"), "doc_id", "text")
+
+    def dedup_ngram_jaccard(spark, sf):
+        return dd.ngram_jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.2)
+
+    def dedup_minhash_lsh(spark, sf):
+        return dd.minhash_lsh_candidates(_t(spark, sf, "documents"), "doc_id", "text")
+
+    def dedup_simhash(spark, sf):
+        return dd.simhash64(_t(spark, sf, "documents"), "doc_id", "text")
+
+    def ann_cosine_topk(spark, sf):
+        return sim.cosine_topk_to_query(_t(spark, sf, "embeddings"), "vec_id", "embedding", 0, k=20)
+
+    def ann_lsh_topk(spark, sf):
+        return sim.lsh_cosine_topk(_t(spark, sf, "embeddings"), "vec_id", "embedding", 64, 0, k=20)
+
+    def stats_token(spark, sf):
+        return ts.token_stats(_t(spark, sf, "documents"), "doc_id", "text")
+
+    def stats_quality(spark, sf):
+        return ts.quality_score(_t(spark, sf, "documents"), "doc_id", "text")
+
+    def stats_langid(spark, sf):
+        return ts.language_id(_t(spark, sf, "documents"), "doc_id", "text")
+
+    def agg_partial_q1(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "sum_disc_price"
+                ),
+                F.count("*").alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    return {
+        "r11_bm25_topk": r11_bm25_topk,
+        "r11_bm25_conjunctive": r11_bm25_conjunctive,
+        "x4_dedup_best_per_key": x4_dedup_best_per_key,
+        "x5_content_signature_dedup": x5_content_signature_dedup,
+        "x8_distribution": x8_distribution,
+        "x9_enrichment": x9_enrichment,
+        "p4_filter_translation": p4_filter_translation,
+        "r4_position_decay": r4_position_decay,
+        "r6_score_normalization": r6_score_normalization,
+        "r10_topk_pagination": r10_topk_pagination,
+        "dedup_exact": dedup_exact,
+        "dedup_fingerprint": dedup_fingerprint,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "stats_token": stats_token,
+        "stats_quality": stats_quality,
+        "stats_langid": stats_langid,
+        "agg_partial_q1": agg_partial_q1,
+    }
 
 
+# ---------------------------------------------------------------- oracles
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "r11_bm25_topk": adhoc.bm25_topk_sql_oracle("documents", "doc_id", "text", _BM25_QUERY, k=20),
+        "r11_bm25_conjunctive": adhoc.bm25_topk_sql_oracle(
+            "documents", "doc_id", "text", _BM25_CONJ, k=20, matching="all"
+        ),
+        "x4_dedup_best_per_key": """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC, user_id ASC) rn
+  FROM events
+) WHERE rn = 1
+""",
+        "x5_content_signature_dedup": """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY substring(text, 1, 100) ORDER BY n_chars DESC, doc_id ASC) rn
+  FROM documents
+) WHERE rn = 1
+""",
+        "x8_distribution": "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+        "x9_enrichment": """
+SELECT user_id, COUNT(*) AS n_events, ROUND(MAX(value), 4) AS max_value,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1
+""",
+        "p4_filter_translation": """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_quantity >= 30 AND l_discount IN (0.05, 0.07) AND l_returnflag <> 'A'
+""",
+        "r4_position_decay": """
+WITH d AS (
+  SELECT user_id,
+         value * exp(-0.1 * (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC) - 1)) AS dv
+  FROM events
+)
+SELECT user_id, ROUND(SUM(dv), 4) AS decayed_sum FROM d GROUP BY 1
+""",
+        "r6_score_normalization": """
+SELECT event_id, ROUND(value / MAX(value) OVER (), 4) AS norm_score FROM events
+""",
+        "r10_topk_pagination": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 10
+""",
+        "dedup_exact": """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS representative, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+        "dedup_fingerprint": ts.doc_fingerprint_sql("documents", "doc_id", "text"),
+        "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.2),
+        "dedup_minhash_lsh": dd.minhash_lsh_candidates_sql("documents", "doc_id", "text"),
+        "ann_cosine_topk": sim.cosine_topk_sql("embeddings", "vec_id", "embedding", 0, k=20),
+        "stats_token": ts.token_stats_sql("documents", "doc_id", "text"),
+        "stats_quality": ts.quality_score_sql("documents", "doc_id", "text"),
+        "stats_langid": ts.language_id_sql("documents", "doc_id", "text"),
+        "agg_partial_q1": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2001-09-01'
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # dedup_simhash, ann_lsh_topk: rows-only (sign-bit fingerprints are
+        # not practically SQL-expressible with bit parity; the exactness
+        # baselines above cover the underlying similarity math)
+    }

@@ -1,0 +1,144 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}``.
+
+Headline set:
+  - ``thai_index_build``  — generate a deterministic Thai pages corpus
+    (``$BENCH_DOCS``, default 50k) and build the full compressed posting
+    index (docs/sec is the north-rule build metric; also in ``extra``).
+  - ``thai_query_p50``    — median warm BM25 top-10 latency over the
+    reference benchmark query set (BASELINE.md).
+  - ``thai_query_batch``  — ALL reference queries scored in ONE Spark job
+    (the X1 fan-out shape: per-query cost at scale).
+  - ad-hoc BM25, dedup (MinHash-LSH + exact Jaccard), ANN cosine, text
+    quality, and the TPC-H-ish Q1 aggregate over the driver testdata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "50000"))
+
+# Reference benchmark query set (BASELINE.md: deployment/scripts/benchmark.py
+# fallback queries + compound/mixed cases from the golden corpus).
+THAI_QUERIES = [
+    "ปัญญาประดิษฐ์",
+    "การเรียนรู้",
+    "อาหารไทย",
+    "เทคโนโลยี",
+    "สาหร่ายวากาเมะ",
+    "รถยนต์ไฟฟ้า",
+    "ตลาดหลักทรัพย์",
+    "โรงเรียน",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from meilisearch_thai_spark.index.builder import build_index
+    from meilisearch_thai_spark.query.executor import QueryTerm, SearchEngine
+    from meilisearch_thai_spark.sources.pages import generate_pages
+    from meilisearch_thai_spark.tokenizer import extract_index_terms, tokenize_for_index
+
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # ---------------------------------------------------------- index build
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    t0 = time.time()
+    meta = build_index(spark, generate_pages(spark, BENCH_DOCS), idx_dir)
+    dt = time.time() - t0
+    timings["thai_index_build"] = round(dt, 3)
+    extra["index_docs_per_sec"] = round(BENCH_DOCS / dt, 1)
+    extra["index_postings"] = meta.n_postings
+
+    # ---------------------------------------------------------- query p50
+    eng = SearchEngine(spark, idx_dir)
+    eng.postings.count()  # materialize cache
+    eng.doc_stats.count()
+    eng.search(THAI_QUERIES[0], k=10).collect()  # warm python workers
+    lat = []
+    for q in THAI_QUERIES:
+        t0 = time.time()
+        eng.search(q, k=10).collect()
+        lat.append(time.time() - t0)
+    timings["thai_query_p50"] = round(statistics.median(lat), 3)
+    extra["thai_query_max"] = round(max(lat), 3)
+
+    # all queries as variants of one job — the scale-path per-query cost
+    qterms = []
+    for vid, q in enumerate(THAI_QUERIES):
+        for t in extract_index_terms(tokenize_for_index(q)):
+            qterms.append(QueryTerm(vid, t))
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    scored = eng.score_variants(qterms)
+    w = Window.partitionBy("variant_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).collect()
+    dt = time.time() - t0
+    timings["thai_query_batch"] = round(dt, 3)
+    extra["thai_query_batch_per_query"] = round(dt / len(THAI_QUERIES), 3)
+
+    # ---------------------------------------------------------- testdata ops
+    qs = entrymod.queries()
+    for name in (
+        "r11_bm25_topk",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "ann_cosine_topk",
+        "stats_quality",
+        "agg_partial_q1",
+    ):
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""Large-scale dedup operators for training-data pipelines.
+
+Beyond the reference's result-set dedup (X4-X7), a 100 TB corpus needs
+corpus-level dedup.  All hash choices are md5-based so external SQL engines
+(DuckDB oracle) can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_MINHASH = 16  # permutations
+LSH_BANDS = 4  # 4 rows/band
+
+
+def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text with the
+    representative (min id) and duplicate count.  Pure hash groupBy —
+    map-side combine, no skew beyond true duplicate groups."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("representative"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def exact_duplicates_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+SELECT md5({text_col}) AS content_hash, MIN({id_col}) AS representative,
+       COUNT(*) AS n_copies
+FROM {table} GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def _shingles(text_col: str, n: int = 3):
+    """Word n-gram shingles as a Column (array<string>)."""
+    toks = F.split(F.col(text_col), " ")
+    # transform over positions: join n consecutive tokens
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str, text_col: str, n_hashes: int = N_MINHASH) -> DataFrame:
+    """MinHash over word 3-gram shingles; hash_i(s) = md5(i || "|" || s) (first
+    16 hex chars as the orderable value).  Deterministic and reproducible in
+    any engine with md5.
+
+    Shape: explode shingles once, then ONE groupBy with n_hashes min()
+    aggregates — a single shuffle with map-side partial aggregation.  (The
+    alternative, n_hashes array-transform expressions over the shingle array,
+    generates pathological codegen and recomputes the shingle split per hash.)
+    """
+    sh = docs.select(F.col(id_col).alias("doc_key"), F.explode(_shingles(text_col)).alias("sh"))
+    aggs = [
+        F.min(F.substring(F.md5(F.concat(F.lit(str(i) + "|"), F.col("sh"))), 1, 16)).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_key").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, id_col: str, text_col: str, n_hashes: int = N_MINHASH, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH over the minhash signature.
+
+    band key = md5(concat of the band's rows); pairs sharing any band bucket
+    are candidates.  Self-join happens per-bucket (bounded groups), the
+    classic scale-out shape — never an O(n²) cross join."""
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes)
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
+    banded = sig.select("doc_key", *band_cols)
+    stacked = banded.select(
+        "doc_key",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    )
+    a = stacked.alias("a")
+    b2 = stacked.alias("b")
+    return (
+        a.join(b2, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_key") < F.col("b.doc_key")))
+        .select(F.col("a.doc_key").alias("left_key"), F.col("b.doc_key").alias("right_key"))
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates_sql(
+    table: str, id_col: str, text_col: str, n: int = 3,
+    n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
+) -> str:
+    """DuckDB twin of :func:`minhash_lsh_candidates` (md5-based hashes are
+    engine-independent, so even the LSH banding is exactly reproducible)."""
+    rows_per_band = n_hashes // bands
+    mh_cols = ",\n         ".join(
+        f"MIN(substring(md5('{i}|' || sh), 1, 16)) AS mh{i}" for i in range(n_hashes)
+    )
+    band_cols = ",\n         ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band)) + f") AS band{b}"
+        for b in range(bands)
+    )
+    band_list = ", ".join(f"band{b}" for b in range(bands))
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_key, string_split({text_col}, ' ') AS t FROM {table}
+),
+sh AS (
+  SELECT DISTINCT doc_key,
+         array_to_string(t[i : i + {n - 1}], ' ') AS sh
+  FROM toks, unnest(range(1, greatest(len(t) - {n - 1}, 1) + 1)) AS r(i)
+),
+sig AS (
+  SELECT doc_key,
+         {mh_cols}
+  FROM sh GROUP BY 1
+),
+banded AS (
+  SELECT doc_key,
+         {band_cols}
+  FROM sig
+),
+stacked AS (
+  SELECT doc_key, unnest([{band_list}]) AS bucket FROM banded
+)
+SELECT DISTINCT a.doc_key AS left_key, b.doc_key AS right_key
+FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.doc_key < b.doc_key
+"""
+
+
+def simhash64(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word unigrams, md5-derived bit planes.
+
+    For each token t, bits = first 64 bits of md5(t); each bit votes ±1 and
+    the sign of the per-bit sum forms the fingerprint.  Expressed as 64
+    aggregates over the exploded token table — all JVM-side."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_key"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")  # 60 bits
+    toks = toks.withColumn("h", h)
+    bit_aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(60)
+    ]
+    per_doc = toks.groupBy("doc_key").agg(*bit_aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(60):
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc_key", fp.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs, computed by
+    shingle inverted index (explode + self-join on shingle, groupBy pair) —
+    the set-intersection never materializes O(n²) pairs, only co-occurring
+    ones."""
+    sh = docs.select(F.col(id_col).alias("doc_key"), F.explode(_shingles(text_col, n)).alias("sh"))
+    sizes = sh.groupBy("doc_key").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_key") < F.col("b.doc_key")))
+        .groupBy(F.col("a.doc_key").alias("left_key"), F.col("b.doc_key").alias("right_key"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("left_key") == F.col("sa.doc_key"))
+        .join(sb, F.col("right_key") == F.col("sb.doc_key"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_key", "right_key", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(table: str, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_key, string_split({text_col}, ' ') AS t FROM {table}
+),
+sh AS (
+  SELECT DISTINCT doc_key,
+         array_to_string(t[i : i + {n - 1}], ' ') AS sh
+  FROM toks, unnest(range(1, greatest(len(t) - {n - 1}, 1) + 1)) AS r(i)
+),
+sizes AS (SELECT doc_key, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_key AS left_key, b.doc_key AS right_key, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_key < b.doc_key
+  GROUP BY 1, 2
+)
+SELECT left_key, right_key,
+       ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON left_key = sa.doc_key
+JOIN sizes sb ON right_key = sb.doc_key
+WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= {threshold}
+"""

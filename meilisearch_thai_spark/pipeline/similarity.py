@@ -1,0 +1,121 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed path.
+
+Brute force is the correctness baseline (one broadcast of the query vector,
+one pass, TakeOrderedAndProject).  The random-hyperplane LSH variant is the
+100 TB path: bucket on sign bits so the scan touches only matching buckets.
+All arithmetic in float64 with sequential summation so external oracles
+reproduce values bit-for-bit before rounding."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_topk_to_query(
+    emb: DataFrame, id_col: str, vec_col: str, query_id: int, k: int = 20
+) -> DataFrame:
+    """Top-k most-similar vectors to the row ``id_col == query_id``.
+
+    The query vector never leaves the cluster: a 1-row broadcast crossJoin.
+    """
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("vec_key"), vec_d.alias("v"))
+    q = base.filter(F.col("vec_key") == query_id).select(
+        F.col("v").alias("qv"), F.col("vec_key").alias("qid")
+    )
+    return (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_key") != F.col("qid"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))),
+                4,
+            ),
+        )
+        .select("vec_key", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_key"))
+        .limit(k)
+    )
+
+
+def cosine_topk_sql(table: str, id_col: str, vec_col: str, query_id: int, k: int = 20) -> str:
+    return f"""
+WITH q AS (
+  SELECT {vec_col} AS qv FROM {table} WHERE {id_col} = {query_id}
+)
+SELECT {id_col} AS vec_key,
+       ROUND(list_dot_product({vec_col}, qv)
+             / (sqrt(list_dot_product({vec_col}, {vec_col})) * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+FROM {table}, q
+WHERE {id_col} <> {query_id}
+ORDER BY cosine DESC, vec_key ASC
+LIMIT {k}
+"""
+
+
+def hyperplane_lsh_buckets(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int, n_planes: int = 12, seed: int = 7
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign-bit signature).
+
+    The plane matrix is deterministic (seeded) and broadcast as literals —
+    at query time only vectors in the query's bucket (and Hamming-adjacent
+    buckets if recall demands) are scored: the IVF-style scale path."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = emb.select(F.col(id_col).alias("vec_key"), vec_d.alias("v"))
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        dot_i = _dot(F.col("v"), plane)
+        bucket = bucket + F.when(dot_i > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out.withColumn("bucket", bucket).select("vec_key", "bucket")
+
+
+def lsh_cosine_topk(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int, query_id: int, k: int = 20, n_planes: int = 6
+) -> DataFrame:
+    """ANN top-k via multi-probe hyperplane LSH (recall < 1 by design; brute
+    force above is the exactness baseline).
+
+    Probes the query's bucket plus all Hamming-distance-1 buckets (vectors
+    near a hyperplane land on either side, so flipping one sign bit recovers
+    most misses).  Scans (n_planes+1)/2**n_planes of the corpus — ~11% at the
+    default 6 planes — while the broadcast keeps it one shuffle-free pass."""
+    bucketed = hyperplane_lsh_buckets(emb, id_col, vec_col, dim, n_planes)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("vec_key"), vec_d.alias("v")).join(bucketed, "vec_key")
+    qb = F.col("bucket")
+    probes = F.array(qb, *[qb.bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_planes)])
+    q = (
+        base.filter(F.col("vec_key") == query_id)
+        .select(
+            F.col("v").alias("qv"),
+            F.explode(probes).alias("qb"),
+            F.col("vec_key").alias("qid"),
+        )
+    )
+    return (
+        base.join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .filter(F.col("vec_key") != F.col("qid"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))),
+                4,
+            ),
+        )
+        .select("vec_key", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_key"))
+        .limit(k)
+    )

@@ -1,0 +1,145 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID heuristic, quality scoring, token counting, and document
+fingerprinting — the doc-level ProcessingMetadata analogues of the reference
+(src/meilisearch_integration/document_processor.py:34-58: language,
+token_count, thai_content_detected, mixed_content), generalized to
+corpus-scale ops.  All built-in Column expressions (JVM, codegen)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Small pinned English stopword list for quality scoring (deterministic).
+EN_STOPWORDS = ["a", "the", "and", "of", "to", "in", "is", "on", "for", "with"]
+
+
+def token_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token counting + lexical-diversity stats (round 4)."""
+    toks = F.split(F.col(text_col), " ")
+    toks = F.filter(toks, lambda t: t != "")
+    return docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("unique_ratio"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def token_stats_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_key,
+         list_filter(string_split({text_col}, ' '), x -> x <> '') AS toks
+  FROM {table}
+)
+SELECT doc_key,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique,
+       ROUND(len(list_distinct(toks)) / len(toks), 4) AS unique_ratio,
+       ROUND(list_sum(list_transform(toks, x -> length(x)::DOUBLE)) / len(toks), 4) AS avg_token_len
+FROM t
+"""
+
+
+def quality_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic doc-quality score in [0,1]: length band + stopword presence
+    + lexical diversity (rounded; identical formula in the SQL oracle)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    stop_cnt = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    uniq_ratio = F.size(F.array_distinct(toks)) / n
+    len_score = F.least(n / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(stop_cnt / F.lit(3.0), F.lit(1.0))
+    return docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.round(F.lit(0.4) * len_score + F.lit(0.3) * stop_score + F.lit(0.3) * uniq_ratio, 4).alias(
+            "quality"
+        ),
+    )
+
+
+def quality_score_sql(table: str, id_col: str, text_col: str) -> str:
+    stop_sql = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_key,
+         list_filter(string_split({text_col}, ' '), x -> x <> '') AS toks
+  FROM {table}
+)
+SELECT doc_key,
+       ROUND(0.4 * least(len(toks) / 50.0, 1.0)
+           + 0.3 * least(len(list_intersect(list_distinct(toks), [{stop_sql}])) / 3.0, 1.0)
+           + 0.3 * (len(list_distinct(toks)) / len(toks)), 4) AS quality
+FROM t
+"""
+
+
+def language_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Char-class language heuristic: thai / latin / digit ratios → label.
+
+    The Thai branch mirrors the reference's detector thresholds
+    (document_processor.py:72-112: Thai if ratio > 0.5 of alpha chars;
+    mixed if both scripts present)."""
+    total = F.greatest(F.length(text_col), F.lit(1))
+    thai = total - F.length(F.regexp_replace(F.col(text_col), "[฀-๿]", ""))
+    latin = total - F.length(F.regexp_replace(F.col(text_col), "[A-Za-z]", ""))
+    thai_r = thai / total
+    latin_r = latin / total
+    label = (
+        F.when((thai_r > 0.5), F.lit("th"))
+        .when((thai_r > 0.1) & (latin_r > 0.1), F.lit("th-en"))
+        .when(latin_r > 0.5, F.lit("latin"))
+        .otherwise(F.lit("other"))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.round(thai_r, 4).alias("thai_ratio"),
+        F.round(latin_r, 4).alias("latin_ratio"),
+        label.alias("lang_guess"),
+    )
+
+
+def language_id_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_key,
+         greatest(length({text_col}), 1)::DOUBLE AS total,
+         (greatest(length({text_col}), 1) - length(regexp_replace({text_col}, '[฀-๿]', '', 'g')))::DOUBLE AS thai,
+         (greatest(length({text_col}), 1) - length(regexp_replace({text_col}, '[A-Za-z]', '', 'g')))::DOUBLE AS latin
+  FROM {table}
+)
+SELECT doc_key,
+       ROUND(thai / total, 4) AS thai_ratio,
+       ROUND(latin / total, 4) AS latin_ratio,
+       CASE WHEN thai / total > 0.5 THEN 'th'
+            WHEN thai / total > 0.1 AND latin / total > 0.1 THEN 'th-en'
+            WHEN latin / total > 0.5 THEN 'latin'
+            ELSE 'other' END AS lang_guess
+FROM t
+"""
+
+
+def doc_fingerprint(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set — detects bag-of-words-identical documents."""
+    toks = F.array_sort(F.array_distinct(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")))
+    return docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.md5(F.concat_ws(chr(1), toks)).alias("fingerprint"),
+    )
+
+
+def doc_fingerprint_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+SELECT {id_col} AS doc_key,
+       md5(array_to_string(list_sort(list_distinct(list_filter(string_split({text_col}, ' '), x -> x <> ''))), chr(1))) AS fingerprint
+FROM {table}
+"""

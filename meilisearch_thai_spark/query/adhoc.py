@@ -1,0 +1,128 @@
+"""Ad-hoc (index-free) BM25 scoring as a single declarative Spark plan.
+
+For corpora queried once (or for correctness oracles), building the
+compressed posting index is wasted work — this module expresses the whole
+BM25 computation as one Catalyst plan: tokenize → tf → df/avgdl aggregates →
+score → top-k.  Catalyst handles partial aggregation and
+TakeOrderedAndProject; the only Python is the tokenizer pandas UDF.
+
+Scores are ranked on ROUND(score, 4): both our engine and external oracles
+(DuckDB) compute the same float64 formula, and ranking on the rounded value
+with a deterministic id tie-break removes last-ULP ordering sensitivity
+between math libraries (SURVEY §7 risk 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+SCORE_DECIMALS = 4
+
+
+def tokenize_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) exploded pairs via the pinned tokenizer UDF."""
+    from ..tokenizer.udfs import index_terms_udf
+
+    return docs.select(
+        F.col(id_col).alias("doc_key"), F.explode(index_terms_udf(text_col)).alias("term")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    matching: str = "best",
+) -> DataFrame:
+    """BM25 top-k over an arbitrary (id, text) DataFrame, one lazy plan.
+
+    Returns columns: ``doc_key, score, terms_matched`` with
+    ``score = round(bm25, 4)`` and ordering (score desc, doc_key asc).
+    """
+    terms = list(dict.fromkeys(query_terms))
+    toks = tokenize_terms(docs, id_col, text_col)
+    tf = toks.groupBy("doc_key", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_key").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtf = tf.filter(F.col("term").isin(terms))
+    df_t = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        qtf.join(df_t, "term")
+        .join(dl, "doc_key")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * F.lit(K1 + 1.0))
+            / (F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_key")
+        .agg(
+            F.round(F.sum("term_score"), SCORE_DECIMALS).alias("score"),
+            F.countDistinct("term").alias("terms_matched"),
+        )
+    )
+    if matching == "all":
+        scored = scored.filter(F.col("terms_matched") == len(terms))
+    return scored.orderBy(F.desc("score"), F.asc("doc_key")).limit(k)
+
+
+def bm25_topk_sql_oracle(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    matching: str = "best",
+    token_regex: str = "[a-z]+",
+) -> str:
+    """DuckDB SQL computing the identical BM25 top-k (driver correctness gate).
+
+    Valid when the pinned tokenizer's output on the corpus equals
+    ``regexp_extract_all(text, token_regex)`` — true for plain lowercase Latin
+    corpora like the testdata ``documents`` table (Thai corpora are verified
+    in pytest against the in-process oracle instead).
+    """
+    terms = list(dict.fromkeys(query_terms))
+    terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    having = f"HAVING COUNT(DISTINCT tf.term) = {len(terms)}" if matching == "all" else ""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_key, unnest(regexp_extract_all({text_col}, '{token_regex}')) AS term
+  FROM {table}
+),
+tf AS (
+  SELECT doc_key, term, COUNT(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_key, SUM(tf) AS dl FROM tf GROUP BY 1
+),
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM dl
+),
+df_t AS (
+  SELECT term, COUNT(*)::DOUBLE AS df FROM tf WHERE term IN ({terms_sql}) GROUP BY 1
+)
+SELECT tf.doc_key AS doc_key,
+       ROUND(SUM( ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+                 * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ), {SCORE_DECIMALS}) AS score,
+       COUNT(DISTINCT tf.term) AS terms_matched
+FROM tf
+JOIN df_t ON tf.term = df_t.term
+JOIN dl ON tf.doc_key = dl.doc_key
+CROSS JOIN stats
+GROUP BY tf.doc_key
+{having}
+ORDER BY score DESC, doc_key ASC
+LIMIT {k}
+"""
