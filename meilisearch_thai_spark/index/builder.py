@@ -83,24 +83,35 @@ def idf(df: np.ndarray | float, n_docs: int) -> np.ndarray | float:
     return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def assign_doc_ids(pages: DataFrame, partitions: int | None = None) -> DataFrame:
+def assign_doc_ids(
+    pages: DataFrame, partitions: int | None = None, _caches: list[DataFrame] | None = None
+) -> DataFrame:
     """Dense, deterministic doc ids without a single-partition window.
 
     Range-partition by url, sort within partitions, then a two-pass offset
     assignment (per-partition counts → cumulative offsets → local row number).
     This is the 10^12-scale pattern: the driver only ever sees one count per
     partition.  The partitioned frame is persisted so both passes observe the
-    same layout.
+    same layout; the input is persisted too because repartitionByRange's
+    boundary sampling is a second full scan of the source.
+
+    Doc ids equal the global url rank regardless of partition count (range
+    partitions are contiguous and ordered), so output is identical at any
+    parallelism — the property the scaling bench relies on.
     """
     spark = pages.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
+    pages = pages.persist()
     parted = (
         pages.repartitionByRange(partitions, "url")
         .sortWithinPartitions("url")
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    if _caches is not None:
+        _caches.append(parted)
     counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    pages.unpersist()
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -191,7 +202,8 @@ def build_index(
 
     postings_partitions = postings_partitions or spark.sparkContext.defaultParallelism
 
-    docs = assign_doc_ids(pages)
+    caches: list[DataFrame] = []
+    docs = assign_doc_ids(pages, _caches=caches)
     docs = (
         docs.withColumn("terms", index_terms_udf("text"))
         .withColumn("norm_text", zwsp_norm_udf("text"))
@@ -210,6 +222,8 @@ def build_index(
     doc_stats.repartition(max(postings_partitions // 4, 1), "doc_id").write.mode("overwrite").parquet(
         os.path.join(out_dir, "doc_stats")
     )
+    for c in caches:  # docs cache is materialized now; upstream caches can go
+        c.unpersist()
 
     stats = docs.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")

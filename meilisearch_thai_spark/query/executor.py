@@ -156,3 +156,79 @@ class SearchEngine:
 
         terms = extract_index_terms(tokenize_for_index(query))
         return self.search_terms(terms, k=k, matching=matching)
+
+    def multi_variant_search(
+        self,
+        query: str,
+        k: int = 10,
+        min_score_threshold: float = 0.0,
+        normalize: bool = False,
+    ) -> DataFrame:
+        """Full search-proxy semantics in ONE Spark job (SURVEY §3.3 / X1).
+
+        Driver side: Q1-Q8 variant pipeline.  Cluster side: all variants
+        score together (variant_id column replaces the reference's per-variant
+        asyncio fan-out, search_executor.py:55-176), then R1/R2 weight+boost,
+        X4 per-doc dedup keeping the best variant hit, optional R6
+        normalization, P7 threshold, R10 top-k.
+
+        Returns (url, doc_id, score, variant_type, terms_matched).
+        """
+        from .pipeline import process_query
+        from .ranker import MIN_SCORE_THRESHOLD, variant_boost_expr  # noqa: F401
+
+        pq = process_query(query)
+        if not pq.variants:
+            empty = T.StructType(
+                [
+                    T.StructField("url", T.StringType()),
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("score", T.DoubleType()),
+                    T.StructField("variant_type", T.StringType()),
+                    T.StructField("terms_matched", T.LongType()),
+                ]
+            )
+            return self.spark.createDataFrame([], empty)
+
+        qterms = []
+        vmeta_rows = []
+        for vid, v in enumerate(pq.variants):
+            uniq = list(dict.fromkeys(v.terms))
+            for t in uniq:
+                qterms.append(QueryTerm(vid, t))
+            vmeta_rows.append((vid, v.variant_type, float(v.weight), len(uniq), v.matching))
+        vmeta = self.spark.createDataFrame(
+            vmeta_rows, "variant_id int, variant_type string, weight double, n_terms int, matching string"
+        )
+
+        scored = self.score_variants(qterms)
+        hit = (
+            scored.join(F.broadcast(vmeta), "variant_id")
+            # Q7 matching strategy: conjunctive variants require every term
+            .filter((F.col("matching") != "all") | (F.col("terms_matched") == F.col("n_terms")))
+            # R1/R2: final = bm25 * variant_weight * variant_boost
+            .withColumn("score", F.col("score") * F.col("weight") * variant_boost_expr("variant_type"))
+        )
+        # X4: per-doc best variant hit; tie-break weight desc then variant_id
+        best = F.max_by(
+            F.struct("score", "variant_type", "terms_matched"),
+            F.struct(F.col("score"), F.col("weight"), -F.col("variant_id")),
+        ).alias("best")
+        dedup = hit.groupBy("doc_id").agg(best).select(
+            "doc_id",
+            F.col("best.score").alias("score"),
+            F.col("best.variant_type").alias("variant_type"),
+            F.col("best.terms_matched").alias("terms_matched"),
+        )
+        if normalize:
+            from .ranker import normalize_scores
+
+            dedup = normalize_scores(dedup, "score")
+        if min_score_threshold > 0:
+            dedup = dedup.filter(F.col("score") >= F.lit(min_score_threshold))
+        topk = dedup.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return (
+            self.doc_stats.join(F.broadcast(topk), "doc_id")
+            .select("url", "doc_id", "score", "variant_type", "terms_matched")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )

@@ -1,0 +1,262 @@
+"""Driver-side query processing: analysis, variants, weights (SURVEY §2.4).
+
+Re-expresses the reference's QueryProcessor semantics
+(src/search_proxy/services/query_processor.py) as deterministic pure
+functions.  Queries are tiny, so this stage is driver-side Python by design
+(SURVEY §3.3); its output — a list of (variant_id, term) rows — broadcasts
+into the ONE Spark scoring job in ``executor.multi_variant_search``.
+
+Determinism note: the reference's nondeterministic engine-fallback chain
+(attacut/deepcut, query_processor.py:211-281) is pinned to the newmm-style
+segmenter, matching the index side (SURVEY §7 M0)."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ..tokenizer import (
+    ContentType,
+    classify_content_type,
+    default_segmenter,
+    extract_index_terms,
+    is_thai_char,
+    thai_ratio,
+    tokenize_compound,
+    tokenize_for_index,
+)
+
+MAX_QUERY_VARIANTS = 5  # settings.py: max_query_variants
+MIN_VARIANT_WEIGHT = 0.2  # query_processor.py:753-755 (Q6 / P8)
+
+# Base weight by variant type (query_processor.py:786-952, Q5).
+BASE_WEIGHTS = {
+    "original": 0.8,
+    "tokenized": 1.0,
+    "compound_split": 0.9,
+    "fallback": 0.6,
+    "mixed_language": 0.85,
+}
+
+# Per-variant matching strategy (query_processor.py:954-981, Q7):
+# original -> 'all' (conjunctive), tokenized -> 'last', fallback -> 'frequency'.
+MATCHING_STRATEGY = {
+    "original": "all",
+    "tokenized": "best",
+    "compound_split": "best",
+    "fallback": "best",
+    "mixed_language": "best",
+}
+
+_ENGLISH_WORD_RE = re.compile(r"[A-Za-z]+")
+
+
+@dataclass(frozen=True)
+class QueryAnalysis:
+    """Q1 (query_processor.py:161-209)."""
+
+    query: str
+    thai_char_count: int
+    english_word_count: int
+    thai_ratio: float
+    primary_language: str  # thai | english | mixed
+    query_length: int
+
+
+@dataclass
+class QueryVariant:
+    """Mirror of reference QueryVariant (search_proxy/models/query.py:10-17)."""
+
+    variant_type: str
+    query_text: str
+    terms: list[str]
+    weight: float
+    matching: str = "best"
+    metadata: dict = field(default_factory=dict)
+
+
+@dataclass
+class ProcessedQuery:
+    """Mirror of reference ProcessedQuery (models/query.py:148-210)."""
+
+    original_query: str
+    analysis: QueryAnalysis
+    variants: list[QueryVariant]
+    fallback_used: bool = False
+
+
+def normalize_query(q: str) -> str:
+    """Q8: collapse whitespace (tokenizer/query_processor.py:233-244)."""
+    return re.sub(r"\s+", " ", q).strip()
+
+
+def analyze_query(q: str) -> QueryAnalysis:
+    """Q1: language composition (query_processor.py:161-209)."""
+    thai_chars = sum(1 for c in q if is_thai_char(c))
+    eng_words = len(_ENGLISH_WORD_RE.findall(q))
+    tr = thai_ratio(q)
+    if thai_chars and eng_words:
+        lang = "mixed"
+    elif thai_chars:
+        lang = "thai"
+    else:
+        lang = "english"
+    return QueryAnalysis(
+        query=q,
+        thai_char_count=thai_chars,
+        english_word_count=eng_words,
+        thai_ratio=tr,
+        primary_language=lang,
+        query_length=len(q),
+    )
+
+
+def _char_fallback_tokens(q: str) -> list[str]:
+    """T5 twin: group runs of Thai chars, non-Thai word-split
+    (query_processor.py:396-434)."""
+    toks: list[str] = []
+    run = ""
+    for c in q:
+        if is_thai_char(c):
+            run += c
+        else:
+            if run:
+                toks.append(run)
+                run = ""
+            if not c.isspace():
+                toks.append(c)
+    if run:
+        toks.append(run)
+    return toks
+
+
+def _length_multiplier(analysis: QueryAnalysis) -> float:
+    """Q5 length factor: very short or very long queries are less reliable
+    (query_processor.py:874-899 analogue, deterministic form)."""
+    n = analysis.query_length
+    if n <= 2:
+        return 0.7
+    if n > 100:
+        return 0.85
+    return 1.0
+
+
+def _language_multiplier(analysis: QueryAnalysis, variant_type: str) -> float:
+    """Q5/Q6: Thai-tokenized variants boosted for Thai queries; fallbacks
+    damped when the query is clearly tokenizable (query_processor.py:728-769)."""
+    if analysis.primary_language == "thai" and variant_type == "tokenized":
+        return 1.0
+    if analysis.primary_language == "mixed" and variant_type == "mixed_language":
+        return 1.0
+    if variant_type == "fallback" and analysis.primary_language != "english":
+        return 0.9
+    return 0.95 if variant_type == "fallback" else 1.0
+
+
+def _clamp_weight(w: float) -> float:
+    return max(0.1, min(1.0, w))
+
+
+def generate_variants(q: str, analysis: QueryAnalysis, preserve_original: bool = True) -> list[QueryVariant]:
+    """Q4: emit ORIGINAL / TOKENIZED / COMPOUND_SPLIT / MIXED / FALLBACK,
+    dedup by lowercased text, cap at MAX_QUERY_VARIANTS keeping highest
+    weight (query_processor.py:436-702)."""
+    length_m = _length_multiplier(analysis)
+    candidates: list[QueryVariant] = []
+
+    def add(vt: str, tokens: list[str], meta: dict | None = None) -> None:
+        terms = extract_index_terms(tokens)
+        if not terms:
+            return
+        text = " ".join(terms)
+        w = _clamp_weight(BASE_WEIGHTS[vt] * length_m * _language_multiplier(analysis, vt))
+        candidates.append(
+            QueryVariant(
+                variant_type=vt,
+                query_text=text,
+                terms=terms,
+                weight=w,
+                matching=MATCHING_STRATEGY[vt],
+                metadata=meta or {},
+            )
+        )
+
+    primary = tokenize_for_index(q)
+    if preserve_original:
+        add("original", primary, {"source": "original"})
+    add("tokenized", primary, {"engine": "newmm"})
+
+    compound = tokenize_compound(q)
+    if compound != primary:
+        add("compound_split", compound, {"engine": "newmm_compound"})
+
+    if analysis.primary_language == "mixed":
+        add("mixed_language", primary, {"mixed": True})
+
+    fallback = _char_fallback_tokens(q)
+    if fallback and extract_index_terms(fallback) != extract_index_terms(primary):
+        add("fallback", fallback, {"engine": "char_fallback"})
+
+    # dedup by (lowercased text, matching): keep the highest-weight variant
+    # per distinct executable search (query_processor.py:454-486)
+    best: dict[tuple[str, str], QueryVariant] = {}
+    for v in candidates:
+        key = (v.query_text.lower(), v.matching)
+        if key not in best or v.weight > best[key].weight:
+            best[key] = v
+    out = sorted(best.values(), key=lambda v: (-v.weight, v.variant_type))
+
+    # Q6: drop weak variants unless nothing remains; cap at max variants
+    strong = [v for v in out if v.weight >= MIN_VARIANT_WEIGHT]
+    if not strong and out:
+        strong = out[:1]  # emergency variant (query_processor.py:764-769)
+    return strong[:MAX_QUERY_VARIANTS]
+
+
+def process_query(q: str, preserve_original: bool = True) -> ProcessedQuery:
+    """Full driver-side pipeline: normalize → analyze → variants (Q1-Q8)."""
+    nq = normalize_query(q)
+    analysis = analyze_query(nq)
+    if not nq:
+        return ProcessedQuery(original_query=q, analysis=analysis, variants=[])
+    variants = generate_variants(nq, analysis, preserve_original)
+    fallback_used = any(v.variant_type == "fallback" for v in variants)
+    return ProcessedQuery(
+        original_query=q, analysis=analysis, variants=variants, fallback_used=fallback_used
+    )
+
+
+# ---------------------------------------------------------------- Q9/Q10
+_PARTIAL_MAX_LEN = 2
+
+
+def classify_query_type(q: str) -> str:
+    """Q9 (tokenizer/query_processor.py:282-326): SIMPLE/COMPOUND/PARTIAL/
+    MIXED/PHRASE."""
+    nq = normalize_query(q)
+    if len(nq) <= _PARTIAL_MAX_LEN:
+        return "partial"
+    a = analyze_query(nq)
+    if a.primary_language == "mixed":
+        return "mixed"
+    toks = extract_index_terms(tokenize_for_index(nq))
+    if len(toks) > 2:
+        return "phrase"
+    if len(toks) == 1 and len(nq) > 6:
+        return "compound"
+    return "simple"
+
+
+def expand_query_terms(q: str, max_expansions: int = 10) -> list[str]:
+    """Q10: compound-part expansions (tokenizer/query_processor.py:328-471) —
+    the segmenter's parts of each long token become extra search terms."""
+    seg = default_segmenter()
+    base = extract_index_terms(tokenize_for_index(normalize_query(q)))
+    seen = dict.fromkeys(base)
+    for t in base:
+        if len(t) > 6 and classify_content_type(t) == ContentType.THAI:
+            for part in seg.tokenize(t):
+                p = part.strip()
+                if p and p not in seen:
+                    seen[p] = None
+    return list(seen)[: max_expansions + len(base)]
