@@ -31,11 +31,12 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .codec import varbyte_encode
+from .codec import varbyte_encode_chunks
 
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_BUCKET_SPAN = 8192  # docs per (term, bucket) group == block_size * 64
@@ -83,17 +84,16 @@ def idf(df: np.ndarray | float, n_docs: int) -> np.ndarray | float:
     return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def assign_doc_ids(
+def url_doc_id_map(
     pages: DataFrame, partitions: int | None = None, _caches: list[DataFrame] | None = None
 ) -> DataFrame:
-    """Dense, deterministic doc ids without a single-partition window.
+    """``(url, doc_id)`` mapping: doc_id = global url rank, no driver data.
 
-    Range-partition by url, sort within partitions, then a two-pass offset
-    assignment (per-partition counts → cumulative offsets → local row number).
-    This is the 10^12-scale pattern: the driver only ever sees one count per
-    partition.  The partitioned frame is persisted so both passes observe the
-    same layout; the input is persisted too because repartitionByRange's
-    boundary sampling is a second full scan of the source.
+    Range-partition *url strings only* (column pruning: nothing else is
+    shuffled or crosses into Python), sort within partitions, then two-pass
+    offset assignment (per-partition counts → cumulative offsets → local row
+    number).  The driver only ever sees one count per partition — the
+    10^12-scale pattern.
 
     Doc ids equal the global url rank regardless of partition count (range
     partitions are contiguous and ordered), so output is identical at any
@@ -101,17 +101,16 @@ def assign_doc_ids(
     """
     spark = pages.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
-    pages = pages.persist()
-    parted = (
-        pages.repartitionByRange(partitions, "url")
+    urls = (
+        pages.select("url")
+        .repartitionByRange(partitions, "url")
         .sortWithinPartitions("url")
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
     if _caches is not None:
-        _caches.append(parted)
-    counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    pages.unpersist()
+        _caches.append(urls)
+    counts = {r["_pid"]: r["cnt"] for r in urls.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -119,68 +118,248 @@ def assign_doc_ids(
         acc += counts[pid]
     boff = spark.sparkContext.broadcast(offsets)
 
-    out_schema = T.StructType(parted.schema.fields + [T.StructField("doc_id", T.LongType(), False)])
+    out_schema = T.StructType(
+        [T.StructField("url", T.StringType(), False), T.StructField("doc_id", T.LongType(), False)]
+    )
 
     def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = 0
         for pdf in batches:
             if len(pdf) == 0:
-                yield pdf.assign(doc_id=pd.Series(dtype="int64"))
+                yield pd.DataFrame({"url": pd.Series(dtype=object), "doc_id": pd.Series(dtype="int64")})
                 continue
             pid = int(pdf["_pid"].iloc[0])
             start = boff.value[pid] + local
             local += len(pdf)
-            yield pdf.assign(doc_id=np.arange(start, start + len(pdf), dtype=np.int64))
+            yield pd.DataFrame(
+                {"url": pdf["url"], "doc_id": np.arange(start, start + len(pdf), dtype=np.int64)}
+            )
 
-    tagged = parted.mapInPandas(tag, out_schema).drop("_pid")
-    return tagged
+    return urls.mapInPandas(tag, out_schema)
 
 
-def _make_block_encoder(n_docs: int, avgdl: float, params: BM25Params, block_size: int):
+def assign_doc_ids(
+    pages: DataFrame, partitions: int | None = None, _caches: list[DataFrame] | None = None
+) -> DataFrame:
+    """Input columns + dense deterministic ``doc_id`` (global url rank).
+
+    The heavy columns never enter the rank computation: ``url_doc_id_map``
+    shuffles/sorts url strings only, and the payload meets its id through one
+    hash join on url.  The input is persisted because the range partitioner's
+    boundary sampling plus the join probe would otherwise scan the source
+    twice (callers pass ``_caches`` to unpersist after materialization).
+    """
+    pages = pages.persist()
+    if _caches is not None:
+        _caches.append(pages)
+    mapping = url_doc_id_map(pages, partitions, _caches=_caches)
+    return pages.join(mapping, "url")
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("doc_len", T.IntegerType(), False),
+        T.StructField("norm_hash", T.StringType(), False),
+        T.StructField("terms", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+
+def tokenized_docs(
+    pages: DataFrame, partitions: int | None = None, _caches: list[DataFrame] | None = None
+) -> DataFrame:
+    """pages → (doc_id, url, lang, doc_len, norm_hash, terms) in ONE pass.
+
+    Fuses dense doc-id assignment (global url rank via range partition +
+    two-pass offsets) with tokenization and the byte-identity hash inside a
+    single ``mapInPandas``: one shuffle of (url, text, lang), one JVM↔Python
+    Arrow crossing, no join.  The offsets-counting job materializes the range
+    exchange; the main job then *skips* that map stage (Spark shuffle-stage
+    reuse on the shared lineage), so text is shuffled exactly once.
+
+    Doc ids equal the global url rank regardless of partition count, so the
+    output is identical at any parallelism — the scaling-bench invariant.
+    """
+    spark = pages.sparkSession
+    partitions = partitions or spark.sparkContext.defaultParallelism
+    slim = pages.select("url", "text", "lang").persist()
+    if _caches is not None:
+        _caches.append(slim)
+    # persist() freezes the range boundaries: the boundary sampling is seeded
+    # by rdd id, so two independently-compiled jobs over an unpersisted
+    # repartitionByRange can disagree on partitioning — the counts below would
+    # then describe different partitions than the ones the tagging pass sees
+    # (observed as duplicate doc ids).  The cache pins one physical layout
+    # that both jobs read.
+    parted = (
+        slim.repartitionByRange(partitions, "url")
+        .sortWithinPartitions("url")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    if _caches is not None:
+        _caches.append(parted)
+    counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    boff = spark.sparkContext.broadcast(offsets)
+
+    def assign_and_tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from ..tokenizer.udfs import _norm_cached, _terms_cached
+
+        local = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            start = boff.value[pid] + local
+            local += len(pdf)
+            terms, hashes, lens = [], [], []
+            for t in pdf["text"]:
+                if isinstance(t, str) and t:
+                    tt = list(_terms_cached(t))
+                    h = hashlib.sha256(_norm_cached(t).encode("utf-8")).hexdigest()
+                else:
+                    tt, h = [], hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+                terms.append(tt)
+                hashes.append(h)
+                lens.append(len(tt))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.arange(start, start + len(pdf), dtype=np.int64),
+                    "url": pdf["url"].to_numpy(),
+                    "lang": pdf["lang"].to_numpy(),
+                    "doc_len": np.asarray(lens, dtype=np.int32),
+                    "norm_hash": hashes,
+                    "terms": terms,
+                }
+            )
+
+    return parted.mapInPandas(assign_and_tokenize, DOCS_SCHEMA)
+
+
+def _encode_sorted_frame(
+    pdf: pd.DataFrame, n_docs: int, avgdl: float, k1: float, b: float, block_size: int
+) -> pd.DataFrame:
+    """Encode a frame sorted by (term, bucket, doc_id) into posting blocks.
+
+    Fully vectorized: group/block boundaries via numpy change-point masks, one
+    varbyte pass per column for the whole frame (sliced per block), per-block
+    BM25 max via ``np.maximum.reduceat`` — no per-group pandas objects.
+    """
+    n = len(pdf)
+    terms = pdf["term"].to_numpy()
+    buckets = pdf["bucket"].to_numpy(np.int64)
+    ids = pdf["doc_id"].to_numpy(np.uint64)
+    tfs = pdf["tf"].to_numpy(np.uint64)
+    dls = pdf["doc_len"].to_numpy(np.uint64)
+    dfs = pdf["df"].to_numpy(np.int64)
+
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+    gstarts = np.flatnonzero(change)
+    glens = np.diff(np.append(gstarts, n))
+    # index of each row within its (term, bucket) group
+    gix = np.arange(n) - np.repeat(gstarts, glens)
+    bstarts = np.flatnonzero(gix % block_size == 0)
+    blens = np.diff(np.append(bstarts, n)).astype(np.int32)
+    block_id = (gix[bstarts] // block_size).astype(np.int32)
+
+    idf_v = idf(dfs.astype(np.float64), n_docs)
+    tfs_f = tfs.astype(np.float64)
+    scores = idf_v * (tfs_f * (k1 + 1.0)) / (
+        tfs_f + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
+    )
+    bmax = np.maximum.reduceat(scores, bstarts)
+
+    deltas = np.empty_like(ids)
+    deltas[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+    deltas[bstarts] = ids[bstarts]  # first value of each block is absolute
+
+    return pd.DataFrame(
+        {
+            "term": terms[bstarts],
+            "bucket": buckets[bstarts],
+            "block_id": block_id,
+            "first_doc": ids[bstarts].astype(np.int64),
+            "n_docs": blens,
+            "doc_bytes": varbyte_encode_chunks(deltas, bstarts),
+            "tf_bytes": varbyte_encode_chunks(tfs, bstarts),
+            "dl_bytes": varbyte_encode_chunks(dls, bstarts),
+            "df": dfs[bstarts],
+            "block_max_score": bmax,
+        }
+    )
+
+
+def _make_partition_encoder(n_docs: int, avgdl: float, params: BM25Params, block_size: int):
+    """Streaming ``mapInPandas`` encoder over a partition sorted by
+    (term, bucket, doc_id).
+
+    Replaces per-group ``applyInPandas`` (one pandas DataFrame per (term,
+    bucket) — ruinous with Zipf-many tiny groups).  Arrow batches stream
+    through; only the trailing — possibly batch-spanning — group is carried
+    over, so memory stays bounded by ``bucket_span`` + one batch regardless of
+    partition size.
+    """
     k1, b = params.k1, params.b
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one (term, bucket) group; bounded by bucket_span rows
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        bucket = int(pdf["bucket"].iloc[0])
-        dfreq = int(pdf["df"].iloc[0])
-        ids = pdf["doc_id"].to_numpy(np.uint64)
-        tfs = pdf["tf"].to_numpy(np.uint64)
-        dls = pdf["doc_len"].to_numpy(np.uint64)
-        term_idf = idf(float(dfreq), n_docs)
-        rows = []
-        for s in range(0, len(ids), block_size):
-            e = min(s + block_size, len(ids))
-            bi, bt, bd = ids[s:e], tfs[s:e], dls[s:e]
-            tfs_f = bt.astype(np.float64)
-            scores = term_idf * (tfs_f * (k1 + 1.0)) / (tfs_f + k1 * (1.0 - b + b * bd.astype(np.float64) / avgdl))
-            deltas = np.empty_like(bi)
-            deltas[0] = bi[0]
-            np.subtract(bi[1:], bi[:-1], out=deltas[1:])
-            rows.append(
-                (
-                    term,
-                    bucket,
-                    s // block_size,
-                    int(bi[0]),
-                    int(e - s),
-                    varbyte_encode(deltas),
-                    varbyte_encode(bt),
-                    varbyte_encode(bd),
-                    dfreq,
-                    float(scores.max()),
-                )
+    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            terms = pdf["term"].to_numpy()
+            buckets = pdf["bucket"].to_numpy(np.int64)
+            tail = (terms == terms[-1]) & (buckets == buckets[-1])
+            n_tail = int(np.count_nonzero(tail))  # sorted ⇒ tail is contiguous
+            if n_tail == len(pdf):
+                carry = pdf  # whole batch is one group (≤ bucket_span rows)
+                continue
+            carry = pdf.iloc[len(pdf) - n_tail :].reset_index(drop=True)
+            yield _encode_sorted_frame(
+                pdf.iloc[: len(pdf) - n_tail], n_docs, avgdl, k1, b, block_size
             )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term", "bucket", "block_id", "first_doc", "n_docs",
-                "doc_bytes", "tf_bytes", "dl_bytes", "df", "block_max_score",
-            ],
-        )
+        if carry is not None and len(carry):
+            yield _encode_sorted_frame(carry, n_docs, avgdl, k1, b, block_size)
 
-    return encode_group
+    return encode_partition
+
+
+def encode_postings(
+    posting_rows: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    params: BM25Params,
+    block_size: int,
+    partitions: int,
+) -> DataFrame:
+    """(doc_id, term, tf, doc_len, df, bucket) rows → compressed posting blocks.
+
+    ``repartition(term, bucket)`` is the salted merge: the bucket column bounds
+    every co-located group to ``bucket_span`` docs, so Zipf head terms spread
+    across tasks instead of melting one (SURVEY §4.1 — AQE does not cover hot
+    aggregation keys).
+    """
+    encoder = _make_partition_encoder(n_docs, avgdl, params, block_size)
+    return (
+        posting_rows.repartition(partitions, "term", "bucket")
+        .sortWithinPartitions("term", "bucket", "doc_id")
+        .mapInPandas(encoder, POSTINGS_SCHEMA)
+    )
 
 
 def build_index(
@@ -198,64 +377,60 @@ def build_index(
     ``{out_dir}/meta.json``.
     """
     from ..dictionary import dictionary_fingerprint
-    from ..tokenizer.udfs import index_terms_udf, zwsp_norm_udf
 
     postings_partitions = postings_partitions or spark.sparkContext.defaultParallelism
 
+    # id assignment + tokenization + byte-identity hash fused into one pass
+    # (column pruning first: html/warc_ts never enter a shuffle or Python)
     caches: list[DataFrame] = []
-    docs = assign_doc_ids(pages, _caches=caches)
-    docs = (
-        docs.withColumn("terms", index_terms_udf("text"))
-        .withColumn("norm_text", zwsp_norm_udf("text"))
-        .withColumn("doc_len", F.size("terms"))
-        .persist()
-    )
+    docs = tokenized_docs(pages, _caches=caches).persist()
 
-    # doc_stats: id mapping + byte-identity lineage hash (north-rule invariant)
-    doc_stats = docs.select(
-        "doc_id",
-        "url",
-        "lang",
-        "doc_len",
-        F.sha2("norm_text", 256).alias("norm_hash"),
-    )
-    doc_stats.repartition(max(postings_partitions // 4, 1), "doc_id").write.mode("overwrite").parquet(
-        os.path.join(out_dir, "doc_stats")
+    # doc_stats: id mapping + byte-identity lineage hash (north-rule invariant).
+    # N and avgdl ride along as observed metrics — no separate stats job.
+    obs = Observation("corpus_stats")
+    (
+        docs.select("doc_id", "url", "lang", "doc_len", "norm_hash")
+        .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
+        .repartition(max(postings_partitions // 4, 1), "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "doc_stats"))
     )
     for c in caches:  # docs cache is materialized now; upstream caches can go
         c.unpersist()
-
-    stats = docs.agg(
-        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 1.0)
+    n_docs, avgdl = int(obs.get["n"]), float(obs.get["avgdl"] or 1.0)
 
     # token -> tf  (key includes doc_id: partial aggregation handles volume,
-    # no single hot key because every (doc, term) pair is unique-ish)
+    # no single hot key because every (doc, term) pair is unique-ish).
+    # Persisted: it feeds both the df aggregate and the posting encode — at
+    # 10^12 scale recomputing it means re-tokenizing the corpus.
     tf = (
         docs.select("doc_id", "doc_len", F.explode("terms").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # document frequency per term — combiner-friendly count, skew-safe
+    # document frequency per term — combiner-friendly count, skew-safe.
+    # Vocabulary is dictionary-bounded (newmm terms), so df_tbl is tiny
+    # relative to tf: AQE converts this join to broadcast at runtime from the
+    # observed shuffle size (no driver-side count, and no forced broadcast
+    # that could blow up on an unbounded vocabulary).
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
 
-    # salted merge: (term, bucket) bounds every group to <= bucket_span docs
-    posting_rows = (
-        tf.join(df_tbl, "term")
-        .withColumn("bucket", (F.col("doc_id") / F.lit(bucket_span)).cast("long"))
+    posting_rows = tf.join(df_tbl, "term").withColumn(
+        "bucket", (F.col("doc_id") / F.lit(bucket_span)).cast("long")
     )
+    postings = encode_postings(posting_rows, n_docs, avgdl, params, block_size, postings_partitions)
 
-    encoder = _make_block_encoder(n_docs, avgdl, params, block_size)
-    postings = posting_rows.groupBy("term", "bucket").applyInPandas(encoder, POSTINGS_SCHEMA)
-
+    # final clustering by term: blocks are already compressed (cheap shuffle),
+    # and term-contiguous files give parquet row-group pruning at query time
     (
         postings.repartition(postings_partitions, "term")
         .sortWithinPartitions("term", "bucket", "block_id")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "postings"))
     )
+    tf.unpersist()
 
     meta = IndexMeta(
         n_docs=n_docs,

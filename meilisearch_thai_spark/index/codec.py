@@ -18,10 +18,8 @@ import numpy as np
 _MAX_BYTES = 10  # ceil(64/7)
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64 array; vectorized over the array (≤10 passes)."""
-    if len(values) == 0:
-        return b""
+def _varbyte_flat(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64 array; returns (flat bytes, per-value byte counts)."""
     a = values.astype(np.uint64, copy=True)
     out = np.zeros((len(a), _MAX_BYTES), dtype=np.uint8)
     nbytes = np.ones(len(a), dtype=np.int64)
@@ -36,7 +34,30 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         if not more.any():
             break
     mask = np.arange(_MAX_BYTES)[None, :] < nbytes[:, None]
-    return out[mask].tobytes()
+    return out[mask].tobytes(), nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array; vectorized over the array (≤10 passes)."""
+    if len(values) == 0:
+        return b""
+    return _varbyte_flat(values)[0]
+
+
+def varbyte_encode_chunks(values: np.ndarray, chunk_starts: np.ndarray) -> list[bytes]:
+    """Encode ``values`` once, sliced into per-chunk byte strings.
+
+    ``chunk_starts`` are value indices (first must be 0).  One vectorized
+    encode pass for the whole array — this is what lets a partition-streaming
+    encoder emit thousands of posting blocks without per-block numpy calls.
+    """
+    if len(values) == 0:
+        return []
+    flat, nbytes = _varbyte_flat(values)
+    offs = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offs[1:])
+    bounds = offs[np.append(chunk_starts, len(values))]
+    return [flat[bounds[i] : bounds[i + 1]] for i in range(len(chunk_starts))]
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:

@@ -44,9 +44,8 @@ from .builder import (
     DEFAULT_BUCKET_SPAN,
     BM25Params,
     IndexMeta,
-    POSTINGS_SCHEMA,
-    _make_block_encoder,
     assign_doc_ids,
+    encode_postings,
 )
 
 
@@ -99,7 +98,7 @@ def build_index_resumable(
     kill-and-resume test hook (SURVEY §5 test plan item 4).
     """
     from ..dictionary import dictionary_fingerprint
-    from ..tokenizer.udfs import index_terms_udf, zwsp_norm_udf
+    from ..tokenizer.udfs import index_features_udf
 
     os.makedirs(os.path.join(out_dir, "lineage"), exist_ok=True)
     shard_key = F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards)).cast("int")
@@ -121,10 +120,19 @@ def build_index_resumable(
     committed_batches = 0
     for batch in batches:
         t0 = time.time()
-        sub = pages.filter(shard_key.isin([int(s) for s in batch])).withColumn("shard", shard_key)
+        sub = (
+            pages.select("url", "text")
+            .filter(shard_key.isin([int(s) for s in batch]))
+            .withColumn("shard", shard_key)
+        )
         toks = (
-            sub.withColumn("terms", index_terms_udf("text"))
-            .withColumn("norm_hash", F.sha2(zwsp_norm_udf("text"), 256))
+            sub.withColumn("_f", index_features_udf("text"))
+            .select(
+                "shard",
+                "url",
+                F.col("_f.terms").alias("terms"),
+                F.col("_f.norm_hash").alias("norm_hash"),
+            )
             .withColumn("doc_len", F.size("terms"))
         )
         tf = (
@@ -191,22 +199,27 @@ def build_index_resumable(
     g = doc_stats.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 1.0)
 
-    with_ids = tf_all.join(doc_map.select("url", "doc_id"), "url").select(
-        "doc_id", "term", "tf", "doc_len"
+    from pyspark import StorageLevel
+
+    with_ids = (
+        tf_all.join(doc_map.select("url", "doc_id"), "url")
+        .select("doc_id", "term", "tf", "doc_len")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # AQE converts to broadcast at runtime when the vocabulary is small
     df_tbl = with_ids.groupBy("term").agg(F.count("*").alias("df"))
     posting_rows = with_ids.join(df_tbl, "term").withColumn(
         "bucket", (F.col("doc_id") / F.lit(bucket_span)).cast("long")
     )
-    encoder = _make_block_encoder(n_docs, avgdl, params, block_size)
-    postings = posting_rows.groupBy("term", "bucket").applyInPandas(encoder, POSTINGS_SCHEMA)
     parts = spark.sparkContext.defaultParallelism
+    postings = encode_postings(posting_rows, n_docs, avgdl, params, block_size, parts)
     (
         postings.repartition(parts, "term")
         .sortWithinPartitions("term", "bucket", "block_id")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "postings"))
     )
+    with_ids.unpersist()
 
     meta = IndexMeta(
         n_docs=n_docs,

@@ -61,6 +61,36 @@ def zwsp_norm_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: _norm_cached(t) if isinstance(t, str) and t else (t or ""))
 
 
+_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType()), False),
+        T.StructField("norm_hash", T.StringType(), False),
+    ]
+)
+
+
+@F.pandas_udf(_FEATURES_TYPE)
+def index_features_udf(texts: pd.Series) -> pd.DataFrame:
+    """T1+T9 fused: one Arrow pass producing (index terms, sha256(norm_text)).
+
+    ``norm_hash`` equals ``F.sha2(zwsp_norm_udf(text), 256)`` — hashed here in
+    Python so the (large) ZWSP string never crosses back to the JVM; only the
+    64-hex digest does.  Tokenization runs once for both outputs via the
+    shared memo cache.
+    """
+    import hashlib
+
+    terms, hashes = [], []
+    for t in texts:
+        if isinstance(t, str) and t:
+            terms.append(list(_terms_cached(t)))
+            hashes.append(hashlib.sha256(_norm_cached(t).encode("utf-8")).hexdigest())
+        else:
+            terms.append([])
+            hashes.append(hashlib.sha256((t or "").encode("utf-8")).hexdigest())
+    return pd.DataFrame({"terms": terms, "norm_hash": hashes})
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def compound_tokens_udf(texts: pd.Series) -> pd.Series:
     """T3: compound-preserving two-pass segmentation (parity op)."""

@@ -85,3 +85,27 @@ def test_generation_deterministic_across_parallelism(spark, built):
     a = generate_pages(spark, 50, seed=42, partitions=2).select("url", "text", "lang").collect()
     b = generate_pages(spark, 50, seed=42, partitions=16).select("url", "text", "lang").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_doc_ids_dense_unique_any_parallelism(spark):
+    """doc_id = global url rank: dense, unique, and identical regardless of
+    partitioning (regression: unpersisted repartitionByRange re-samples
+    boundaries per job, which once produced duplicate ids)."""
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.index.builder import tokenized_docs
+
+    pages = generate_pages(spark, 5000, seed=9)
+    for parts in (3, 17):
+        caches = []
+        d = tokenized_docs(pages, partitions=parts, _caches=caches)
+        r = d.select(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
+            F.bit_xor(F.xxhash64("doc_id", "url")).alias("dig"),
+        ).collect()[0]
+        assert (r["n"], r["nd"], r["mn"], r["mx"]) == (5000, 5000, 0, 4999)
+        for c in caches:
+            c.unpersist()
