@@ -31,7 +31,6 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -163,7 +162,9 @@ DOCS_SCHEMA = T.StructType(
         T.StructField("lang", T.StringType(), True),
         T.StructField("doc_len", T.IntegerType(), False),
         T.StructField("norm_hash", T.StringType(), False),
-        T.StructField("terms", T.ArrayType(T.StringType()), False),
+        # per-doc term frequencies: (doc_id, term) aggregation is free here —
+        # a doc lives in exactly one partition, so tf never needs a shuffle
+        T.StructField("tcounts", T.MapType(T.StringType(), T.IntegerType()), False),
     ]
 )
 
@@ -212,9 +213,14 @@ def tokenized_docs(
 
     def assign_and_tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        from collections import Counter
 
-        from ..tokenizer.udfs import _norm_cached, _terms_cached
+        from ..tokenizer import default_processor, extract_index_terms, tokenize_for_index
 
+        # direct calls, no memo cache: web corpus texts are ~all unique, so a
+        # cache is pure overhead (and its churn hurts multi-worker scaling);
+        # tokens are computed once and reused for both terms and the norm hash
+        proc = default_processor()
         local = 0
         for pdf in batches:
             if not len(pdf):
@@ -222,14 +228,16 @@ def tokenized_docs(
             pid = int(pdf["_pid"].iloc[0])
             start = boff.value[pid] + local
             local += len(pdf)
-            terms, hashes, lens = [], [], []
+            tcounts, hashes, lens = [], [], []
             for t in pdf["text"]:
                 if isinstance(t, str) and t:
-                    tt = list(_terms_cached(t))
-                    h = hashlib.sha256(_norm_cached(t).encode("utf-8")).hexdigest()
+                    toks = tokenize_for_index(t)
+                    tt = extract_index_terms(toks)
+                    norm = proc.process_tokens(t, toks).processed_text
+                    h = hashlib.sha256(norm.encode("utf-8")).hexdigest()
                 else:
                     tt, h = [], hashlib.sha256((t or "").encode("utf-8")).hexdigest()
-                terms.append(tt)
+                tcounts.append(dict(Counter(tt)))
                 hashes.append(h)
                 lens.append(len(tt))
             yield pd.DataFrame(
@@ -239,7 +247,7 @@ def tokenized_docs(
                     "lang": pdf["lang"].to_numpy(),
                     "doc_len": np.asarray(lens, dtype=np.int32),
                     "norm_hash": hashes,
-                    "terms": terms,
+                    "tcounts": tcounts,
                 }
             )
 
@@ -391,23 +399,19 @@ def build_index(
     (
         docs.select("doc_id", "url", "lang", "doc_len", "norm_hash")
         .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
-        .repartition(max(postings_partitions // 4, 1), "doc_id")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "doc_stats"))
-    )
+    )  # docs is already range-partitioned by url → doc_id-contiguous files, no shuffle
     for c in caches:  # docs cache is materialized now; upstream caches can go
         c.unpersist()
     n_docs, avgdl = int(obs.get["n"]), float(obs.get["avgdl"] or 1.0)
 
-    # token -> tf  (key includes doc_id: partial aggregation handles volume,
-    # no single hot key because every (doc, term) pair is unique-ish).
-    # Persisted: it feeds both the df aggregate and the posting encode — at
-    # 10^12 scale recomputing it means re-tokenizing the corpus.
-    tf = (
-        docs.select("doc_id", "doc_len", F.explode("terms").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # token -> tf: already aggregated per doc inside the tokenize pass (a doc
+    # never spans partitions), so this explode is a NARROW op — no shuffle,
+    # no groupBy.  Recompute from the docs cache is a cheap map, so tf itself
+    # needs no second cache.
+    tf = docs.select(
+        "doc_id", "doc_len", F.explode("tcounts").alias("term", "tf")
     )
 
     # document frequency per term — combiner-friendly count, skew-safe.
@@ -430,7 +434,6 @@ def build_index(
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "postings"))
     )
-    tf.unpersist()
 
     meta = IndexMeta(
         n_docs=n_docs,

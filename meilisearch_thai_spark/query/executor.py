@@ -78,6 +78,94 @@ def _make_decoder(k1: float, b: float, avgdl: float, n_docs: int):
     return decode
 
 
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("variant_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("terms_matched", T.LongType(), False),
+    ]
+)
+
+
+def _make_bucket_topk(
+    k1: float, b: float, avgdl: float, n_docs: int, k: int, required_terms: dict[int, int]
+):
+    """Block-max pruned per-partition top-k (R11 block-max WAND, SURVEY §7.4).
+
+    Buckets are doc-ranges aligned across terms (bucket = doc_id//span), so a
+    doc's WHOLE multi-term score lives inside one bucket: per-bucket sums are
+    final scores, and a bucket whose upper bound (Σ per-term block-max) is
+    below the running k-th score can be skipped without decoding — exact
+    pruning, no rank error.  Buckets are visited in descending upper-bound
+    order, so the first prunable bucket ends the variant's scan (per-partition
+    threshold + final merge; a driver-coordinated global threshold would add
+    round trips for little extra pruning).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import heapq
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        out_vid, out_doc, out_score, out_cnt = [], [], [], []
+        for vid, vg in pdf.groupby("variant_id", sort=False):
+            need = required_terms.get(int(vid))
+            # upper bound per bucket: Σ over terms of that term's best block
+            ub = (
+                vg.groupby(["bucket", "term"])["block_max_score"].max().groupby(level=0).sum()
+            ).sort_values(ascending=False)
+            heap: list = []  # min-heap of (score, -doc_id), size <= k
+            grouped = dict(tuple(vg.groupby("bucket", sort=False)))
+            for bucket, bound in ub.items():
+                if len(heap) == k and bound < heap[0][0]:
+                    break  # descending bounds: nothing below can enter top-k
+                    # (strict <: an equal-bound bucket could still win a
+                    # doc_id tie-break at exactly the k-th score)
+                g = grouped[bucket]
+                ids_l, score_l = [], []
+                for row in g.itertuples(index=False):
+                    deltas = varbyte_decode(row.doc_bytes)
+                    ids = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
+                    tfs = varbyte_decode(row.tf_bytes).astype(np.float64)
+                    dls = varbyte_decode(row.dl_bytes).astype(np.float64)
+                    idf = np.log(1.0 + (n_docs - row.df + 0.5) / (row.df + 0.5))
+                    score_l.append(idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl)))
+                    ids_l.append(ids)
+                ids = np.concatenate(ids_l)
+                scores = np.concatenate(score_l)
+                uids, inv = np.unique(ids, return_inverse=True)
+                sums = np.bincount(inv, weights=scores)
+                cnts = np.bincount(inv)  # each (term, doc) appears exactly once
+                if need is not None:
+                    keep = cnts == need
+                    uids, sums, cnts = uids[keep], sums[keep], cnts[keep]
+                for d, s, c in zip(uids, sums, cnts):
+                    item = (float(s), -int(d), int(c))
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+            for s, nd, c in heap:
+                out_vid.append(vid)
+                out_doc.append(-nd)
+                out_score.append(s)
+                out_cnt.append(c)
+        if out_doc:
+            yield pd.DataFrame(
+                {
+                    "variant_id": np.asarray(out_vid, dtype=np.int32),
+                    "doc_id": np.asarray(out_doc, dtype=np.int64),
+                    "score": np.asarray(out_score, dtype=np.float64),
+                    "terms_matched": np.asarray(out_cnt, dtype=np.int64),
+                }
+            )
+
+    return run
+
+
 class SearchEngine:
     """Query-side handle on a built index directory."""
 
@@ -87,27 +175,58 @@ class SearchEngine:
         self.meta: IndexMeta = load_meta(index_dir)
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        self._bucket_partitioned = False
         if cache_postings:
-            self.postings = self.postings.persist()
-            self.doc_stats = self.doc_stats.persist()
+            # Document-partitioned serving layout (the way search engines
+            # shard): cache the postings hash-partitioned by bucket ONCE, so
+            # every query's per-doc multi-term sums are complete within each
+            # cached partition and the scoring job needs NO exchange at all —
+            # scan(cache, term filter) → local top-k → driver merge.
+            # Partition count sized by data (≈64 MB serving shards), capped at
+            # the core count: a tiny index in 32 slivers pays 32 python-task
+            # launches per query for no parallelism gain.
+            psize = self._dir_bytes(os.path.join(index_dir, "postings"))
+            P = max(1, min(spark.sparkContext.defaultParallelism, psize // (64 << 20) + 1))
+            self.postings = self.postings.repartition(P, "bucket").persist()
+            self.doc_stats = self.doc_stats.coalesce(max(1, P)).persist()
+            self._bucket_partitioned = True
+
+    @staticmethod
+    def _dir_bytes(path: str) -> int:
+        try:
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        except OSError:
+            return 0
 
     # ------------------------------------------------------------------
     def candidate_blocks(self, qterms: list[QueryTerm]) -> DataFrame:
-        """postings ⋈ broadcast(query terms): the term-lookup join (X2)."""
-        qdf = self.spark.createDataFrame(
-            [(q.variant_id, q.term) for q in qterms],
-            T.StructType(
-                [
-                    T.StructField("variant_id", T.IntegerType(), False),
-                    T.StructField("term", T.StringType(), False),
-                ]
-            ),
+        """Term lookup (X2): scan filter + literal term→variants expansion.
+
+        The (tiny) query-terms table is folded into the plan as a literal map
+        instead of a broadcast join — same semantics, but no broadcast
+        exchange and no extra job on the per-query latency path.  The ``isin``
+        filter pushes to the scan so parquet row-group min/max stats on the
+        term-sorted files prune untouched groups.
+        """
+        by_term: dict[str, list[int]] = {}
+        for q in qterms:
+            by_term.setdefault(q.term, []).append(q.variant_id)
+        terms = sorted(by_term)
+        if not terms:
+            return self.postings.filter(F.lit(False)).withColumn("variant_id", F.lit(0))
+        kv = []
+        for t in terms:
+            kv.append(F.lit(t))
+            kv.append(F.array([F.lit(v) for v in by_term[t]]))
+        vmap = F.create_map(*kv)
+        return (
+            self.postings.filter(F.col("term").isin(terms))
+            .withColumn("variant_id", F.explode(vmap[F.col("term")]))
         )
-        # isin-style pushdown: also pre-filter the scan so parquet row-group
-        # min/max stats on the term-sorted files prune untouched groups.
-        terms = sorted({q.term for q in qterms})
-        scan = self.postings.filter(F.col("term").isin(terms))
-        return scan.join(F.broadcast(qdf), "term")
 
     def score_variants(self, qterms: list[QueryTerm], prune_threshold: float | None = None) -> DataFrame:
         """Per-(variant, doc) BM25 sums + matched-term counts."""
@@ -118,10 +237,40 @@ class SearchEngine:
         scored = blocks.select(
             "variant_id", "term", "df", "doc_bytes", "tf_bytes", "dl_bytes"
         ).mapInPandas(decode, _SCORED_SCHEMA)
+        # count(*) == countDistinct(term): a doc appears in exactly one bucket
+        # per term, so each (variant, doc, term) row is unique
         return scored.groupBy("variant_id", "doc_id").agg(
             F.sum("score").alias("score"),
-            F.countDistinct("term").alias("terms_matched"),
+            F.count("*").alias("terms_matched"),
         )
+
+    def score_variants_topk(
+        self,
+        qterms: list[QueryTerm],
+        k: int,
+        required_terms: dict[int, int] | None = None,
+        partitions: int | None = None,
+    ) -> DataFrame:
+        """EXACT per-variant top-k with block-max bucket pruning (R11).
+
+        One small shuffle of candidate *blocks* by (variant, bucket) — doc
+        alignment of buckets across terms makes per-bucket scores final, so
+        decoded postings never shuffle at all (vs ``score_variants``, which
+        shuffles every decoded (variant, doc) row into a hash agg).  Output is
+        ≤ partitions × k rows per variant; merge with a global top-k.
+        """
+        blocks = self.candidate_blocks(qterms).select(
+            "variant_id", "bucket", "term", "df", "block_max_score",
+            "doc_bytes", "tf_bytes", "dl_bytes",
+        )
+        if not self._bucket_partitioned:
+            # cold path: establish bucket-completeness per partition explicitly
+            partitions = partitions or self.spark.sparkContext.defaultParallelism
+            blocks = blocks.repartition(partitions, "bucket")
+        run = _make_bucket_topk(
+            self.meta.k1, self.meta.b, self.meta.avgdl, self.meta.n_docs, k, required_terms or {}
+        )
+        return blocks.mapInPandas(run, _TOPK_SCHEMA)
 
     def search_terms(
         self,
@@ -136,9 +285,8 @@ class SearchEngine:
         disjunctive.
         """
         qterms = [QueryTerm(0, t) for t in dict.fromkeys(terms)]
-        scored = self.score_variants(qterms)
-        if matching == "all":
-            scored = scored.filter(F.col("terms_matched") == len(qterms))
+        required = {0: len(qterms)} if matching == "all" else None
+        scored = self.score_variants_topk(qterms, k=k, required_terms=required)
         topk = (
             scored.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
@@ -197,15 +345,22 @@ class SearchEngine:
             for t in uniq:
                 qterms.append(QueryTerm(vid, t))
             vmeta_rows.append((vid, v.variant_type, float(v.weight), len(uniq), v.matching))
-        vmeta = self.spark.createDataFrame(
-            vmeta_rows, "variant_id int, variant_type string, weight double, n_terms int, matching string"
-        )
 
-        scored = self.score_variants(qterms)
+        # per-variant EXACT top-k with bucket pruning is sufficient for the
+        # global top-k after weighting: weights are constant per variant, so
+        # within-variant rank by raw score == rank by weighted score, and any
+        # doc in the final top-k is in its winning variant's top-k
+        required = {
+            vid: n for vid, _t, _w, n, m in vmeta_rows if m == "all"
+        }
+        scored = self.score_variants_topk(qterms, k=k, required_terms=required)
+        # variant metadata folded in as literal maps (≤5 variants): no
+        # createDataFrame / broadcast exchange on the latency path
+        wmap = F.create_map(*[x for vid, _t, w, _n, _m in vmeta_rows for x in (F.lit(vid), F.lit(w))])
+        tmap = F.create_map(*[x for vid, t, _w, _n, _m in vmeta_rows for x in (F.lit(vid), F.lit(t))])
         hit = (
-            scored.join(F.broadcast(vmeta), "variant_id")
-            # Q7 matching strategy: conjunctive variants require every term
-            .filter((F.col("matching") != "all") | (F.col("terms_matched") == F.col("n_terms")))
+            scored.withColumn("weight", wmap[F.col("variant_id")])
+            .withColumn("variant_type", tmap[F.col("variant_id")])
             # R1/R2: final = bm25 * variant_weight * variant_boost
             .withColumn("score", F.col("score") * F.col("weight") * variant_boost_expr("variant_type"))
         )

@@ -88,15 +88,21 @@ spark = build_spark(
         "spark.sql.files.openCostInBytes": str(256 * 1024),
     }},
 )
-out = tempfile.mkdtemp(prefix=f"scale_idx_{{cores}}_")
 # warm JVM + python workers so fixed startup cost (identical at both levels,
 # irrelevant at 10^12 scale) doesn't pollute the ratio
-build_index(spark, generate_pages(spark, 500, seed=7), out + "_warm")
+build_index(spark, generate_pages(spark, 500, seed=7), tempfile.mkdtemp() + "_warm")
 
 pages = spark.read.parquet(corpus)
-t0 = time.time()
-meta = build_index(spark, pages, out)
-dt = time.time() - t0
+# best-of-2: this host throttles CPU in multi-minute windows (hypervisor
+# sharing); min-of-reps reads through a throttle window that would otherwise
+# be misattributed to the job's scalability
+dt = None
+for rep in range(2):
+    out = tempfile.mkdtemp(prefix=f"scale_idx_{{cores}}_{{rep}}_")
+    t0 = time.time()
+    meta = build_index(spark, pages, out)
+    rep_dt = time.time() - t0
+    dt = rep_dt if dt is None else min(dt, rep_dt)
 
 # order-insensitive content digest: proves both levels built the same index
 pst = spark.read.parquet(out + "/postings")
@@ -129,7 +135,7 @@ def run_level(cores: int, n_docs: int, corpus: str) -> dict:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
@@ -145,7 +151,7 @@ def main() -> None:
     out = {
         "n_docs": n_docs,
         "method": "same parquet input, fresh pinned JVM per level (taskset), "
-                  "warmed workers, generation untimed",
+                  "warmed workers, generation untimed, best-of-2 reps per level",
         "low": lo,
         "high": hi,
         "scaling_efficiency": round(eff, 3),
