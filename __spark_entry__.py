@@ -151,6 +151,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def stats_langid(spark, sf):
         return ts.language_id(_t(spark, sf, "documents"), "doc_id", "text")
 
+    def e1_highlight_extract(spark, sf):
+        # E1 highlight/marker extraction (result_enhancer.py:93-99,375-390):
+        # regexp_extract_all kept in whole-stage codegen; corpus uses word
+        # markers since the synthetic docs carry no <em> markup
+        docs = _t(spark, sf, "documents")
+        hl = F.regexp_extract_all(F.col("text"), F.lit(r"(data|hash|table)"), 1)
+        return docs.select(
+            "doc_id",
+            F.array_join(hl, "|").alias("highlights"),
+            F.size(hl).alias("n_highlights"),
+        )
+
+    def r3_exact_boost(spark, sf):
+        # R3 exact-match boost ×2.0 (result_ranker.py:1286-1303)
+        docs = _t(spark, sf, "documents")
+        base = F.col("n_chars").cast("double")
+        return docs.select(
+            "doc_id",
+            F.round(
+                F.when(F.contains(F.lower("text"), F.lit("merge join")), base * 2.0).otherwise(base),
+                2,
+            ).alias("boosted_score"),
+        )
+
+    def r5_tiebreak_sort(spark, sf):
+        # R5 multi-key tie-break ordering (result_ranker.py:487-565)
+        ev = _t(spark, sf, "events")
+        return (
+            ev.orderBy(F.desc("value"), F.asc("ts"), F.asc("event_id"))
+            .limit(50)
+            .select("event_id", "user_id", F.round("value", 4).alias("value"))
+        )
+
+    def mm_binary_meta(spark, sf):
+        # multimodal typed metadata over an opaque binary column (docs text
+        # cast to binary stands in for an image/audio payload)
+        from meilisearch_thai_spark.pipeline import multimodal as mm
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("payload")
+        )
+        return mm.binary_meta(docs, "doc_id", "payload")
+
     def agg_partial_q1(spark, sf):
         li = _t(spark, sf, "lineitem")
         return (
@@ -189,6 +232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_quality": stats_quality,
         "stats_langid": stats_langid,
         "agg_partial_q1": agg_partial_q1,
+        "e1_highlight_extract": e1_highlight_extract,
+        "r3_exact_boost": r3_exact_boost,
+        "r5_tiebreak_sort": r5_tiebreak_sort,
+        "mm_binary_meta": mm_binary_meta,
     }
 
 
@@ -251,6 +298,37 @@ FROM documents GROUP BY 1
         "stats_token": ts.token_stats_sql("documents", "doc_id", "text"),
         "stats_quality": ts.quality_score_sql("documents", "doc_id", "text"),
         "stats_langid": ts.language_id_sql("documents", "doc_id", "text"),
+        "e1_highlight_extract": """
+SELECT doc_id,
+       coalesce(array_to_string(regexp_extract_all(text, '(data|hash|table)', 1), '|'), '') AS highlights,
+       len(regexp_extract_all(text, '(data|hash|table)', 1)) AS n_highlights
+FROM documents
+""",
+        "r3_exact_boost": """
+SELECT doc_id,
+       ROUND(CASE WHEN contains(lower(text), 'merge join')
+                  THEN CAST(n_chars AS DOUBLE) * 2.0
+                  ELSE CAST(n_chars AS DOUBLE) END, 2) AS boosted_score
+FROM documents
+""",
+        "r5_tiebreak_sort": """
+SELECT event_id, user_id, ROUND(value, 4) AS value
+FROM events ORDER BY value DESC, ts ASC, event_id ASC LIMIT 50
+""",
+        "mm_binary_meta": """
+SELECT doc_id,
+       octet_length(cast(text AS BLOB)) AS n_bytes,
+       sha256(text) AS content_sha256,
+       CASE WHEN substr(hex(cast(text AS BLOB)), 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
+            WHEN substr(hex(cast(text AS BLOB)), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+            WHEN substr(hex(cast(text AS BLOB)), 1, 8) = '47494638' THEN 'image/gif'
+            WHEN substr(hex(cast(text AS BLOB)), 1, 8) = '52494646' THEN 'audio/wav'
+            WHEN substr(hex(cast(text AS BLOB)), 1, 6) = '000000' THEN 'video/mp4-box'
+            WHEN substr(hex(cast(text AS BLOB)), 1, 10) = '3C68746D6C' THEN 'text/html'
+            WHEN substr(hex(cast(text AS BLOB)), 1, 8) = '25504446' THEN 'application/pdf'
+            ELSE 'application/octet-stream' END AS sniffed_type
+FROM documents
+""",
         "agg_partial_q1": """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -103,7 +103,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     t0 = time.time()
-    scored = eng.score_variants(qterms)
+    scored = eng.score_variants_topk(qterms, k=10)  # block-max pruned, exact
     w = Window.partitionBy("variant_id").orderBy(F.desc("score"), F.asc("doc_id"))
     scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).collect()
     dt = time.time() - t0

@@ -187,10 +187,34 @@ def build_index_resumable(
             raise ShardCommitError(f"injected failure after {committed_batches} batches")
 
     # ---------------------------------------------------------------- phase 2
-    tf_all = spark.read.parquet(os.path.join(out_dir, "tf")).filter(F.col("term").isNotNull())
-    per_doc = spark.read.parquet(os.path.join(out_dir, "tf")).select(
-        "url", "doc_len", "norm_hash"
-    ).dropDuplicates(["url"])
+    return finalize_index(
+        spark, out_dir, block_size=block_size, bucket_span=bucket_span, params=params
+    )
+
+
+def finalize_index(
+    spark: SparkSession,
+    out_dir: str,
+    tf_all: DataFrame | None = None,
+    doc_map: DataFrame | None = None,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    bucket_span: int = DEFAULT_BUCKET_SPAN,
+    params: BM25Params = BM25Params(),
+) -> IndexMeta:
+    """Phase 2 (shared by resumable batch and streaming ingest): committed tf
+    shards + doc_map → doc_stats, compressed postings, meta.json.
+
+    ``tf_all`` defaults to ``{out_dir}/tf`` (columns shard, url, term, tf,
+    doc_len, norm_hash); ``doc_map`` defaults to ``{out_dir}/doc_map``
+    (url, lang, doc_id).  Idempotent: all writes are overwrite-mode."""
+    from ..dictionary import dictionary_fingerprint
+
+    if tf_all is None:
+        tf_all = spark.read.parquet(os.path.join(out_dir, "tf"))
+    if doc_map is None:
+        doc_map = spark.read.parquet(os.path.join(out_dir, "doc_map"))
+    terms_tf = tf_all.filter(F.col("term").isNotNull())
+    per_doc = tf_all.select("url", "doc_len", "norm_hash").dropDuplicates(["url"])
 
     doc_stats = per_doc.join(doc_map, "url").select("doc_id", "url", "lang", "doc_len", "norm_hash")
     doc_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
@@ -202,7 +226,7 @@ def build_index_resumable(
     from pyspark import StorageLevel
 
     with_ids = (
-        tf_all.join(doc_map.select("url", "doc_id"), "url")
+        terms_tf.join(doc_map.select("url", "doc_id"), "url")
         .select("doc_id", "term", "tf", "doc_len")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -203,6 +203,33 @@ class SearchEngine:
             return 0
 
     # ------------------------------------------------------------------
+    def vocabulary(self) -> list[str]:
+        """Sorted distinct index terms, collected once per engine.
+
+        Backs Q10 term expansion (tokenizer/query_processor.py:328-471) and
+        the reference's partial-compound matching (MeiliSearch matches
+        sub-words via prefix search; we expand against the vocabulary
+        instead).  The vocabulary is dictionary-bounded (newmm terms), so the
+        driver-side list stays small even at web scale; it is the same data
+        as the df table the build already aggregates.
+        """
+        if not hasattr(self, "_vocab"):
+            self._vocab = sorted(
+                r["term"] for r in self.postings.select("term").distinct().collect()
+            )
+        return self._vocab
+
+    def expand_terms(self, token: str, max_expansions: int = 10) -> list[str]:
+        """Q10: index terms containing (Thai) or prefixed by (Latin) ``token``."""
+        if not token or len(token) < 2:
+            return []
+        vocab = self.vocabulary()
+        if token.isascii():
+            out = [t for t in vocab if t.startswith(token) and t != token]
+        else:
+            out = [t for t in vocab if token in t and t != token]
+        return out[:max_expansions]
+
     def candidate_blocks(self, qterms: list[QueryTerm]) -> DataFrame:
         """Term lookup (X2): scan filter + literal term→variants expansion.
 
@@ -345,6 +372,24 @@ class SearchEngine:
             for t in uniq:
                 qterms.append(QueryTerm(vid, t))
             vmeta_rows.append((vid, v.variant_type, float(v.weight), len(uniq), v.matching))
+
+        # Q10 vocabulary expansion as an extra FALLBACK variant: MeiliSearch
+        # matches sub-words/prefixes natively (the golden corpus's
+        # partial_compound queries rely on it); exact-term BM25 needs the
+        # expansion made explicit.  Only fires when some query token misses
+        # the expansion source entirely is the index vocabulary, so this adds
+        # no candidate unless the index actually contains a superstring term.
+        seen_terms = {q.term for q in qterms}
+        expansions: list[str] = []
+        for tok in dict.fromkeys(t for v in pq.variants for t in v.terms):
+            for e in self.expand_terms(tok):
+                if e not in seen_terms and e not in expansions:
+                    expansions.append(e)
+        if expansions:
+            vid = len(pq.variants)
+            for e in expansions[:10]:
+                qterms.append(QueryTerm(vid, e))
+            vmeta_rows.append((vid, "fallback", 0.6, len(expansions[:10]), "best"))
 
         # per-variant EXACT top-k with bucket pruning is sufficient for the
         # global top-k after weighting: weights are constant per variant, so

@@ -1,0 +1,170 @@
+"""Structured Streaming incremental ingest → resumable index shards.
+
+The reference is batch-only (SURVEY §2.9): its "batch" endpoints are request
+batching, not streams.  This module goes beyond it with the natural Spark
+extension: a file-source stream over arriving page dumps feeds the SAME
+tf-shard layout the resumable batch build uses (lineage.py phase 1), and the
+shared ``finalize_index`` turns accumulated shards into the queryable index.
+
+Design points:
+
+- **foreachBatch, not a streaming sink**: each micro-batch tokenizes its
+  pages (the fused Arrow pass), writes tf rows partitioned by url-hash shard
+  (idempotent dynamic-partition overwrite per batch would clobber other
+  batches' rows in the same shard, so rows carry ``batch_id`` and land in
+  shard+batch partitions — replays of a batch overwrite exactly their own
+  partition, which is what makes the stream checkpoint-resumable), and
+  appends a lineage record with counts.
+- **Re-crawl semantics**: the same url arriving again replaces its older
+  tokenization at finalize time (keep max ``batch_id`` per url) — matching
+  the reference's overwrite-by-primary-key indexing
+  (src/meilisearch_integration/client.py:104-123, primary_key="id").
+- **doc ids stay deterministic**: assigned at finalize from the sorted url
+  set, so a streamed index equals the batch-built index over the same corpus
+  byte-for-byte (tested in tests/test_streaming_ingest.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.builder import DEFAULT_BLOCK_SIZE, DEFAULT_BUCKET_SPAN, BM25Params, IndexMeta
+from ..index.lineage import finalize_index
+from ..sources.pages import PAGES_SCHEMA
+
+N_SHARDS_DEFAULT = 8
+
+
+def _tf_rows(pages: DataFrame, n_shards: int, batch_id: int) -> DataFrame:
+    """pages → (shard, batch_id, url, term, tf, doc_len, norm_hash) rows via
+    the fused tokenize pass (terms pre-aggregated per doc, no shuffle)."""
+    from ..tokenizer.udfs import index_features_udf
+
+    shard = F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards)).cast("int")
+    feat = (
+        pages.select("url", "text", "lang")
+        .withColumn("_f", index_features_udf("text"))
+        .select(
+            shard.alias("shard"),
+            F.lit(batch_id).alias("batch_id"),
+            "url",
+            "lang",
+            F.col("_f.terms").alias("terms"),
+            F.col("_f.norm_hash").alias("norm_hash"),
+        )
+        .withColumn("doc_len", F.size("terms"))
+    )
+    return feat.select(
+        "shard",
+        "batch_id",
+        "url",
+        "lang",
+        "doc_len",
+        "norm_hash",
+        F.explode_outer("terms").alias("term"),
+    ).groupBy("shard", "batch_id", "url", "term").agg(
+        F.count("*").alias("tf"),
+        F.first("doc_len").alias("doc_len"),
+        F.first("norm_hash").alias("norm_hash"),
+        F.first("lang").alias("lang"),
+    )
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    n_shards: int = N_SHARDS_DEFAULT,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Stream parquet page dumps from ``input_dir`` into tf shards.
+
+    ``available_now=True`` drains everything currently present and stops (the
+    test/batch-catchup mode); ``False`` keeps running for continuous ingest.
+    The stream checkpoint (offsets) + per-batch idempotent partition writes
+    give end-to-end exactly-once into the shard layout.
+    """
+    os.makedirs(os.path.join(out_dir, "lineage"), exist_ok=True)
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_stream_checkpoint")
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
+        tf = _tf_rows(batch_df, n_shards, batch_id)
+        (
+            tf.write.mode("overwrite")
+            .partitionBy("shard", "batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(os.path.join(out_dir, "tf"))
+        )
+        stats = (
+            spark.read.parquet(os.path.join(out_dir, "tf"))
+            .filter(F.col("batch_id") == batch_id)
+            .agg(
+                F.countDistinct("url").alias("n_docs"),
+                F.sum("tf").alias("n_tokens"),
+                F.count("*").alias("n_postings"),
+            )
+            .collect()[0]
+        )
+        with open(os.path.join(out_dir, "lineage", f"stream-batch-{batch_id}.json"), "w") as fh:
+            json.dump(
+                {
+                    "batch_id": int(batch_id),
+                    "batch_n_docs": int(stats["n_docs"] or 0),
+                    "batch_n_tokens": int(stats["n_tokens"] or 0),
+                    "batch_n_postings": int(stats["n_postings"] or 0),
+                    "wall_sec": round(time.time() - t0, 3),
+                    "ts": time.time(),
+                },
+                fh,
+            )
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(input_dir)
+    )
+    writer = stream.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def finalize_streamed_index(
+    spark: SparkSession,
+    out_dir: str,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    bucket_span: int = DEFAULT_BUCKET_SPAN,
+    params: BM25Params = BM25Params(),
+) -> IndexMeta:
+    """Turn accumulated stream shards into the queryable index.
+
+    Re-crawl dedup: keep each url's rows from its LATEST batch only, then
+    assign deterministic doc ids from the surviving url set and run the
+    shared phase-2 finalize.  Safe to re-run any time (all writes overwrite);
+    the stream can keep appending and a later finalize picks up the new docs.
+    """
+    from ..index.builder import url_doc_id_map
+
+    tf = spark.read.parquet(os.path.join(out_dir, "tf"))
+    latest = tf.groupBy("url").agg(F.max("batch_id").alias("batch_id"))
+    tf_latest = tf.join(latest, ["url", "batch_id"]).drop("batch_id")
+
+    caches: list[DataFrame] = []
+    urls = tf_latest.select("url", "lang").dropDuplicates(["url"])
+    doc_map = url_doc_id_map(urls, _caches=caches).join(urls, "url")
+    doc_map.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_map"))
+    for c in caches:
+        c.unpersist()
+    meta = finalize_index(
+        spark, out_dir, tf_all=tf_latest, block_size=block_size, bucket_span=bucket_span, params=params
+    )
+    return meta

@@ -93,16 +93,10 @@ spark = build_spark(
 build_index(spark, generate_pages(spark, 500, seed=7), tempfile.mkdtemp() + "_warm")
 
 pages = spark.read.parquet(corpus)
-# best-of-2: this host throttles CPU in multi-minute windows (hypervisor
-# sharing); min-of-reps reads through a throttle window that would otherwise
-# be misattributed to the job's scalability
-dt = None
-for rep in range(2):
-    out = tempfile.mkdtemp(prefix=f"scale_idx_{{cores}}_{{rep}}_")
-    t0 = time.time()
-    meta = build_index(spark, pages, out)
-    rep_dt = time.time() - t0
-    dt = rep_dt if dt is None else min(dt, rep_dt)
+out = tempfile.mkdtemp(prefix=f"scale_idx_{{cores}}_")
+t0 = time.time()
+meta = build_index(spark, pages, out)
+dt = time.time() - t0
 
 # order-insensitive content digest: proves both levels built the same index
 pst = spark.read.parquet(out + "/postings")
@@ -139,23 +133,35 @@ def main() -> None:
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
+    reps = int(os.environ.get("SCALE_REPS", "2"))
     corpus = tempfile.mkdtemp(prefix="scale_corpus_")
     try:
         _run_checked([sys.executable, "-c", _GEN.format(repo=REPO), str(n_docs), corpus])
-        lo = run_level(low, n_docs, corpus)
-        hi = run_level(high, n_docs, corpus)
+        # interleave level reps in fresh children (L,H,L,H): the host throttles
+        # CPU in multi-minute windows, so back-to-back reps of ONE level share
+        # a window; alternating spreads both levels across windows and the
+        # per-level min reads through the throttled ones
+        lo_runs, hi_runs = [], []
+        for _ in range(reps):
+            lo_runs.append(run_level(low, n_docs, corpus))
+            hi_runs.append(run_level(high, n_docs, corpus))
     finally:
         shutil.rmtree(corpus, ignore_errors=True)
 
+    lo = min(lo_runs, key=lambda r: r["sec"])
+    hi = min(hi_runs, key=lambda r: r["sec"])
     eff = hi["docs_per_sec"] / ((high / low) * lo["docs_per_sec"])
     out = {
         "n_docs": n_docs,
         "method": "same parquet input, fresh pinned JVM per level (taskset), "
-                  "warmed workers, generation untimed, best-of-2 reps per level",
+                  "warmed workers, generation untimed, interleaved reps, "
+                  "per-level best-of-%d" % reps,
         "low": lo,
         "high": hi,
+        "low_all_sec": [round(r["sec"], 1) for r in lo_runs],
+        "high_all_sec": [round(r["sec"], 1) for r in hi_runs],
         "scaling_efficiency": round(eff, 3),
-        "identical_output": lo["digest"] == hi["digest"]
+        "identical_output": len({r["digest"] for r in lo_runs + hi_runs}) == 1
         and lo["n_postings"] == hi["n_postings"]
         and lo["n_terms"] == hi["n_terms"],
     }

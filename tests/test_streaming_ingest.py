@@ -1,0 +1,89 @@
+"""Streaming ingest equals batch build: stream page dumps in two drops
+(including a re-crawled url), finalize, and compare against a one-shot
+``build_index`` over the logically-identical corpus."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from meilisearch_thai_spark.index.builder import build_index
+from meilisearch_thai_spark.query.executor import SearchEngine
+from meilisearch_thai_spark.sources.pages import generate_pages
+from meilisearch_thai_spark.streaming.ingest import finalize_streamed_index, start_ingest_stream
+
+N = 600
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    inbox = str(root / "inbox")
+    out_stream = str(root / "idx_stream")
+    out_batch = str(root / "idx_batch")
+
+    pages = generate_pages(spark, N, seed=31).persist()
+
+    # deterministic split into two "crawl drops" by url hash parity
+    half = pages.withColumn("_h", F.pmod(F.xxhash64("url"), F.lit(2)))
+    drop1 = half.filter(F.col("_h") == 0).drop("_h")
+    drop2 = half.filter(F.col("_h") == 1).drop("_h")
+    # re-crawl: one url from drop1 appears again in drop2 with the SAME
+    # content (latest batch wins; content identical keeps batch-parity)
+    recrawl = drop1.orderBy("url").limit(1)
+    drop2 = drop2.unionByName(recrawl)
+
+    drop1.write.mode("overwrite").parquet(os.path.join(inbox, "drop1"))
+    q = start_ingest_stream(spark, inbox + "/*", out_stream, n_shards=4)
+    q.awaitTermination(120)
+    drop2.write.mode("overwrite").parquet(os.path.join(inbox, "drop2"))
+    q = start_ingest_stream(spark, inbox + "/*", out_stream, n_shards=4)
+    q.awaitTermination(180)
+
+    meta_stream = finalize_streamed_index(spark, out_stream)
+    meta_batch = build_index(spark, pages, out_batch)
+    pages.unpersist()
+    return out_stream, out_batch, meta_stream, meta_batch
+
+
+def test_meta_identical(built):
+    _, _, ms, mb = built
+    assert ms.n_docs == mb.n_docs == N
+    assert ms.avgdl == pytest.approx(mb.avgdl)
+    assert ms.n_terms == mb.n_terms
+    assert ms.n_postings == mb.n_postings
+
+
+def test_doc_stats_identical(spark, built):
+    out_stream, out_batch, *_ = built
+    cols = ["doc_id", "url", "doc_len", "norm_hash"]
+    a = spark.read.parquet(f"{out_stream}/doc_stats").select(cols)
+    b = spark.read.parquet(f"{out_batch}/doc_stats").select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_postings_identical(spark, built):
+    out_stream, out_batch, *_ = built
+    cols = ["term", "bucket", "block_id", "first_doc", "n_docs", "doc_bytes", "tf_bytes", "df"]
+    a = spark.read.parquet(f"{out_stream}/postings").select(cols)
+    b = spark.read.parquet(f"{out_batch}/postings").select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_lineage_records_per_batch(built):
+    out_stream, *_ = built
+    ldir = os.path.join(out_stream, "lineage")
+    recs = [f for f in os.listdir(ldir) if f.startswith("stream-batch-")]
+    assert len(recs) >= 2  # at least one batch per drop
+
+
+def test_streamed_index_queryable(spark, built):
+    out_stream, out_batch, *_ = built
+    es = SearchEngine(spark, out_stream, cache_postings=False)
+    eb = SearchEngine(spark, out_batch, cache_postings=False)
+    for q in ["ปัญญาประดิษฐ์", "อาหารไทย", "เทคโนโลยี"]:
+        a = [(r["url"], round(r["score"], 9)) for r in es.search(q, k=5).collect()]
+        b = [(r["url"], round(r["score"], 9)) for r in eb.search(q, k=5).collect()]
+        assert a == b
