@@ -156,13 +156,32 @@ def simhash64(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs, computed by
     shingle inverted index (explode + self-join on shingle, groupBy pair) —
     the set-intersection never materializes O(n²) pairs, only co-occurring
-    ones."""
+    ones.
+
+    Scale note: a shingle shared by m docs contributes m² join rows, so one
+    ultra-common 3-gram can dominate the whole job at corpus scale.
+    ``max_shingle_df`` drops shingles with document frequency above the cap
+    before the join (Zipf-head shingles carry ~no similarity signal, but the
+    result becomes a lower-bound approximation — the driver-contract oracle
+    runs with the cap off for exactness).  The fully-exact alternative at
+    scale is PPJoin-style prefix filtering; the LSH path
+    (:func:`minhash_lsh_candidates`) is the default recommendation there."""
     sh = docs.select(F.col(id_col).alias("doc_key"), F.explode(_shingles(text_col, n)).alias("sh"))
+    if max_shingle_df is not None:
+        rare = sh.groupBy("sh").agg(F.count("*").alias("_df")).filter(
+            F.col("_df") <= max_shingle_df
+        )
+        sh = sh.join(rare.select("sh"), "sh")
     sizes = sh.groupBy("doc_key").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -106,39 +106,52 @@ def _segment_thai_run(run: str, trie: Trie, exclude_full: bool = False) -> list[
     n = len(run)
     if n == 0:
         return []
-    INF = (1 << 30, 1 << 30)
-    # dp[i] = (unknown_chars, token_count) best for suffix run[i:]
-    dp: list[tuple[int, int]] = [INF] * (n + 1)
-    dp[n] = (0, 0)
-    choice: list[tuple[int, bool]] = [(0, False)] * (n + 1)  # (step_len, is_known)
+    # dp cost encodes the (unknown_chars, token_count) lexicographic pair as
+    # one int: cost = unknown*K + count with K > any possible count — same
+    # ordering as tuple comparison, ~2x faster in the 1-call-per-char loop
+    K = n + 2
+    INF = 1 << 62
+    dp = [INF] * (n + 1)
+    dp[n] = 0
+    steps = [1] * (n + 1)
+    knowns = [False] * (n + 1)
+    prefixes_at = trie.prefixes_at
+    lead, comb = _LEAD_VOWELS, _COMBINING
     for i in range(n - 1, -1, -1):
         best = INF
-        best_choice = (1, False)
-        lens = trie.prefixes_at(run, i)
+        best_step, best_known = 1, False
         # longest dictionary word first => maximal-matching tie-break
-        for L in reversed(lens):
+        for L in reversed(prefixes_at(run, i)):
             if exclude_full and i == 0 and L == n:
                 continue
-            nxt = dp[i + L]
-            cand = (nxt[0], nxt[1] + 1)
+            cand = dp[i + L] + 1
             if cand < best:
                 best = cand
-                best_choice = (L, True)
-        # unknown cluster step (always available so DP cannot dead-end)
-        ce = _cluster_end(run, i, n)
-        nxt = dp[ce]
-        cand = (nxt[0] + (ce - i), nxt[1] + 1)
+                best_step, best_known = L, True
+        # unknown cluster step (always available so DP cannot dead-end);
+        # cluster-boundary scan inlined (_cluster_end semantics)
+        j = i
+        while j < n and run[j] in lead:
+            j += 1
+        if j < n:
+            j += 1
+        while j < n and run[j] in comb:
+            j += 1
+        if j <= i:
+            j = i + 1
+        cand = dp[j] + (j - i) * K + 1
         if cand < best:
             best = cand
-            best_choice = (ce - i, False)
+            best_step, best_known = j - i, False
         dp[i] = best
-        choice[i] = best_choice
+        steps[i] = best_step
+        knowns[i] = best_known
     # Walk the path, merging consecutive unknown clusters into one token.
     out: list[tuple[str, bool]] = []
     i = 0
     unk_start = -1
     while i < n:
-        step, known = choice[i]
+        step, known = steps[i], knowns[i]
         if known:
             if unk_start >= 0:
                 out.append((run[unk_start:i], False))
