@@ -1,0 +1,169 @@
+"""SearchService — the reference's SearchProxyService.search lifecycle.
+
+End-to-end equivalent of `POST /api/v1/search`
+(src/search_proxy/services/search_proxy_service.py:119-265, SURVEY §3.3):
+validate (P6) → query pipeline Q1-Q8 → ONE Spark job for all variants
+(X1-X4, R1/R2, block-max pruned) → algorithm selection R7/R8 → enhancement
+E1-E6 + X7 on the collected page → threshold P7, pagination R10 → response
+with stage timings and an S6 metrics record.
+
+Everything after the Spark job runs driver-side on ≤ (offset+limit) rows,
+exactly where the reference runs it per-response.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import SparkSession
+
+from .enhancer import (
+    ALGORITHMS,
+    RankingConfig,
+    content_similarity_dedup,
+    enhanced_score,
+    extract_highlights,
+    fuzzy_partial_confidence,
+    relevance_factors,
+    select_algorithm,
+)
+from .executor import SearchEngine
+from .pipeline import process_query
+from .requests import SearchRequest, validate_request
+
+
+@dataclass
+class Hit:
+    url: str
+    doc_id: int
+    score: float
+    variant_type: str
+    terms_matched: int
+    highlights: list[str] = field(default_factory=list)
+    relevance: dict = field(default_factory=dict)
+
+
+@dataclass
+class SearchResponse:
+    hits: list[Hit]
+    total_unique_hits: int
+    offset: int
+    limit: int
+    has_next: bool
+    query_info: dict
+    timings_ms: dict
+    algorithm: str
+
+
+class SearchService:
+    """Driver-facing facade over a built index (reference: SearchProxyService)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, cache_postings: bool = True):
+        self.engine = SearchEngine(spark, index_dir, cache_postings=cache_postings)
+        self.metrics: list[dict] = []  # S6: one record per query
+
+    def search(
+        self,
+        query: str,
+        limit: int = 10,
+        offset: int = 0,
+        algorithm: str | None = None,
+        session_id: str | None = None,
+        ab_test_algorithm: str | None = None,
+        ab_traffic_pct: int = 10,
+        min_score_threshold: float = 0.0,
+    ) -> SearchResponse:
+        req = validate_request(
+            SearchRequest(query, limit=limit, offset=offset, min_score_threshold=min_score_threshold)
+        )
+
+        # R8: A/B selection unless explicitly pinned
+        if algorithm is None:
+            if session_id is not None and ab_test_algorithm is not None:
+                algorithm = select_algorithm(session_id, query, ab_test_algorithm, ab_traffic_pct)
+            else:
+                algorithm = "optimized_score"
+        config: RankingConfig = ALGORITHMS[algorithm]
+
+        t0 = time.time()
+        pq = process_query(req.query)
+        t_tok = time.time()
+
+        # need offset+limit rows, +headroom when content-dedup may drop some
+        k = req.offset + req.limit
+        fetch_k = k * 2 if config.content_dedup else k
+        rows = self.engine.multi_variant_search(
+            req.query,
+            k=max(fetch_k, 1),
+            min_score_threshold=req.min_score_threshold,
+            normalize=config.normalize,
+        ).collect()
+        t_search = time.time()
+
+        hits = [
+            {
+                "url": r["url"],
+                "doc_id": r["doc_id"],
+                "score": float(r["score"]),
+                "variant_type": r["variant_type"],
+                "terms_matched": int(r["terms_matched"]),
+                "text": r["url"],  # content not stored in the index; X7 keys on url
+            }
+            for r in rows
+        ]
+        if config.content_dedup:
+            hits = content_similarity_dedup(hits, text_key="text")
+        total = len(hits)
+        page = hits[req.offset : req.offset + req.limit]
+
+        out_hits = []
+        q_lower = req.query.lower()
+        for h in page:
+            highlights = extract_highlights(h.get("text", ""))
+            conf = fuzzy_partial_confidence(q_lower, str(h.get("text", "")).lower())
+            rel = relevance_factors(str(h.get("text", "")), highlights, 0, h["terms_matched"], [conf] if conf else [])
+            score = enhanced_score(h["score"], 0, 0.0, False)  # boosts neutral without stored content
+            out_hits.append(
+                Hit(h["url"], h["doc_id"], score, h["variant_type"], h["terms_matched"], highlights, rel)
+            )
+        t_rank = time.time()
+
+        timings = {
+            "tokenization_ms": round((t_tok - t0) * 1000, 2),
+            "search_ms": round((t_search - t_tok) * 1000, 2),
+            "ranking_ms": round((t_rank - t_search) * 1000, 2),
+        }
+        self.metrics.append(
+            {
+                "query": req.query,
+                "variant_count": len(pq.variants),
+                "n_hits": total,
+                "p50_ms": timings["search_ms"],
+                "algorithm": algorithm,
+            }
+        )
+        return SearchResponse(
+            hits=out_hits,
+            total_unique_hits=total,
+            offset=req.offset,
+            limit=req.limit,
+            has_next=total > req.offset + req.limit,
+            query_info={
+                "original_query": pq.original_query,
+                "primary_language": pq.analysis.primary_language,
+                "thai_content_detected": pq.analysis.thai_ratio > 0,
+                "variant_count": len(pq.variants),
+            },
+            timings_ms=timings,
+            algorithm=algorithm,
+        )
+
+    def export_metrics(self, spark: SparkSession):
+        """S6: metrics DataFrame for the run (write with .write.json/parquet)."""
+        from .enhancer import query_metrics_frame
+
+        return query_metrics_frame(spark, self.metrics)
+
+    def response_dict(self, resp: SearchResponse) -> dict:
+        return asdict(resp)

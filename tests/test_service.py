@@ -1,0 +1,58 @@
+"""SearchService end-to-end lifecycle (SURVEY §3.3 parity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from meilisearch_thai_spark.index.builder import build_index
+from meilisearch_thai_spark.query.service import SearchService
+from meilisearch_thai_spark.sources.pages import generate_pages
+
+
+@pytest.fixture(scope="module")
+def service(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("svc_idx"))
+    build_index(spark, generate_pages(spark, 800, seed=13), out)
+    return SearchService(spark, out, cache_postings=False)
+
+
+def test_basic_response_shape(service):
+    r = service.search("ปัญญาประดิษฐ์", limit=5)
+    assert r.algorithm == "optimized_score"
+    assert 0 < len(r.hits) <= 5
+    assert r.hits == sorted(r.hits, key=lambda h: -h.score)
+    assert r.query_info["primary_language"] == "thai"
+    assert r.query_info["thai_content_detected"]
+    assert set(r.timings_ms) == {"tokenization_ms", "search_ms", "ranking_ms"}
+
+
+def test_pagination(service):
+    full = service.search("อาหารไทย", limit=10)
+    page2 = service.search("อาหารไทย", limit=5, offset=5)
+    assert [h.doc_id for h in page2.hits] == [h.doc_id for h in full.hits[5:10]]
+    assert full.has_next == (full.total_unique_hits > 10)
+
+
+def test_algorithms_run(service):
+    for algo in ("weighted_score", "optimized_score", "simple_score", "experimental_score"):
+        r = service.search("เทคโนโลยี", limit=3, algorithm=algo)
+        assert r.algorithm == algo
+        assert isinstance(r.hits, list)
+
+
+def test_ab_selection_stable(service):
+    a1 = service.search("โรงเรียน", session_id="s1", ab_test_algorithm="experimental_score")
+    a2 = service.search("โรงเรียน", session_id="s1", ab_test_algorithm="experimental_score")
+    assert a1.algorithm == a2.algorithm
+
+
+def test_validation_raises(service):
+    with pytest.raises(ValueError):
+        service.search("x", limit=0)
+
+
+def test_metrics_export(service, spark):
+    service.search("ตลาดหุ้น", limit=3)
+    df = service.export_metrics(spark)
+    assert df.count() == len(service.metrics) > 0
+    assert "p50_ms" in df.columns
