@@ -294,6 +294,7 @@ FROM documents GROUP BY 1
         "dedup_fingerprint": ts.doc_fingerprint_sql("documents", "doc_id", "text"),
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.2),
         "dedup_minhash_lsh": dd.minhash_lsh_candidates_sql("documents", "doc_id", "text"),
+        "dedup_simhash": dd.simhash64_sql("documents", "doc_id", "text"),
         "ann_cosine_topk": sim.cosine_topk_sql("embeddings", "vec_id", "embedding", 0, k=20),
         "stats_token": ts.token_stats_sql("documents", "doc_id", "text"),
         "stats_quality": ts.quality_score_sql("documents", "doc_id", "text"),
@@ -339,7 +340,6 @@ FROM lineitem
 WHERE l_shipdate <= DATE '2001-09-01'
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
-        # dedup_simhash, ann_lsh_topk: rows-only (sign-bit fingerprints are
-        # not practically SQL-expressible with bit parity; the exactness
-        # baselines above cover the underlying similarity math)
+        # ann_lsh_topk: rows-only (the random-hyperplane matrix lives Spark-side;
+        # the exact-cosine baseline ann_cosine_topk covers the similarity math)
     }

@@ -155,6 +155,30 @@ def simhash64(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return per_doc.select("doc_key", fp.alias("simhash"))
 
 
+def simhash64_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`simhash64` — md5 bit planes are engine-neutral,
+    so even the fingerprint is exactly reproducible."""
+    bit_aggs = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(60)
+    )
+    fp = " + ".join(f"CASE WHEN b{i} > 0 THEN {2 ** i}::BIGINT ELSE 0 END" for i in range(60))
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_key, unnest(string_split({text_col}, ' ')) AS tok FROM {table}
+),
+h AS (
+  SELECT doc_key, ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+  FROM toks WHERE tok <> ''
+),
+bits AS (
+  SELECT doc_key,
+         {bit_aggs}
+  FROM h GROUP BY 1
+)
+SELECT doc_key, {fp} AS simhash FROM bits
+"""
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str,
