@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "50000"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
 
 # Reference benchmark query set (BASELINE.md: deployment/scripts/benchmark.py
 # fallback queries + compound/mixed cases from the golden corpus).

@@ -16,11 +16,19 @@ from __future__ import annotations
 import hashlib
 import json
 from functools import lru_cache
-from pathlib import Path
 
 from .tokenizer.trie import Trie
 
-_DATA_DIR = Path(__file__).parent / "data"
+
+def _read_data(name: str) -> str:
+    """Packaged-data reader that works from a plain checkout AND from inside
+    a ``--py-files`` zip on executors (importlib.resources is zip-safe;
+    ``open(Path(__file__)/...)`` is not)."""
+    from importlib import resources
+
+    return resources.files("meilisearch_thai_spark.data").joinpath(name).read_text(
+        encoding="utf-8"
+    )
 
 # Known long Thai words that must NOT be heuristically split as compounds
 # (reference: src/tokenizer/token_processor.py:380-387 `_is_common_long_word`).
@@ -52,19 +60,17 @@ THAI_STOP_WORDS = frozenset(
 def load_base_words() -> frozenset[str]:
     """Authored base vocabulary (stand-in for pythainlp ``thai_words()``)."""
     words = set()
-    with open(_DATA_DIR / "thai_words.txt", encoding="utf-8") as fh:
-        for line in fh:
-            w = line.strip()
-            if w and not w.startswith("#"):
-                words.add(w)
+    for line in _read_data("thai_words.txt").splitlines():
+        w = line.strip()
+        if w and not w.startswith("#"):
+            words.add(w)
     return frozenset(words)
 
 
 @lru_cache(maxsize=1)
 def load_compound_words() -> frozenset[str]:
     """Compound dictionary (10 categories, data contract with the reference)."""
-    with open(_DATA_DIR / "compounds.json", encoding="utf-8") as fh:
-        payload = json.load(fh)
+    payload = json.loads(_read_data("compounds.json"))
     return frozenset(w for cat in payload["categories"].values() for w in cat)
 
 
