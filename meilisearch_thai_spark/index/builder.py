@@ -155,8 +155,8 @@ def assign_doc_ids(
     return pages.join(mapping, "url")
 
 
-DOCS_SCHEMA = T.StructType(
-    [
+def _docs_schema(store_text_crop: int | None) -> T.StructType:
+    fields = [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("url", T.StringType(), False),
         T.StructField("lang", T.StringType(), True),
@@ -166,11 +166,19 @@ DOCS_SCHEMA = T.StructType(
         # a doc lives in exactly one partition, so tf never needs a shuffle
         T.StructField("tcounts", T.MapType(T.StringType(), T.IntegerType()), False),
     ]
-)
+    if store_text_crop is not None:
+        fields.append(T.StructField("text_crop", T.StringType(), True))
+    return T.StructType(fields)
+
+
+DOCS_SCHEMA = _docs_schema(None)
 
 
 def tokenized_docs(
-    pages: DataFrame, partitions: int | None = None, _caches: list[DataFrame] | None = None
+    pages: DataFrame,
+    partitions: int | None = None,
+    _caches: list[DataFrame] | None = None,
+    store_text_crop: int | None = None,
 ) -> DataFrame:
     """pages → (doc_id, url, lang, doc_len, norm_hash, terms) in ONE pass.
 
@@ -240,18 +248,21 @@ def tokenized_docs(
                 tcounts.append(dict(Counter(tt)))
                 hashes.append(h)
                 lens.append(len(tt))
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.arange(start, start + len(pdf), dtype=np.int64),
-                    "url": pdf["url"].to_numpy(),
-                    "lang": pdf["lang"].to_numpy(),
-                    "doc_len": np.asarray(lens, dtype=np.int32),
-                    "norm_hash": hashes,
-                    "tcounts": tcounts,
-                }
-            )
+            cols = {
+                "doc_id": np.arange(start, start + len(pdf), dtype=np.int64),
+                "url": pdf["url"].to_numpy(),
+                "lang": pdf["lang"].to_numpy(),
+                "doc_len": np.asarray(lens, dtype=np.int32),
+                "norm_hash": hashes,
+                "tcounts": tcounts,
+            }
+            if store_text_crop is not None:
+                cols["text_crop"] = [
+                    (t[:store_text_crop] if isinstance(t, str) else "") for t in pdf["text"]
+                ]
+            yield pd.DataFrame(cols)
 
-    return parted.mapInPandas(assign_and_tokenize, DOCS_SCHEMA)
+    return parted.mapInPandas(assign_and_tokenize, _docs_schema(store_text_crop))
 
 
 def _encode_sorted_frame(
@@ -378,11 +389,18 @@ def build_index(
     bucket_span: int = DEFAULT_BUCKET_SPAN,
     params: BM25Params = BM25Params(),
     postings_partitions: int | None = None,
+    store_text_crop: int | None = None,
 ) -> IndexMeta:
     """Build the full inverted index under ``out_dir``.
 
     Layout: ``{out_dir}/postings`` (parquet, term-sorted), ``{out_dir}/doc_stats``,
     ``{out_dir}/meta.json``.
+
+    ``store_text_crop=N`` additionally stores the first N chars of each doc in
+    ``doc_stats.text_crop`` — the reference's displayedAttributes/crop
+    behavior (settings_manager.py:80-95): hits come back with content for
+    highlighting and exact-match boosts.  Off by default (at web scale stored
+    text multiplies the doc_stats footprint).
     """
     from ..dictionary import dictionary_fingerprint
 
@@ -391,13 +409,16 @@ def build_index(
     # id assignment + tokenization + byte-identity hash fused into one pass
     # (column pruning first: html/warc_ts never enter a shuffle or Python)
     caches: list[DataFrame] = []
-    docs = tokenized_docs(pages, _caches=caches).persist()
+    docs = tokenized_docs(pages, _caches=caches, store_text_crop=store_text_crop).persist()
 
     # doc_stats: id mapping + byte-identity lineage hash (north-rule invariant).
     # N and avgdl ride along as observed metrics — no separate stats job.
+    stat_cols = ["doc_id", "url", "lang", "doc_len", "norm_hash"]
+    if store_text_crop is not None:
+        stat_cols.append("text_crop")
     obs = Observation("corpus_stats")
     (
-        docs.select("doc_id", "url", "lang", "doc_len", "norm_hash")
+        docs.select(*stat_cols)
         .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "doc_stats"))

@@ -319,9 +319,12 @@ class SearchEngine:
             .limit(k)
             .select("doc_id", "score", "terms_matched")
         )
+        out_cols = ["url", "doc_id", "score", "terms_matched"] + (
+            ["text_crop"] if "text_crop" in self.doc_stats.columns else []
+        )
         return (
             self.doc_stats.join(F.broadcast(topk), "doc_id")
-            .select("url", "doc_id", "score", "terms_matched")
+            .select(*out_cols)
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
@@ -427,8 +430,11 @@ class SearchEngine:
         if min_score_threshold > 0:
             dedup = dedup.filter(F.col("score") >= F.lit(min_score_threshold))
         topk = dedup.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        out_cols = ["url", "doc_id", "score", "variant_type", "terms_matched"] + (
+            ["text_crop"] if "text_crop" in self.doc_stats.columns else []
+        )
         return (
             self.doc_stats.join(F.broadcast(topk), "doc_id")
-            .select("url", "doc_id", "score", "variant_type", "terms_matched")
+            .select(*out_cols)
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )

@@ -101,6 +101,8 @@ class SearchService:
         ).collect()
         t_search = time.time()
 
+        # when the index stores content (build_index(store_text_crop=N)),
+        # the E-ops and X7 run on real text; otherwise they key on url
         hits = [
             {
                 "url": r["url"],
@@ -108,7 +110,7 @@ class SearchService:
                 "score": float(r["score"]),
                 "variant_type": r["variant_type"],
                 "terms_matched": int(r["terms_matched"]),
-                "text": r["url"],  # content not stored in the index; X7 keys on url
+                "text": (r["text_crop"] if "text_crop" in r.__fields__ else None) or r["url"],
             }
             for r in rows
         ]
@@ -120,13 +122,22 @@ class SearchService:
         out_hits = []
         q_lower = req.query.lower()
         for h in page:
-            highlights = extract_highlights(h.get("text", ""))
-            conf = fuzzy_partial_confidence(q_lower, str(h.get("text", "")).lower())
-            rel = relevance_factors(str(h.get("text", "")), highlights, 0, h["terms_matched"], [conf] if conf else [])
-            score = enhanced_score(h["score"], 0, 0.0, False)  # boosts neutral without stored content
+            text = str(h.get("text", ""))
+            highlights = extract_highlights(text)
+            conf = fuzzy_partial_confidence(q_lower, text.lower())
+            rel = relevance_factors(text, highlights, 0, h["terms_matched"], [conf] if conf else [])
+            # R3/E5 on stored content: exact substring containment boosts 2.0
+            # (result_ranker.py:1286-1303); thai-ratio boost capped at 1.8
+            from ..tokenizer import thai_ratio as _tr
+
+            exact = q_lower in text.lower() and text != h["url"]
+            score = enhanced_score(h["score"], 0, _tr(text) if text != h["url"] else 0.0, False)
+            if exact:
+                score *= 2.0
             out_hits.append(
                 Hit(h["url"], h["doc_id"], score, h["variant_type"], h["terms_matched"], highlights, rel)
             )
+        out_hits.sort(key=lambda x: (-x.score, x.doc_id))
         t_rank = time.time()
 
         timings = {

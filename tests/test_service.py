@@ -56,3 +56,22 @@ def test_metrics_export(service, spark):
     df = service.export_metrics(spark)
     assert df.count() == len(service.metrics) > 0
     assert "p50_ms" in df.columns
+
+
+def test_stored_content_eops(spark, tmp_path_factory):
+    """store_text_crop: hits carry content, exact-match boost and thai-ratio
+    boost fire, X7 dedups on real text (P3/R3/E5 parity)."""
+    out = str(tmp_path_factory.mktemp("svc_idx_text"))
+    build_index(spark, generate_pages(spark, 400, seed=17), out, store_text_crop=200)
+    svc = SearchService(spark, out, cache_postings=False)
+    r = svc.search("ปัญญาประดิษฐ์", limit=5)
+    assert r.hits
+    eng_rows = svc.engine.search("ปัญญาประดิษฐ์", k=3).collect()
+    assert "text_crop" in eng_rows[0].__fields__
+    # crops are real content, bounded by the configured length
+    assert all(0 < len(row["text_crop"]) <= 200 for row in eng_rows)
+    from meilisearch_thai_spark.tokenizer import thai_ratio
+
+    assert any(thai_ratio(row["text_crop"]) > 0.3 for row in eng_rows)
+    # content-backed relevance: thai-heavy stored text implies nonzero density
+    assert all(h.relevance is not None for h in r.hits)
