@@ -7,7 +7,7 @@ corpus-level dedup.  All hash choices are md5-based so external SQL engines
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_MINHASH = 16  # permutations
