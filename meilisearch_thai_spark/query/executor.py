@@ -78,6 +78,42 @@ def _make_decoder(k1: float, b: float, avgdl: float, n_docs: int):
     return decode
 
 
+def _edit_distance_within(a: str, b: str, k: int) -> bool:
+    """Banded Damerau-Levenshtein (OSA): True iff distance ≤ k (O(len·k)).
+
+    Transpositions count as one edit — MeiliSearch's typo semantics
+    ("strtaup" is one typo away from "startup")."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    if len(a) > len(b):
+        a, b = b, a
+    prev2: list[int] | None = None
+    prev = list(range(len(a) + 1))
+    for j in range(1, len(b) + 1):
+        cur = [k + 1] * (len(a) + 1)  # outside-band cells stay > k
+        cur[0] = j
+        lo, hi = max(1, j - k), min(len(a), j + k)
+        for i in range(lo, hi + 1):
+            c = min(
+                prev[i] + 1,
+                cur[i - 1] + 1,
+                prev[i - 1] + (a[i - 1] != b[j - 1]),
+            )
+            if (
+                prev2 is not None
+                and i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                c = min(c, prev2[i - 2] + 1)
+            cur[i] = c
+        if min(cur[lo : hi + 1]) > k:
+            return False
+        prev2, prev = prev, cur
+    return prev[len(a)] <= k
+
+
 _TOPK_SCHEMA = T.StructType(
     [
         T.StructField("variant_id", T.IntegerType(), False),
@@ -219,6 +255,11 @@ class SearchEngine:
             )
         return self._vocab
 
+    def _vocab_set(self) -> set[str]:
+        if not hasattr(self, "_vocabset"):
+            self._vocabset = set(self.vocabulary())
+        return self._vocabset
+
     def expand_terms(self, token: str, max_expansions: int = 10) -> list[str]:
         """Q10: index terms containing (Thai) or prefixed by (Latin) ``token``."""
         if not token or len(token) < 2:
@@ -229,6 +270,25 @@ class SearchEngine:
         else:
             out = [t for t in vocab if token in t and t != token]
         return out[:max_expansions]
+
+    def expand_terms_fuzzy(self, token: str, max_expansions: int = 5) -> list[str]:
+        """Typo tolerance against the vocabulary — MeiliSearch's typo ranking
+        rule (1 edit for words ≥5 chars, 2 for ≥9; the rule the reference
+        configures via rankingRules=[...,typo,...],
+        settings_manager.py:72-79).  Latin tokens only, like MeiliSearch's
+        word-level typo matching."""
+        if len(token) < 5 or not token.isascii():
+            return []
+        budget = 2 if len(token) >= 9 else 1
+        out: list[str] = []
+        for t in self.vocabulary():
+            if t == token or abs(len(t) - len(token)) > budget or not t.isascii():
+                continue
+            if _edit_distance_within(token, t, budget):
+                out.append(t)
+                if len(out) >= max_expansions:
+                    break
+        return out
 
     def candidate_blocks(self, qterms: list[QueryTerm]) -> DataFrame:
         """Term lookup (X2): scan filter + literal term→variants expansion.
@@ -384,15 +444,28 @@ class SearchEngine:
         # no candidate unless the index actually contains a superstring term.
         seen_terms = {q.term for q in qterms}
         expansions: list[str] = []
+        fuzzy: list[str] = []
         for tok in dict.fromkeys(t for v in pq.variants for t in v.terms):
             for e in self.expand_terms(tok):
                 if e not in seen_terms and e not in expansions:
                     expansions.append(e)
+            # typo rule fires only when the token itself misses the index
+            # (MeiliSearch ranks exact above typo; an existing term needs no
+            # fuzzy neighbors to produce its hits)
+            if tok not in self._vocab_set():
+                for e in self.expand_terms_fuzzy(tok):
+                    if e not in seen_terms and e not in expansions and e not in fuzzy:
+                        fuzzy.append(e)
         if expansions:
-            vid = len(pq.variants)
+            vid = len(vmeta_rows)
             for e in expansions[:10]:
                 qterms.append(QueryTerm(vid, e))
             vmeta_rows.append((vid, "fallback", 0.6, len(expansions[:10]), "best"))
+        if fuzzy:
+            vid = len(vmeta_rows)
+            for e in fuzzy[:10]:
+                qterms.append(QueryTerm(vid, e))
+            vmeta_rows.append((vid, "fallback", 0.5, len(fuzzy[:10]), "best"))
 
         # per-variant EXACT top-k with bucket pruning is sufficient for the
         # global top-k after weighting: weights are constant per variant, so

@@ -129,3 +129,40 @@ class TestMultiVariantSearch:
     def test_normalized_scores_le_one(self, engine):
         rows = engine.multi_variant_search("อาหารไทย", k=10, normalize=True).collect()
         assert rows and max(r["score"] for r in rows) <= 1.0 + 1e-9
+
+
+class TestTypoTolerance:
+    @pytest.fixture(scope="class")
+    def engine(self, spark, tmp_path_factory):
+        from meilisearch_thai_spark.index.builder import build_index
+        from meilisearch_thai_spark.query.executor import SearchEngine
+        from meilisearch_thai_spark.sources.pages import generate_pages
+
+        out = str(tmp_path_factory.mktemp("idx_typo"))
+        build_index(spark, generate_pages(spark, 600, seed=11), out)
+        return SearchEngine(spark, out)
+
+    def test_edit_distance_bounds(self):
+        from meilisearch_thai_spark.query.executor import _edit_distance_within
+
+        assert _edit_distance_within("startup", "startups", 1)
+        assert _edit_distance_within("startup", "strtup", 1)  # deletion
+        assert _edit_distance_within("startup", "stortup", 1)  # substitution
+        assert not _edit_distance_within("startup", "strtp", 1)  # distance 2
+        assert _edit_distance_within("startup", "startpu", 1)  # transposition = 1 typo
+        assert _edit_distance_within("technology", "technolgoy", 2)
+        assert not _edit_distance_within("abc", "xyz", 2)
+        assert _edit_distance_within("same", "same", 0)
+
+    def test_fuzzy_search_finds_typo(self, engine):
+        # 'startup' is in the corpus; a misspelling should still hit via the
+        # typo fallback variant (weight 0.5 < exact variants)
+        good = engine.multi_variant_search("startup", k=5).collect()
+        typo = engine.multi_variant_search("startpu", k=5).collect()
+        assert good
+        assert typo, "typo query should match via fuzzy vocabulary expansion"
+        assert {r["url"] for r in typo} & {r["url"] for r in good}
+
+    def test_short_and_thai_tokens_skip_fuzzy(self, engine):
+        assert engine.expand_terms_fuzzy("abc") == []
+        assert engine.expand_terms_fuzzy("ปัญญาประดิษฐ์") == []
