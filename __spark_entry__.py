@@ -142,6 +142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_lsh_topk(spark, sf):
         return sim.lsh_cosine_topk(_t(spark, sf, "embeddings"), "vec_id", "embedding", 64, 0, k=20)
 
+    def ann_ivf_topk(spark, sf):
+        return sim.ivf_cosine_topk(
+            _t(spark, sf, "embeddings"), "vec_id", "embedding", 0, k=20, n_cells=8, n_probe=4
+        )
+
     def stats_token(spark, sf):
         return ts.token_stats(_t(spark, sf, "documents"), "doc_id", "text")
 
@@ -228,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "stats_token": stats_token,
         "stats_quality": stats_quality,
         "stats_langid": stats_langid,
@@ -340,6 +346,7 @@ FROM lineitem
 WHERE l_shipdate <= DATE '2001-09-01'
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
-        # ann_lsh_topk: rows-only (the random-hyperplane matrix lives Spark-side;
-        # the exact-cosine baseline ann_cosine_topk covers the similarity math)
+        # ann_lsh_topk, ann_ivf_topk: rows-only (hyperplane matrix / k-means
+        # centroids live Spark-side; the exact-cosine baseline ann_cosine_topk
+        # covers the similarity math, and tests assert IVF recall vs exact)
     }

@@ -119,3 +119,70 @@ def lsh_cosine_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_key"))
         .limit(k)
     )
+
+
+def ivf_assignments(
+    emb: DataFrame, id_col: str, vec_col: str, n_cells: int = 16, seed: int = 42
+):
+    """IVF coarse quantizer: k-means cells over the corpus (Spark ML).
+
+    Returns ``(assignments DataFrame (vec_key, cell), centroids ndarray)``.
+    The classic ANN scale path: the corpus partitions into cells once (an
+    index build); queries then probe only the nearest ``n_probe`` cells.
+    At 100 TB the assignments table is written back to storage partitioned by
+    cell so a probe reads only its cells' files (partition pruning)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("vec_key"), vec_d.alias("v"))
+    feat = base.withColumn("fv", array_to_vector(F.col("v")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell").fit(feat)
+    assignments = model.transform(feat).select("vec_key", "cell")
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    return assignments, centroids
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 20,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via IVF: probe the ``n_probe`` cells nearest the query.
+
+    Recall < 1 by design (the brute-force ``cosine_topk_to_query`` is the
+    exactness baseline); scans ~n_probe/n_cells of the corpus.  Cell choice
+    happens driver-side against the (tiny) centroid matrix; scoring within
+    probed cells is the same vectorized cosine as the exact path."""
+    assignments, centroids = ivf_assignments(emb, id_col, vec_col, n_cells, seed)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("vec_key"), vec_d.alias("v")).join(assignments, "vec_key")
+
+    qrow = base.filter(F.col("vec_key") == query_id).select("v").collect()
+    if not qrow:
+        return base.filter(F.lit(False)).select("vec_key", F.lit(0.0).alias("cosine"))
+    qv = np.asarray(qrow[0]["v"], dtype=np.float64)
+    sims = centroids @ qv / (np.linalg.norm(centroids, axis=1) * np.linalg.norm(qv) + 1e-12)
+    probe_cells = [int(c) for c in np.argsort(-sims)[:n_probe]]
+
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        base.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_key") != query_id)
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("v"), qlit)
+                / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(qlit, qlit))),
+                4,
+            ),
+        )
+        .select("vec_key", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_key"))
+        .limit(k)
+    )

@@ -1,0 +1,39 @@
+"""IVF ANN: probes beat random, recall vs the exact baseline is high."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def test_ivf_recall_vs_exact(spark, emb):
+    from meilisearch_thai_spark.pipeline import similarity as sim
+
+    exact = [r["vec_key"] for r in sim.cosine_topk_to_query(emb, "vec_id", "embedding", 0, k=10).collect()]
+    approx = [r["vec_key"] for r in sim.ivf_cosine_topk(emb, "vec_id", "embedding", 0, k=10, n_cells=8, n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall} ({approx} vs {exact})"
+
+
+def test_ivf_assignments_partition_corpus(spark, emb):
+    from meilisearch_thai_spark.pipeline import similarity as sim
+
+    asg, cents = sim.ivf_assignments(emb, "vec_id", "embedding", n_cells=8)
+    n = emb.count()
+    assert asg.count() == n
+    cells = {r["cell"] for r in asg.select("cell").distinct().collect()}
+    assert cells <= set(range(8)) and len(cells) > 1
+    assert cents.shape[0] == 8
+
+
+def test_ivf_missing_query_returns_empty(spark, emb):
+    from meilisearch_thai_spark.pipeline import similarity as sim
+
+    out = sim.ivf_cosine_topk(emb, "vec_id", "embedding", query_id=10**9, k=5)
+    assert out.count() == 0
