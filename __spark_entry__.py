@@ -70,13 +70,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def x9_enrichment(spark, sf):
+        # values are exact 2-dp currency, so averages land on exact 4-decimal
+        # halves where Spark's and DuckDB's ROUND disagree (half-up on the
+        # binary double vs scale-multiply).  Integer fixed-point sidesteps
+        # float rounding entirely: cents -> sum -> floor-divide to 1e-4.
         return (
             _t(spark, sf, "events")
             .groupBy("user_id")
             .agg(
                 F.count("*").alias("n_events"),
                 F.round(F.max("value"), 4).alias("max_value"),
-                F.round(F.avg("value"), 4).alias("avg_value"),
+                F.expr("(sum(cast(round(value * 100) as bigint)) * 100) div count(*)").alias(
+                    "avg_value_e4"
+                ),
             )
         )
 
@@ -269,7 +275,7 @@ SELECT doc_id, n_chars FROM (
         "x8_distribution": "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1",
         "x9_enrichment": """
 SELECT user_id, COUNT(*) AS n_events, ROUND(MAX(value), 4) AS max_value,
-       ROUND(AVG(value), 4) AS avg_value
+       (SUM(CAST(round(value * 100) AS BIGINT)) * 100) // COUNT(*) AS avg_value_e4
 FROM events GROUP BY 1
 """,
         "p4_filter_translation": """

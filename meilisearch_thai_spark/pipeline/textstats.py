@@ -52,17 +52,28 @@ def quality_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic doc-quality score in [0,1]: length band + stopword presence
     + lexical diversity (rounded; identical formula in the SQL oracle)."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    n = F.size(toks)
+    n = F.size(toks).cast("long")
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    stop_cnt = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
-    uniq_ratio = F.size(F.array_distinct(toks)) / n
-    len_score = F.least(n / F.lit(50.0), F.lit(1.0))
-    stop_score = F.least(stop_cnt / F.lit(3.0), F.lit(1.0))
-    return docs.select(
-        F.col(id_col).alias("doc_key"),
-        F.round(F.lit(0.4) * len_score + F.lit(0.3) * stop_score + F.lit(0.3) * uniq_ratio, 4).alias(
-            "quality"
-        ),
+    stop_cnt = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).cast("long")
+    uniq = F.size(F.array_distinct(toks)).cast("long")
+    m = F.least(n, F.lit(50).cast("long"))
+    s3 = F.least(stop_cnt, F.lit(3).cast("long"))
+    # q = 0.4*m/50 + 0.3*s3/3 + 0.3*uniq/n == (2*n*m + 25*n*s3 + 75*uniq)/(250*n)
+    # emitted as integer basis points floor(10000*q) — pure integer arithmetic,
+    # so the value is bit-identical in any engine (no float-summation or
+    # ROUND-at-half divergence; seen flipping at sf0.1 with the float form)
+    bp = F.expr(
+        "( (2*_n*_m + 25*_n*_s + 75*_u) * 40 ) div _n"
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_key"),
+            n.alias("_n"), m.alias("_m"), s3.alias("_s"), uniq.alias("_u"),
+        )
+        .select(
+            "doc_key",
+            F.when(F.col("_n") > 0, bp).otherwise(F.lit(0)).cast("long").alias("quality_bp"),
+        )
     )
 
 
@@ -73,12 +84,18 @@ WITH t AS (
   SELECT {id_col} AS doc_key,
          list_filter(string_split({text_col}, ' '), x -> x <> '') AS toks
   FROM {table}
+),
+c AS (
+  SELECT doc_key,
+         len(toks)::BIGINT AS n,
+         least(len(toks), 50)::BIGINT AS m,
+         least(len(list_intersect(list_distinct(toks), [{stop_sql}])), 3)::BIGINT AS s,
+         len(list_distinct(toks))::BIGINT AS u
+  FROM t
 )
 SELECT doc_key,
-       ROUND(0.4 * least(len(toks) / 50.0, 1.0)
-           + 0.3 * least(len(list_intersect(list_distinct(toks), [{stop_sql}])) / 3.0, 1.0)
-           + 0.3 * (len(list_distinct(toks)) / len(toks)), 4) AS quality
-FROM t
+       CASE WHEN n > 0 THEN ((2*n*m + 25*n*s + 75*u) * 40) // n ELSE 0 END AS quality_bp
+FROM c
 """
 
 
