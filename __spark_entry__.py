@@ -148,6 +148,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_lsh_topk(spark, sf):
         return sim.lsh_cosine_topk(_t(spark, sf, "embeddings"), "vec_id", "embedding", 64, 0, k=20)
 
+    def dedup_embedding_cosine(spark, sf):
+        return sim.embedding_near_dup_pairs(
+            _t(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.4
+        )
+
     def ann_ivf_topk(spark, sf):
         return sim.ivf_cosine_topk(
             _t(spark, sf, "embeddings"), "vec_id", "embedding", 0, k=20, n_cells=8, n_probe=4
@@ -240,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
         "stats_token": stats_token,
         "stats_quality": stats_quality,
         "stats_langid": stats_langid,
@@ -308,6 +314,9 @@ FROM documents GROUP BY 1
         "dedup_minhash_lsh": dd.minhash_lsh_candidates_sql("documents", "doc_id", "text"),
         "dedup_simhash": dd.simhash64_sql("documents", "doc_id", "text"),
         "ann_cosine_topk": sim.cosine_topk_sql("embeddings", "vec_id", "embedding", 0, k=20),
+        "dedup_embedding_cosine": sim.embedding_near_dup_pairs_sql(
+            "embeddings", "vec_id", "embedding", threshold=0.4
+        ),
         "stats_token": ts.token_stats_sql("documents", "doc_id", "text"),
         "stats_quality": ts.quality_score_sql("documents", "doc_id", "text"),
         "stats_langid": ts.language_id_sql("documents", "doc_id", "text"),

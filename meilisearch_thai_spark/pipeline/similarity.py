@@ -186,3 +186,81 @@ def ivf_cosine_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_key"))
         .limit(k)
     )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (cosine ≥ threshold).
+
+    The correctness baseline: id-ordered self-join with vectorized dot
+    products.  Quadratic in corpus size — use the LSH variant below at scale.
+    """
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("k"), vec_d.alias("v"))
+    a = base.select(F.col("k").alias("left_key"), F.col("v").alias("va"))
+    b = base.select(F.col("k").alias("right_key"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("left_key") < F.col("right_key"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("left_key", "right_key", "cosine")
+    )
+
+
+def embedding_near_dup_pairs_sql(table: str, id_col: str, vec_col: str, threshold: float = 0.95) -> str:
+    return f"""
+SELECT a.{id_col} AS left_key, b.{id_col} AS right_key,
+       ROUND(list_dot_product(a.{vec_col}, b.{vec_col})
+             / (sqrt(list_dot_product(a.{vec_col}, a.{vec_col}))
+                * sqrt(list_dot_product(b.{vec_col}, b.{vec_col}))), 4) AS cosine
+FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+WHERE ROUND(list_dot_product(a.{vec_col}, b.{vec_col})
+            / (sqrt(list_dot_product(a.{vec_col}, a.{vec_col}))
+               * sqrt(list_dot_product(b.{vec_col}, b.{vec_col}))), 4) >= {threshold}
+"""
+
+
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Scale path: hyperplane-LSH bucket self-join → exact cosine filter.
+
+    Pairs must share a sign-bucket to be compared (high-cosine pairs almost
+    always do: P[same side of one plane] = 1 - θ/π), so the join touches
+    per-bucket groups instead of the full cross product.  Output ⊆ the exact
+    pairs above; recall rises with fewer planes or multi-probe."""
+    bucketed = hyperplane_lsh_buckets(emb, id_col, vec_col, dim, n_planes, seed)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = (
+        emb.select(F.col(id_col).alias("k"), vec_d.alias("v"))
+        .join(bucketed.withColumnRenamed("vec_key", "k"), "k")
+    )
+    a = base.select(F.col("k").alias("left_key"), F.col("v").alias("va"), "bucket")
+    b = base.select(F.col("k").alias("right_key"), F.col("v").alias("vb"), F.col("bucket").alias("b2"))
+    return (
+        a.join(b, (F.col("bucket") == F.col("b2")) & (F.col("left_key") < F.col("right_key")))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("left_key", "right_key", "cosine")
+    )

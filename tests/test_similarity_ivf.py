@@ -37,3 +37,23 @@ def test_ivf_missing_query_returns_empty(spark, emb):
 
     out = sim.ivf_cosine_topk(emb, "vec_id", "embedding", query_id=10**9, k=5)
     assert out.count() == 0
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark, emb):
+    from meilisearch_thai_spark.pipeline import similarity as sim
+
+    exact = {
+        (r["left_key"], r["right_key"]): r["cosine"]
+        for r in sim.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.8).collect()
+    }
+    lsh = {
+        (r["left_key"], r["right_key"]): r["cosine"]
+        for r in sim.embedding_near_dup_pairs_lsh(
+            emb, "vec_id", "embedding", dim=64, threshold=0.8, n_planes=4
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    if exact:  # LSH with few planes should keep decent recall
+        assert len(lsh) / len(exact) >= 0.3
