@@ -47,6 +47,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def r11_bm25_topk(spark, sf):
         return adhoc.bm25_topk(_t(spark, sf, "documents"), "doc_id", "text", _BM25_QUERY, k=20)
 
+    def r11_indexed_bm25(spark, sf):
+        # the REAL engine path under the oracle gate: build the compressed
+        # posting index over the documents table (delta+varbyte blocks,
+        # salted merge), query through the block-max pruned SearchEngine, and
+        # map internal doc ids back through urls — must equal the plain-SQL
+        # BM25 bit-for-bit (ranking already oracle-checked in pytest against
+        # the in-process oracle; this puts it under the driver's DuckDB gate)
+        import tempfile
+
+        from meilisearch_thai_spark.index.builder import build_index
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        docs = _t(spark, sf, "documents")
+        pages = docs.select(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.col("text"),
+            F.lit("en").alias("lang"),
+        )
+        out = tempfile.mkdtemp(prefix="drv_idx_")
+        build_index(spark, pages, out)
+        eng = SearchEngine(spark, out, cache_postings=False)
+        hits = eng.search_terms(_BM25_QUERY, k=20)
+        return hits.select(
+            F.col("url").cast("long").alias("doc_key"),
+            F.round("score", 4).alias("score"),
+            F.col("terms_matched").cast("long").alias("terms_matched"),
+        ).orderBy(F.desc("score"), F.asc("doc_key"))
+
     def r11_bm25_conjunctive(spark, sf):
         return adhoc.bm25_topk(
             _t(spark, sf, "documents"), "doc_id", "text", _BM25_CONJ, k=20, matching="all"
@@ -228,6 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "r11_bm25_topk": r11_bm25_topk,
+        "r11_indexed_bm25": r11_indexed_bm25,
         "r11_bm25_conjunctive": r11_bm25_conjunctive,
         "x4_dedup_best_per_key": x4_dedup_best_per_key,
         "x5_content_signature_dedup": x5_content_signature_dedup,
@@ -261,6 +292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "r11_bm25_topk": adhoc.bm25_topk_sql_oracle("documents", "doc_id", "text", _BM25_QUERY, k=20),
+        "r11_indexed_bm25": adhoc.bm25_topk_sql_oracle(
+            "documents", "doc_id", "text", _BM25_QUERY, k=20
+        ),
         "r11_bm25_conjunctive": adhoc.bm25_topk_sql_oracle(
             "documents", "doc_id", "text", _BM25_CONJ, k=20, matching="all"
         ),
