@@ -60,6 +60,7 @@ class IndexMeta:
     dictionary_fingerprint: str
     n_terms: int = -1
     n_postings: int = -1
+    positional: bool = False
 
 
 POSTINGS_SCHEMA = T.StructType(
@@ -74,6 +75,9 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("dl_bytes", T.BinaryType(), False),
         T.StructField("df", T.LongType(), False),
         T.StructField("block_max_score", T.DoubleType(), False),
+        # per-block concatenated within-doc position deltas (b"" when the
+        # index is built without positions)
+        T.StructField("pos_bytes", T.BinaryType(), True),
     ]
 )
 
@@ -171,6 +175,18 @@ def _docs_schema(store_text_crop: int | None) -> T.StructType:
     return T.StructType(fields)
 
 
+def _docs_schema_full(store_text_crop: int | None, positional: bool) -> T.StructType:
+    base = _docs_schema(store_text_crop)
+    if not positional:
+        return base
+    # positions of each term occurrence (ordinal among the doc's index
+    # terms) — the phrase/proximity substrate; tf == len(positions)
+    return T.StructType(
+        base.fields
+        + [T.StructField("tpos", T.MapType(T.StringType(), T.ArrayType(T.IntegerType())), False)]
+    )
+
+
 DOCS_SCHEMA = _docs_schema(None)
 
 
@@ -179,6 +195,7 @@ def tokenized_docs(
     partitions: int | None = None,
     _caches: list[DataFrame] | None = None,
     store_text_crop: int | None = None,
+    positional: bool = False,
 ) -> DataFrame:
     """pages → (doc_id, url, lang, doc_len, norm_hash, terms) in ONE pass.
 
@@ -236,7 +253,7 @@ def tokenized_docs(
             pid = int(pdf["_pid"].iloc[0])
             start = boff.value[pid] + local
             local += len(pdf)
-            tcounts, hashes, lens = [], [], []
+            tcounts, hashes, lens, tpos_col = [], [], [], []
             for t in pdf["text"]:
                 if isinstance(t, str) and t:
                     toks = tokenize_for_index(t)
@@ -248,6 +265,11 @@ def tokenized_docs(
                 tcounts.append(dict(Counter(tt)))
                 hashes.append(h)
                 lens.append(len(tt))
+                if positional:
+                    tp: dict[str, list[int]] = {}
+                    for i, term in enumerate(tt):
+                        tp.setdefault(term, []).append(i)
+                    tpos_col.append(tp)
             cols = {
                 "doc_id": np.arange(start, start + len(pdf), dtype=np.int64),
                 "url": pdf["url"].to_numpy(),
@@ -260,9 +282,11 @@ def tokenized_docs(
                 cols["text_crop"] = [
                     (t[:store_text_crop] if isinstance(t, str) else "") for t in pdf["text"]
                 ]
+            if positional:
+                cols["tpos"] = tpos_col
             yield pd.DataFrame(cols)
 
-    return parted.mapInPandas(assign_and_tokenize, _docs_schema(store_text_crop))
+    return parted.mapInPandas(assign_and_tokenize, _docs_schema_full(store_text_crop, positional))
 
 
 def _encode_sorted_frame(
@@ -305,6 +329,32 @@ def _encode_sorted_frame(
     np.subtract(ids[1:], ids[:-1], out=deltas[1:])
     deltas[bstarts] = ids[bstarts]  # first value of each block is absolute
 
+    if "positions" in pdf.columns:
+        # flatten all docs' positions; delta-encode with a reset at each doc
+        # (first position absolute); per-block slices via flat offsets —
+        # decode recovers doc boundaries from tf_bytes
+        pos_col = pdf["positions"].to_list()
+        plens = np.fromiter((len(x) for x in pos_col), dtype=np.int64, count=n)
+        flat = (
+            np.concatenate([np.asarray(x, dtype=np.uint64) for x in pos_col])
+            if n and plens.sum()
+            else np.zeros(0, dtype=np.uint64)
+        )
+        row_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(plens, out=row_offs[1:])
+        pdeltas = flat.copy()
+        if len(flat):
+            pdeltas[1:] -= flat[:-1]
+            starts = row_offs[:-1][plens > 0]
+            pdeltas[starts] = flat[starts]
+        pos_bytes = varbyte_encode_chunks(pdeltas, row_offs[bstarts]) if len(flat) else [b""] * len(bstarts)
+        # varbyte_encode_chunks needs chunk starts over VALUE indices; blocks
+        # with zero positions yield empty slices naturally
+        if len(flat) == 0:
+            pos_bytes = [b""] * len(bstarts)
+    else:
+        pos_bytes = [b""] * len(bstarts)
+
     return pd.DataFrame(
         {
             "term": terms[bstarts],
@@ -317,6 +367,7 @@ def _encode_sorted_frame(
             "dl_bytes": varbyte_encode_chunks(dls, bstarts),
             "df": dfs[bstarts],
             "block_max_score": bmax,
+            "pos_bytes": pos_bytes,
         }
     )
 
@@ -390,6 +441,7 @@ def build_index(
     params: BM25Params = BM25Params(),
     postings_partitions: int | None = None,
     store_text_crop: int | None = None,
+    positional: bool = False,
 ) -> IndexMeta:
     """Build the full inverted index under ``out_dir``.
 
@@ -409,7 +461,9 @@ def build_index(
     # id assignment + tokenization + byte-identity hash fused into one pass
     # (column pruning first: html/warc_ts never enter a shuffle or Python)
     caches: list[DataFrame] = []
-    docs = tokenized_docs(pages, _caches=caches, store_text_crop=store_text_crop).persist()
+    docs = tokenized_docs(
+        pages, _caches=caches, store_text_crop=store_text_crop, positional=positional
+    ).persist()
 
     # doc_stats: id mapping + byte-identity lineage hash (north-rule invariant).
     # N and avgdl ride along as observed metrics — no separate stats job.
@@ -431,9 +485,15 @@ def build_index(
     # never spans partitions), so this explode is a NARROW op — no shuffle,
     # no groupBy.  Recompute from the docs cache is a cheap map, so tf itself
     # needs no second cache.
-    tf = docs.select(
-        "doc_id", "doc_len", F.explode("tcounts").alias("term", "tf")
-    )
+    if positional:
+        # positions ride along; tf == number of positions (phrase substrate)
+        tf = docs.select(
+            "doc_id", "doc_len", F.explode("tpos").alias("term", "positions")
+        ).withColumn("tf", F.size("positions"))
+    else:
+        tf = docs.select(
+            "doc_id", "doc_len", F.explode("tcounts").alias("term", "tf")
+        )
 
     # document frequency per term — combiner-friendly count, skew-safe.
     # Vocabulary is dictionary-bounded (newmm terms), so df_tbl is tiny
@@ -464,6 +524,7 @@ def build_index(
         k1=params.k1,
         b=params.b,
         dictionary_fingerprint=dictionary_fingerprint(),
+        positional=positional,
     )
     pst = spark.read.parquet(os.path.join(out_dir, "postings"))
     agg = pst.agg(

@@ -124,8 +124,61 @@ _TOPK_SCHEMA = T.StructType(
 )
 
 
+def _decode_doc_positions(doc_ids, tfs, pos_bytes) -> dict[int, np.ndarray]:
+    """pos_bytes (concatenated per-doc position deltas) → {doc_id: positions}."""
+    flat = varbyte_decode(pos_bytes)
+    if not len(flat):
+        return {}
+    offs = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs.astype(np.int64), out=offs[1:])
+    cs = np.cumsum(flat)
+    out = {}
+    for i, d in enumerate(doc_ids):
+        seg = cs[offs[i] : offs[i + 1]]
+        if len(seg):
+            base = cs[offs[i] - 1] if offs[i] > 0 else 0
+            out[int(d)] = seg - base
+    return out
+
+
+def _phrase_docs(g, ordered_terms: list[str]) -> set[int]:
+    """Docs in this (variant, bucket) group containing the exact phrase:
+    a position chain p, p+1, ... across ``ordered_terms``."""
+    want = set(ordered_terms)
+    perterm: dict[str, dict[int, np.ndarray]] = {}
+    for row in g.itertuples(index=False):
+        if row.term not in want or not row.pos_bytes:
+            continue
+        deltas = varbyte_decode(row.doc_bytes)
+        ids = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
+        tfs = varbyte_decode(row.tf_bytes)
+        perterm.setdefault(row.term, {}).update(_decode_doc_positions(ids, tfs, row.pos_bytes))
+    if set(perterm) != want:
+        return set()
+    candidates = set(perterm[ordered_terms[0]])
+    for t in ordered_terms[1:]:
+        candidates &= set(perterm[t])
+    ok = set()
+    for d in candidates:
+        chain = set(int(x) for x in perterm[ordered_terms[0]][d])
+        for t in ordered_terms[1:]:
+            nxt = set(int(x) + 0 for x in perterm[t][d])
+            chain = {p + 1 for p in chain} & nxt
+            if not chain:
+                break
+        if chain:
+            ok.add(d)
+    return ok
+
+
 def _make_bucket_topk(
-    k1: float, b: float, avgdl: float, n_docs: int, k: int, required_terms: dict[int, int]
+    k1: float,
+    b: float,
+    avgdl: float,
+    n_docs: int,
+    k: int,
+    required_terms: dict[int, int],
+    phrase_terms: dict[int, list[str]] | None = None,
 ):
     """Block-max pruned per-partition top-k (R11 block-max WAND, SURVEY §7.4).
 
@@ -177,6 +230,10 @@ def _make_bucket_topk(
                 cnts = np.bincount(inv)  # each (term, doc) appears exactly once
                 if need is not None:
                     keep = cnts == need
+                    uids, sums, cnts = uids[keep], sums[keep], cnts[keep]
+                if phrase_terms and int(vid) in phrase_terms and len(uids):
+                    ok = _phrase_docs(g, phrase_terms[int(vid)])
+                    keep = np.fromiter((int(d) in ok for d in uids), dtype=bool, count=len(uids))
                     uids, sums, cnts = uids[keep], sums[keep], cnts[keep]
                 for d, s, c in zip(uids, sums, cnts):
                     item = (float(s), -int(d), int(c))
@@ -337,6 +394,7 @@ class SearchEngine:
         k: int,
         required_terms: dict[int, int] | None = None,
         partitions: int | None = None,
+        phrase_terms: dict[int, list[str]] | None = None,
     ) -> DataFrame:
         """EXACT per-variant top-k with block-max bucket pruning (R11).
 
@@ -346,16 +404,25 @@ class SearchEngine:
         shuffles every decoded (variant, doc) row into a hash agg).  Output is
         ≤ partitions × k rows per variant; merge with a global top-k.
         """
-        blocks = self.candidate_blocks(qterms).select(
+        cols = [
             "variant_id", "bucket", "term", "df", "block_max_score",
             "doc_bytes", "tf_bytes", "dl_bytes",
-        )
+        ]
+        if phrase_terms:
+            if not getattr(self.meta, "positional", False):
+                raise ValueError(
+                    "phrase matching requires a positional index "
+                    "(build_index(positional=True))"
+                )
+            cols.append("pos_bytes")
+        blocks = self.candidate_blocks(qterms).select(*cols)
         if not self._bucket_partitioned:
             # cold path: establish bucket-completeness per partition explicitly
             partitions = partitions or self.spark.sparkContext.defaultParallelism
             blocks = blocks.repartition(partitions, "bucket")
         run = _make_bucket_topk(
-            self.meta.k1, self.meta.b, self.meta.avgdl, self.meta.n_docs, k, required_terms or {}
+            self.meta.k1, self.meta.b, self.meta.avgdl, self.meta.n_docs, k,
+            required_terms or {}, phrase_terms,
         )
         return blocks.mapInPandas(run, _TOPK_SCHEMA)
 
@@ -472,9 +539,20 @@ class SearchEngine:
         # within-variant rank by raw score == rank by weighted score, and any
         # doc in the final top-k is in its winning variant's top-k
         required = {
-            vid: n for vid, _t, _w, n, m in vmeta_rows if m == "all"
+            vid: n for vid, _t, _w, n, m in vmeta_rows if m in ("all", "phrase")
         }
-        scored = self.score_variants_topk(qterms, k=k, required_terms=required)
+        phrase_specs: dict[int, list[str]] = {}
+        for vid, v in enumerate(pq.variants):
+            if v.matching == "phrase":
+                if getattr(self.meta, "positional", False):
+                    phrase_specs[vid] = list(v.terms)
+                else:
+                    # graceful degradation on a non-positional index:
+                    # conjunctive matching (all terms required, no adjacency)
+                    pass
+        scored = self.score_variants_topk(
+            qterms, k=k, required_terms=required, phrase_terms=phrase_specs or None
+        )
         # variant metadata folded in as literal maps (≤5 variants): no
         # createDataFrame / broadcast exchange on the latency path
         wmap = F.create_map(*[x for vid, _t, w, _n, _m in vmeta_rows for x in (F.lit(vid), F.lit(w))])

@@ -36,6 +36,7 @@ BASE_WEIGHTS = {
     "compound_split": 0.9,
     "fallback": 0.6,
     "mixed_language": 0.85,
+    "phrase": 1.0,  # quoted PHRASE variant (query_processor.py:436-702)
 }
 
 # Per-variant matching strategy (query_processor.py:954-981, Q7):
@@ -46,6 +47,7 @@ MATCHING_STRATEGY = {
     "compound_split": "best",
     "fallback": "best",
     "mixed_language": "best",
+    "phrase": "phrase",  # exact adjacency on a positional index
 }
 
 _ENGLISH_WORD_RE = re.compile(r"[A-Za-z]+")
@@ -185,6 +187,13 @@ def generate_variants(q: str, analysis: QueryAnalysis, preserve_original: bool =
     if preserve_original:
         add("original", primary, {"source": "original"})
     add("tokenized", primary, {"engine": "newmm"})
+
+    # quoted query → PHRASE variant: exact term adjacency, MeiliSearch's
+    # phrase search (reference Q4 emits a quoted-phrase variant)
+    m = re.search(r'"([^"]{2,})"|“([^”]{2,})”', q)
+    if m:
+        inner = m.group(1) or m.group(2)
+        add("phrase", tokenize_for_index(inner), {"source": "quoted"})
 
     compound = tokenize_compound(q)
     if compound != primary:

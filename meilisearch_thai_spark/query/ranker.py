@@ -18,6 +18,7 @@ VARIANT_BOOSTS = {
     "compound_split": 1.3,
     "fallback": 0.8,
     "mixed_language": 1.0,
+    "phrase": 1.5,  # exact adjacency dominates loose-token matches (quoted intent)
 }
 ENGINE_BOOST_NEWMM = 1.1
 EXACT_MATCH_BOOST = 2.0  # result_ranker.py:1286-1303, config settings.py:61

@@ -1,0 +1,84 @@
+"""Positional index + phrase matching (the reference's quoted-phrase /
+MeiliSearch proximity capability, exact adjacency semantics)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from meilisearch_thai_spark.index.builder import build_index, load_meta
+from meilisearch_thai_spark.query.executor import SearchEngine
+from meilisearch_thai_spark.sources.pages import PAGES_SCHEMA
+
+_TS = datetime.datetime(2024, 1, 1)
+
+DOCS = [
+    ("u/adjacent", "alpha beta gamma delta"),          # "alpha beta" adjacent
+    ("u/gap", "alpha cat beta dog"),                   # both terms, not adjacent
+    ("u/reversed", "beta alpha epsilon"),              # wrong order
+    ("u/adjacent2", "zeta alpha beta"),                # adjacent later in doc
+    ("u/only-alpha", "alpha zeta eta"),
+]
+
+
+@pytest.fixture(scope="module")
+def engines(spark, tmp_path_factory):
+    rows = [(u, _TS, b"", t, "en") for u, t in DOCS]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    pos_dir = str(tmp_path_factory.mktemp("idx_pos"))
+    flat_dir = str(tmp_path_factory.mktemp("idx_flat"))
+    build_index(spark, pages, pos_dir, positional=True)
+    build_index(spark, pages, flat_dir)
+    return SearchEngine(spark, pos_dir, cache_postings=False), SearchEngine(
+        spark, flat_dir, cache_postings=False
+    )
+
+
+def test_meta_flag(engines):
+    pos, flat = engines
+    assert pos.meta.positional and not flat.meta.positional
+
+
+def test_positional_and_flat_same_bm25(engines):
+    """Positions must not change scoring — only phrase filtering."""
+    pos, flat = engines
+    a = [(r["url"], round(r["score"], 9)) for r in pos.search("alpha beta", k=10).collect()]
+    b = [(r["url"], round(r["score"], 9)) for r in flat.search("alpha beta", k=10).collect()]
+    assert a == b
+
+
+def test_phrase_exact_adjacency(engines):
+    pos, _ = engines
+    rows = pos.multi_variant_search('"alpha beta"', k=10).collect()
+    phrase_urls = {r["url"] for r in rows if r["variant_type"] == "phrase"}
+    assert phrase_urls == {"u/adjacent", "u/adjacent2"}
+    # non-phrase variants may still return the other docs at lower rank;
+    # the top hits are the true phrase matches
+    assert {rows[0]["url"], rows[1]["url"]} == {"u/adjacent", "u/adjacent2"}
+
+
+def test_phrase_degrades_to_conjunctive_on_flat_index(engines):
+    _, flat = engines
+    rows = flat.multi_variant_search('"alpha beta"', k=10).collect()
+    # no crash; all docs containing both terms can appear
+    urls = {r["url"] for r in rows}
+    assert "u/adjacent" in urls
+
+
+def test_pos_bytes_roundtrip(spark, engines):
+    pos, _ = engines
+    pst = spark.read.parquet(pos.index_dir + "/postings")
+    row = pst.filter(F.col("term") == "alpha").orderBy("bucket", "block_id").collect()[0]
+    from meilisearch_thai_spark.index.codec import varbyte_decode
+    import numpy as np
+
+    ids = np.cumsum(varbyte_decode(row["doc_bytes"]))
+    tfs = varbyte_decode(row["tf_bytes"])
+    from meilisearch_thai_spark.query.executor import _decode_doc_positions
+
+    posmap = _decode_doc_positions(ids.astype(np.int64), tfs, row["pos_bytes"])
+    assert len(posmap) == len(ids)
+    # every doc contains 'alpha'; positions are valid ordinals
+    assert all(len(v) >= 1 and (v >= 0).all() for v in posmap.values())
