@@ -455,6 +455,91 @@ class SearchEngine:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
+    def search_with_proximity(
+        self,
+        query: str,
+        k: int = 10,
+        overfetch: int = 3,
+        decay: float = 0.05,
+    ) -> DataFrame:
+        """BM25 top-(k*overfetch) re-ranked by term proximity — MeiliSearch's
+        'proximity' ranking rule (settings_manager.py:72-79), which plain BM25
+        ignores.  Requires a positional index.
+
+        score' = score * (1 + exp(-decay * (min_window - n_terms + 1))): a doc
+        where the query terms appear as a tight run gets up to 2x, far-apart
+        terms asymptotically keep their BM25 score.  Runs as a driver-side
+        re-rank of the collected candidate page (k rows), not a cluster job —
+        exactly where the reference does its result re-ranking."""
+        from ..tokenizer import extract_index_terms, tokenize_for_index
+
+        if not getattr(self.meta, "positional", False):
+            raise ValueError("proximity ranking requires build_index(positional=True)")
+        terms = list(dict.fromkeys(extract_index_terms(tokenize_for_index(query))))
+        if len(terms) < 2:
+            return self.search(query, k=k)
+        cand = self.search_terms(terms, k=k * overfetch).collect()
+        if not cand:
+            return self.search(query, k=k)
+        doc_ids = [int(r["doc_id"]) for r in cand]
+        windows = self._min_windows(terms, doc_ids)
+        import math
+
+        rescored = []
+        for r in cand:
+            w = windows.get(int(r["doc_id"]))
+            boost = 1.0 + math.exp(-decay * (w - len(terms) + 1)) if w is not None else 1.0
+            rescored.append((r["url"], int(r["doc_id"]), float(r["score"]) * boost, int(r["terms_matched"])))
+        rescored.sort(key=lambda x: (-x[2], x[1]))
+        return self.spark.createDataFrame(
+            rescored[:k], "url string, doc_id long, score double, terms_matched long"
+        )
+
+    def _min_windows(self, terms: list[str], doc_ids: list[int]) -> dict[int, int]:
+        """Minimal span covering one occurrence of every term, per doc.
+
+        One small job: candidate docs' buckets only (bucket pushdown), decode
+        positions in Python per block, merge driver-side (len(doc_ids) ≈ k)."""
+        buckets = sorted({d // self.meta.bucket_span for d in doc_ids})
+        want_docs = set(doc_ids)
+        rows = (
+            self.postings.filter(F.col("term").isin(terms))
+            .filter(F.col("bucket").isin([int(b) for b in buckets]))
+            .select("term", "doc_bytes", "tf_bytes", "pos_bytes")
+            .collect()
+        )
+        perdoc: dict[int, dict[str, np.ndarray]] = {}
+        for row in rows:
+            ids = np.cumsum(varbyte_decode(row["doc_bytes"]), dtype=np.uint64).astype(np.int64)
+            tfs = varbyte_decode(row["tf_bytes"])
+            posmap = _decode_doc_positions(ids, tfs, row["pos_bytes"])
+            for d, pos in posmap.items():
+                if d in want_docs:
+                    perdoc.setdefault(d, {})[row["term"]] = pos
+        out: dict[int, int] = {}
+        for d, tp in perdoc.items():
+            if len(tp) < len(terms):
+                continue
+            # classic min-window over sorted (position, term) events
+            events = sorted((int(p), t) for t, ps in tp.items() for p in ps)
+            need = len(terms)
+            have: dict[str, int] = {}
+            lo = 0
+            best = None
+            for hi, (p, t) in enumerate(events):
+                have[t] = have.get(t, 0) + 1
+                while len(have) == need:
+                    span = p - events[lo][0]
+                    best = span if best is None else min(best, span)
+                    lt = events[lo][1]
+                    have[lt] -= 1
+                    if not have[lt]:
+                        del have[lt]
+                    lo += 1
+            if best is not None:
+                out[d] = int(best)
+        return out
+
     def search(self, query: str, k: int = 10, matching: str = "best") -> DataFrame:
         """Tokenize ``query`` with the SAME pinned tokenizer and score."""
         from ..tokenizer import extract_index_terms, tokenize_for_index

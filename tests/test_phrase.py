@@ -82,3 +82,28 @@ def test_pos_bytes_roundtrip(spark, engines):
     assert len(posmap) == len(ids)
     # every doc contains 'alpha'; positions are valid ordinals
     assert all(len(v) >= 1 and (v >= 0).all() for v in posmap.values())
+
+
+def test_proximity_rerank(spark, tmp_path_factory):
+    """MeiliSearch 'proximity' rule: with near-equal BM25, tight term windows
+    rank above scattered ones."""
+    rows = [
+        ("u/tight", _TS, b"", "alpha beta filler filler filler filler filler filler", "en"),
+        ("u/spread", _TS, b"", "alpha filler filler filler filler filler filler beta", "en"),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    out = str(tmp_path_factory.mktemp("idx_prox"))
+    build_index(spark, pages, out, positional=True)
+    eng = SearchEngine(spark, out, cache_postings=False)
+    # identical BM25 (same tf/dl/df) → plain search ties, proximity breaks it
+    plain = eng.search("alpha beta", k=2).collect()
+    assert plain[0]["score"] == plain[1]["score"]
+    prox = eng.search_with_proximity("alpha beta", k=2).collect()
+    assert prox[0]["url"] == "u/tight"
+    assert prox[0]["score"] > prox[1]["score"]
+
+
+def test_proximity_requires_positindex(engines):
+    _, flat = engines
+    with pytest.raises(ValueError):
+        flat.search_with_proximity("alpha beta", k=3)
