@@ -17,7 +17,11 @@ Phases (each idempotent, each with a durable completion marker):
                          loses at most one in-flight batch.
   phase 2  finalize      global stats (N, avgdl, df), block encoding, postings
                          + doc_stats + meta.json — same artifacts as the
-                         one-shot ``build_index``.
+                         one-shot ``build_index``.  (Sharded/streaming builds
+                         currently produce non-positional indexes; quoted
+                         phrase queries on them degrade to conjunctive
+                         matching — use the one-shot ``build_index(
+                         positional=True)`` when phrase search is required.)
 
 Shard key is ``pmod(xxhash64(url), n_shards)`` — derivable from the row alone,
 so resume never depends on nondeterministic partitioning.  At cluster scale
