@@ -87,6 +87,8 @@ def _edit_distance_within(a: str, b: str, k: int) -> bool:
         return False
     if len(a) > len(b):
         a, b = b, a
+    if not a:
+        return len(b) <= k
     prev2: list[int] | None = None
     prev = list(range(len(a) + 1))
     for j in range(1, len(b) + 1):
