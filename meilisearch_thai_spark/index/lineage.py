@@ -17,11 +17,9 @@ Phases (each idempotent, each with a durable completion marker):
                          loses at most one in-flight batch.
   phase 2  finalize      global stats (N, avgdl, df), block encoding, postings
                          + doc_stats + meta.json — same artifacts as the
-                         one-shot ``build_index``.  (Sharded/streaming builds
-                         currently produce non-positional indexes; quoted
-                         phrase queries on them degrade to conjunctive
-                         matching — use the one-shot ``build_index(
-                         positional=True)`` when phrase search is required.)
+                         one-shot ``build_index`` (positional shards via
+                         ``positional=True`` yield a phrase-capable index
+                         identical to the one-shot positional build).
 
 Shard key is ``pmod(xxhash64(url), n_shards)`` — derivable from the row alone,
 so resume never depends on nondeterministic partitioning.  At cluster scale
@@ -95,11 +93,15 @@ def build_index_resumable(
     bucket_span: int = DEFAULT_BUCKET_SPAN,
     params: BM25Params = BM25Params(),
     fail_after_batches: int | None = None,
+    positional: bool = False,
 ) -> IndexMeta:
     """Build (or resume building) the index under ``out_dir``.
 
     ``fail_after_batches`` aborts after N phase-1 batch commits — the
     kill-and-resume test hook (SURVEY §5 test plan item 4).
+    ``positional=True`` stores term positions in the shards (posexplode
+    ordinals == the fused pass's position semantics), producing a
+    phrase-capable index identical to ``build_index(positional=True)``.
     """
     from ..dictionary import dictionary_fingerprint
     from ..tokenizer.udfs import index_features_udf
@@ -139,15 +141,30 @@ def build_index_resumable(
             )
             .withColumn("doc_len", F.size("terms"))
         )
-        tf = (
-            toks.select("shard", "url", "doc_len", "norm_hash", F.explode_outer("terms").alias("term"))
-            .groupBy("shard", "url", "term")
-            .agg(
-                F.count("*").alias("tf"),
-                F.first("doc_len").alias("doc_len"),
-                F.first("norm_hash").alias("norm_hash"),
+        if positional:
+            tf = (
+                toks.select(
+                    "shard", "url", "doc_len", "norm_hash",
+                    F.posexplode_outer("terms").alias("pos", "term"),
+                )
+                .groupBy("shard", "url", "term")
+                .agg(
+                    F.count("*").alias("tf"),
+                    F.first("doc_len").alias("doc_len"),
+                    F.first("norm_hash").alias("norm_hash"),
+                    F.sort_array(F.collect_list("pos")).alias("positions"),
+                )
             )
-        )
+        else:
+            tf = (
+                toks.select("shard", "url", "doc_len", "norm_hash", F.explode_outer("terms").alias("term"))
+                .groupBy("shard", "url", "term")
+                .agg(
+                    F.count("*").alias("tf"),
+                    F.first("doc_len").alias("doc_len"),
+                    F.first("norm_hash").alias("norm_hash"),
+                )
+            )
         # idempotent commit: overwrite exactly the shard partitions in flight
         tf.write.mode("overwrite").partitionBy("shard").option(
             "partitionOverwriteMode", "dynamic"
@@ -217,6 +234,7 @@ def finalize_index(
         tf_all = spark.read.parquet(os.path.join(out_dir, "tf"))
     if doc_map is None:
         doc_map = spark.read.parquet(os.path.join(out_dir, "doc_map"))
+    positional = "positions" in tf_all.columns
     terms_tf = tf_all.filter(F.col("term").isNotNull())
     per_doc = tf_all.select("url", "doc_len", "norm_hash").dropDuplicates(["url"])
 
@@ -229,9 +247,10 @@ def finalize_index(
 
     from pyspark import StorageLevel
 
+    tf_cols = ["doc_id", "term", "tf", "doc_len"] + (["positions"] if positional else [])
     with_ids = (
         terms_tf.join(doc_map.select("url", "doc_id"), "url")
-        .select("doc_id", "term", "tf", "doc_len")
+        .select(*tf_cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # AQE converts to broadcast at runtime when the vocabulary is small
@@ -257,6 +276,7 @@ def finalize_index(
         k1=params.k1,
         b=params.b,
         dictionary_fingerprint=dictionary_fingerprint(),
+        positional=positional,
     )
     pst = spark.read.parquet(os.path.join(out_dir, "postings"))
     agg = pst.agg(F.countDistinct("term").alias("nt"), F.sum("n_docs").alias("np")).collect()[0]

@@ -40,9 +40,12 @@ from ..sources.pages import PAGES_SCHEMA
 N_SHARDS_DEFAULT = 8
 
 
-def _tf_rows(pages: DataFrame, n_shards: int, batch_id: int) -> DataFrame:
-    """pages → (shard, batch_id, url, term, tf, doc_len, norm_hash) rows via
-    the fused tokenize pass (terms pre-aggregated per doc, no shuffle)."""
+def _tf_rows(
+    pages: DataFrame, n_shards: int, batch_id: int, positional: bool = False
+) -> DataFrame:
+    """pages → (shard, batch_id, url, term, tf, doc_len, norm_hash[,
+    positions]) rows via the fused tokenize pass (terms pre-aggregated per
+    doc, no shuffle)."""
     from ..tokenizer.udfs import index_features_udf
 
     shard = F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards)).cast("int")
@@ -59,20 +62,19 @@ def _tf_rows(pages: DataFrame, n_shards: int, batch_id: int) -> DataFrame:
         )
         .withColumn("doc_len", F.size("terms"))
     )
-    return feat.select(
-        "shard",
-        "batch_id",
-        "url",
-        "lang",
-        "doc_len",
-        "norm_hash",
-        F.explode_outer("terms").alias("term"),
-    ).groupBy("shard", "batch_id", "url", "term").agg(
+    base = ["shard", "batch_id", "url", "lang", "doc_len", "norm_hash"]
+    aggs = [
         F.count("*").alias("tf"),
         F.first("doc_len").alias("doc_len"),
         F.first("norm_hash").alias("norm_hash"),
         F.first("lang").alias("lang"),
-    )
+    ]
+    if positional:
+        ex = feat.select(*base, F.posexplode_outer("terms").alias("pos", "term"))
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    else:
+        ex = feat.select(*base, F.explode_outer("terms").alias("term"))
+    return ex.groupBy("shard", "batch_id", "url", "term").agg(*aggs)
 
 
 def start_ingest_stream(
@@ -82,6 +84,7 @@ def start_ingest_stream(
     n_shards: int = N_SHARDS_DEFAULT,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    positional: bool = False,
 ):
     """Stream parquet page dumps from ``input_dir`` into tf shards.
 
@@ -95,7 +98,7 @@ def start_ingest_stream(
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
-        tf = _tf_rows(batch_df, n_shards, batch_id)
+        tf = _tf_rows(batch_df, n_shards, batch_id, positional=positional)
         (
             tf.write.mode("overwrite")
             .partitionBy("shard", "batch_id")

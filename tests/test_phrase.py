@@ -107,3 +107,26 @@ def test_proximity_requires_positindex(engines):
     _, flat = engines
     with pytest.raises(ValueError):
         flat.search_with_proximity("alpha beta", k=3)
+
+
+def test_resumable_positional_build_identical(spark, tmp_path_factory):
+    """Sharded resumable build with positional=True produces a phrase-capable
+    index identical to the one-shot positional build."""
+    from meilisearch_thai_spark.index.lineage import build_index_resumable
+    from meilisearch_thai_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 400, seed=23)
+    one = str(tmp_path_factory.mktemp("pos_one"))
+    sh = str(tmp_path_factory.mktemp("pos_sh"))
+    m1 = build_index(spark, pages, one, positional=True)
+    m2 = build_index_resumable(spark, pages, sh, n_shards=4, positional=True)
+    assert m2.positional
+    assert (m1.n_docs, m1.n_terms, m1.n_postings) == (m2.n_docs, m2.n_terms, m2.n_postings)
+    cols = ["term", "bucket", "block_id", "doc_bytes", "tf_bytes", "pos_bytes"]
+    a = spark.read.parquet(one + "/postings").select(cols)
+    b = spark.read.parquet(sh + "/postings").select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # quoted phrase works through the sharded index too
+    e = SearchEngine(spark, sh, cache_postings=False)
+    rows = e.multi_variant_search('"ปัญญาประดิษฐ์"', k=3).collect()
+    assert rows
