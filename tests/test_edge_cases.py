@@ -74,3 +74,34 @@ def test_duplicate_urls_last_distinct_ids(spark, tmp_path):
     stats = spark.read.parquet(str(tmp_path / "idx" / "doc_stats"))
     ids = [r["doc_id"] for r in stats.select("doc_id").collect()]
     assert sorted(ids) == [0, 1]
+
+
+def test_pathological_head_term_skew(spark, tmp_path):
+    """A term present in EVERY doc (worst-case Zipf head): the salted
+    (term, bucket) merge must spread its postings across many bounded groups,
+    and querying the hot term must still return exact top-k."""
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.sources.pages import generate_pages
+
+    # prepend the hot dictionary word to every generated page
+    pages = generate_pages(spark, 4000, seed=77).withColumn(
+        "text", F.concat(F.lit("ประเทศไทย"), F.col("text"))
+    )
+    out = str(tmp_path / "idx")
+    meta = build_index(spark, pages, out, bucket_span=256)  # small span: many buckets
+    pst = spark.read.parquet(out + "/postings").filter(F.col("term") == "ประเทศไทย")
+    stats = pst.agg(
+        F.countDistinct("bucket").alias("nb"),
+        F.sum("n_docs").alias("np"),
+        F.max("n_docs").alias("mx"),
+    ).collect()[0]
+    assert stats["np"] == 4000  # every doc posts the hot term
+    assert stats["nb"] >= 10  # spread across many salt buckets...
+    assert stats["mx"] <= 128  # ...with bounded blocks
+    eng = SearchEngine(spark, out, cache_postings=False)
+    hits = eng.search("ประเทศไทย", k=10).collect()
+    assert len(hits) == 10
+    assert all(h["terms_matched"] == 1 for h in hits)
+    # idf of an everywhere-term is ~log(1+ (0.5/ (N+0.5))) ≈ tiny but > 0
+    assert 0 < hits[0]["score"] < 0.01
