@@ -8,6 +8,8 @@ reproduce values bit-for-bit before rounding."""
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -15,6 +17,38 @@ from pyspark.sql import functions as F
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _seq_dot(a, b) -> float:
+    """Sequential left-fold dot product — bit-identical to ``_dot``'s Spark
+    fold and to DuckDB's list_dot_product, so driver-side probe selection
+    makes the SAME floating-point decisions as the cluster/oracle side."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _md5_unit(s: str) -> float:
+    """md5-derived uniform value in [-1, 1): first 60 bits of md5(s)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) / float(1 << 59) - 1.0
+
+
+def md5_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic hyperplane matrix: plane[i][j] = md5-unit(f"{seed}|{i}|{j}").
+
+    No RNG state — any engine (the DuckDB oracle included) re-derives the
+    exact same planes from (seed, dim, n_planes), so LSH bucketing is
+    reproducible bit-for-bit outside Spark."""
+    return [[_md5_unit(f"{seed}|{i}|{j}") for j in range(dim)] for i in range(n_planes)]
+
+
+def _vec_sql(x: float) -> str:
+    return repr(float(x))  # shortest exact repr — round-trips to the same double
+
+
+def _plane_list_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(_vec_sql(x) for x in plane) + "]"
 
 
 def cosine_topk_to_query(
@@ -66,11 +100,12 @@ def hyperplane_lsh_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (sign-bit signature).
 
-    The plane matrix is deterministic (seeded) and broadcast as literals —
-    at query time only vectors in the query's bucket (and Hamming-adjacent
-    buckets if recall demands) are scored: the IVF-style scale path."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    The plane matrix is md5-derived (:func:`md5_planes`) and folded in as
+    literals — deterministic with NO RNG state, so an external SQL oracle
+    reproduces the bucketing exactly.  At query time only vectors in the
+    query's bucket (and Hamming-adjacent buckets if recall demands) are
+    scored: the IVF-style scale path."""
+    planes = md5_planes(dim, n_planes, seed)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     out = emb.select(F.col(id_col).alias("vec_key"), vec_d.alias("v"))
     bucket = F.lit(0).cast("long")
@@ -79,6 +114,46 @@ def hyperplane_lsh_buckets(
         dot_i = _dot(F.col("v"), plane)
         bucket = bucket + F.when(dot_i > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
     return out.withColumn("bucket", bucket).select("vec_key", "bucket")
+
+
+def _bucket_expr_sql(vec_expr: str, dim: int, n_planes: int, seed: int = 7) -> str:
+    """DuckDB twin of the bucket computation in :func:`hyperplane_lsh_buckets`."""
+    planes = md5_planes(dim, n_planes, seed)
+    parts = [
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_list_sql(planes[i])}) > 0"
+        f" THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(n_planes)
+    ]
+    return " + ".join(parts)
+
+
+def lsh_cosine_topk_sql(
+    table: str, id_col: str, vec_col: str, dim: int, query_id: int, k: int = 20, n_planes: int = 6,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of :func:`lsh_cosine_topk` — planes are md5-derived pure
+    constants embedded as literals, and every dot product is a sequential
+    double fold on both engines, so bucket bits (and therefore the
+    multi-probe candidate set) match bit-for-bit."""
+    bucket = _bucket_expr_sql("v", dim, n_planes, seed)
+    probes = ", ".join(f"xor(qb, {1 << i}::BIGINT)" for i in range(n_planes))
+    return f"""
+WITH v AS (
+  SELECT {id_col} AS vec_key, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+),
+b AS (
+  SELECT vec_key, v, {bucket} AS bucket FROM v
+),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_key = {query_id}),
+probes AS (SELECT qv, unnest([qb, {probes}]) AS pb FROM q)
+SELECT b.vec_key AS vec_key,
+       ROUND(list_dot_product(b.v, p.qv)
+             / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(p.qv, p.qv))), 4) AS cosine
+FROM b JOIN probes p ON b.bucket = p.pb
+WHERE b.vec_key <> {query_id}
+ORDER BY cosine DESC, vec_key ASC
+LIMIT {k}
+"""
 
 
 def lsh_cosine_topk(
@@ -143,6 +218,28 @@ def ivf_assignments(
     return assignments, centroids
 
 
+def seeded_centroids(emb: DataFrame, id_col: str, vec_col: str, n_cells: int) -> list[list[float]]:
+    """Deterministic coarse-quantizer seeds: the ``n_cells`` corpus vectors
+    whose md5(id) sorts first — a reproducible pseudo-random medoid sample.
+
+    No RNG and no iterative training, so ANY engine (the DuckDB oracle
+    included) re-derives the identical centroid set from the table alone.
+    Cell j = the j-th seed in (md5(id), id) order."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    rows = (
+        emb.select(F.col(id_col).alias("vec_key"), vec_d.alias("v"))
+        .orderBy(F.md5(F.col("vec_key").cast("string")), F.col("vec_key"))
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def _cell_cos_expr(vcol, centroid: list[float]):
+    clit = F.array(*[F.lit(float(x)) for x in centroid])
+    return _dot(vcol, clit) / (F.sqrt(_dot(vcol, vcol)) * F.sqrt(_dot(clit, clit)))
+
+
 def ivf_cosine_topk(
     emb: DataFrame,
     id_col: str,
@@ -152,25 +249,54 @@ def ivf_cosine_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    quantizer: str = "seeded",
 ) -> DataFrame:
     """ANN top-k via IVF: probe the ``n_probe`` cells nearest the query.
 
     Recall < 1 by design (the brute-force ``cosine_topk_to_query`` is the
     exactness baseline); scans ~n_probe/n_cells of the corpus.  Cell choice
     happens driver-side against the (tiny) centroid matrix; scoring within
-    probed cells is the same vectorized cosine as the exact path."""
-    assignments, centroids = ivf_assignments(emb, id_col, vec_col, n_cells, seed)
+    probed cells is the same vectorized cosine as the exact path.
+
+    ``quantizer='seeded'`` (default) uses md5-seeded medoids
+    (:func:`seeded_centroids`): fully deterministic, reproducible by the
+    DuckDB oracle (:func:`ivf_cosine_topk_sql`).  ``quantizer='kmeans'``
+    trains Spark-ML k-means cells (:func:`ivf_assignments`) — better cell
+    balance, but only pytest-verifiable (recall vs exact).  At 100 TB the
+    assignment table is written back partitioned by cell so probes prune
+    at the file level either way."""
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col).alias("vec_key"), vec_d.alias("v")).join(assignments, "vec_key")
+    if quantizer == "kmeans":
+        assignments, centroids = ivf_assignments(emb, id_col, vec_col, n_cells, seed)
+        base = emb.select(F.col(id_col).alias("vec_key"), vec_d.alias("v")).join(assignments, "vec_key")
+        qrow = base.filter(F.col("vec_key") == query_id).select("v").collect()
+        if not qrow:
+            return base.filter(F.lit(False)).select("vec_key", F.lit(0.0).alias("cosine"))
+        qv = np.asarray(qrow[0]["v"], dtype=np.float64)
+        sims = centroids @ qv / (np.linalg.norm(centroids, axis=1) * np.linalg.norm(qv) + 1e-12)
+        probe_cells = [int(c) for c in np.argsort(-sims)[:n_probe]]
+        qv_list = [float(x) for x in qv]
+    else:
+        cents = seeded_centroids(emb, id_col, vec_col, n_cells)
+        base = emb.select(F.col(id_col).alias("vec_key"), vec_d.alias("v"))
+        # cell = argmax_j cosine(v, c_j), first (smallest j) on ties — the
+        # same decision the oracle's ROW_NUMBER(ORDER BY cos DESC, cell ASC)
+        # makes, with bit-identical sequential-fold dot products
+        cos_arr = F.array(*[_cell_cos_expr(F.col("v"), c) for c in cents])
+        base = base.withColumn("cell", (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int"))
+        qrow = base.filter(F.col("vec_key") == query_id).select("v").collect()
+        if not qrow:
+            return base.filter(F.lit(False)).select("vec_key", F.lit(0.0).alias("cosine"))
+        qv_list = [float(x) for x in qrow[0]["v"]]
+        qnorm = np.sqrt(_seq_dot(qv_list, qv_list))
+        sims = [
+            (_seq_dot(qv_list, c) / (qnorm * np.sqrt(_seq_dot(c, c))), j)
+            for j, c in enumerate(cents)
+        ]
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        probe_cells = [j for _s, j in sims[:n_probe]]
 
-    qrow = base.filter(F.col("vec_key") == query_id).select("v").collect()
-    if not qrow:
-        return base.filter(F.lit(False)).select("vec_key", F.lit(0.0).alias("cosine"))
-    qv = np.asarray(qrow[0]["v"], dtype=np.float64)
-    sims = centroids @ qv / (np.linalg.norm(centroids, axis=1) * np.linalg.norm(qv) + 1e-12)
-    probe_cells = [int(c) for c in np.argsort(-sims)[:n_probe]]
-
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qlit = F.array(*[F.lit(float(x)) for x in qv_list])
     return (
         base.filter(F.col("cell").isin(probe_cells))
         .filter(F.col("vec_key") != query_id)
@@ -186,6 +312,58 @@ def ivf_cosine_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_key"))
         .limit(k)
     )
+
+
+def ivf_cosine_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 20,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """DuckDB twin of :func:`ivf_cosine_topk` (seeded quantizer): re-derives
+    the md5-seeded centroids, the argmax-cosine cell assignment, and the
+    probe-cell choice entirely in SQL — the full IVF structure under the
+    driver's exact-match gate."""
+    return f"""
+WITH v AS (
+  SELECT {id_col} AS vec_key, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_key AS VARCHAR)), vec_key) - 1 AS cell, v AS c
+  FROM v ORDER BY md5(CAST(vec_key AS VARCHAR)), vec_key LIMIT {n_cells}
+),
+scored AS (
+  SELECT v.vec_key, v.v, s.cell,
+         list_dot_product(v.v, s.c)
+           / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(s.c, s.c))) AS cos_c
+  FROM v CROSS JOIN seeds s
+),
+assign AS (
+  SELECT vec_key, v, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_key ORDER BY cos_c DESC, cell ASC) AS rn
+  FROM scored
+),
+cells AS (SELECT vec_key, v, cell FROM assign WHERE rn = 1),
+q AS (SELECT v AS qv FROM v WHERE vec_key = {query_id}),
+probes AS (
+  SELECT s.cell
+  FROM seeds s CROSS JOIN q
+  ORDER BY list_dot_product(q.qv, s.c)
+             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(s.c, s.c))) DESC,
+           s.cell ASC
+  LIMIT {n_probe}
+)
+SELECT c.vec_key AS vec_key,
+       ROUND(list_dot_product(c.v, q.qv)
+             / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM cells c JOIN probes USING (cell) CROSS JOIN q
+WHERE c.vec_key <> {query_id}
+ORDER BY cosine DESC, vec_key ASC
+LIMIT {k}
+"""
 
 
 def embedding_near_dup_pairs(
