@@ -30,9 +30,37 @@ from meilisearch_thai_spark.query import ranker as rk
 _BM25_QUERY = ["merge", "join", "table", "scan"]
 _BM25_CONJ = ["key", "value", "hash"]
 
+# one documents-corpus index (with lang metadata) shared by the indexed
+# search entries — built once per sf_dir per process
+_IDX_CACHE: dict[str, str] = {}
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs_index(spark: SparkSession, sf_dir: str) -> str:
+    """Compressed posting index over the ``documents`` table; urls are
+    zero-padded doc ids so internal rank order == external id order, and
+    ``lang`` rides into doc_stats as filterable metadata."""
+    if sf_dir in _IDX_CACHE:
+        return _IDX_CACHE[sf_dir]
+    import tempfile
+
+    from meilisearch_thai_spark.index.builder import build_index
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    out = tempfile.mkdtemp(prefix="drv_idx_meta_")
+    build_index(spark, pages, out)
+    _IDX_CACHE[sf_dir] = out
+    return out
 
 
 # ---------------------------------------------------------------- entry
@@ -54,28 +82,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # map internal doc ids back through urls — must equal the plain-SQL
         # BM25 bit-for-bit (ranking already oracle-checked in pytest against
         # the in-process oracle; this puts it under the driver's DuckDB gate)
-        import tempfile
-
-        from meilisearch_thai_spark.index.builder import build_index
         from meilisearch_thai_spark.query.executor import SearchEngine
 
-        docs = _t(spark, sf, "documents")
-        pages = docs.select(
-            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
-            F.lit(None).cast("timestamp").alias("warc_ts"),
-            F.lit(None).cast("binary").alias("html"),
-            F.col("text"),
-            F.lit("en").alias("lang"),
-        )
-        out = tempfile.mkdtemp(prefix="drv_idx_")
-        build_index(spark, pages, out)
-        eng = SearchEngine(spark, out, cache_postings=False)
+        eng = SearchEngine(spark, _docs_index(spark, sf), cache_postings=False)
         hits = eng.search_terms(_BM25_QUERY, k=20)
         return hits.select(
             F.col("url").cast("long").alias("doc_key"),
             F.round("score", 4).alias("score"),
             F.col("terms_matched").cast("long").alias("terms_matched"),
         ).orderBy(F.desc("score"), F.asc("doc_key"))
+
+    def p4_filtered_search(spark, sf):
+        # filters wired INTO the search path (VERDICT r1 item 2): metadata
+        # predicate restricts candidates through the filtered block-max
+        # cogroup (whole buckets without allowed docs never decode); BM25
+        # stats stay corpus-wide, like MeiliSearch filters
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index(spark, sf), cache_postings=False)
+        hits = eng.search_terms(
+            _BM25_QUERY, k=20, filters={"lang": {"$in": ["en", "de"]}}
+        )
+        return hits.select(
+            F.col("url").cast("long").alias("doc_key"),
+            F.round("score", 4).alias("score"),
+            F.col("terms_matched").cast("long").alias("terms_matched"),
+        ).orderBy(F.desc("score"), F.asc("doc_key"))
+
+    def p6_sorted_search(spark, sf):
+        # sort wired into the search path: doc-field order replaces relevance
+        # (MeiliSearch sort semantics); filter + sort together exercise the
+        # full-scoring path with the allowed-doc join
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index(spark, sf), cache_postings=False)
+        hits = eng.search_terms(
+            _BM25_QUERY,
+            k=20,
+            filters={"lang": {"$eq": "fr"}},
+            sort=["doc_len:desc", "doc_id:asc"],
+        )
+        return hits.select(
+            F.col("url").cast("long").alias("doc_key"),
+            F.round("score", 4).alias("score"),
+            F.col("terms_matched").cast("long").alias("terms_matched"),
+        )
 
     def r11_bm25_conjunctive(spark, sf):
         return adhoc.bm25_topk(
@@ -260,6 +311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_bm25_topk": r11_bm25_topk,
         "r11_indexed_bm25": r11_indexed_bm25,
         "r11_bm25_conjunctive": r11_bm25_conjunctive,
+        "p4_filtered_search": p4_filtered_search,
+        "p6_sorted_search": p6_sorted_search,
         "x4_dedup_best_per_key": x4_dedup_best_per_key,
         "x5_content_signature_dedup": x5_content_signature_dedup,
         "x8_distribution": x8_distribution,
@@ -297,6 +350,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "r11_bm25_conjunctive": adhoc.bm25_topk_sql_oracle(
             "documents", "doc_id", "text", _BM25_CONJ, k=20, matching="all"
+        ),
+        "p4_filtered_search": adhoc.bm25_topk_sql_oracle(
+            "documents", "doc_id", "text", _BM25_QUERY, k=20,
+            candidate_where="lang IN ('en', 'de')",
+        ),
+        "p6_sorted_search": adhoc.bm25_topk_sql_oracle(
+            "documents", "doc_id", "text", _BM25_QUERY, k=20,
+            candidate_where="lang = 'fr'",
+            order_by="MAX(dl.dl) DESC, doc_key ASC",
         ),
         "x4_dedup_best_per_key": """
 SELECT user_id, event_id, value FROM (

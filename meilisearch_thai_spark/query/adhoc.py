@@ -85,6 +85,8 @@ def bm25_topk_sql_oracle(
     k: int = 10,
     matching: str = "best",
     token_regex: str = "[a-z]+",
+    candidate_where: str | None = None,
+    order_by: str | None = None,
 ) -> str:
     """DuckDB SQL computing the identical BM25 top-k (driver correctness gate).
 
@@ -92,10 +94,23 @@ def bm25_topk_sql_oracle(
     ``regexp_extract_all(text, token_regex)`` — true for plain lowercase Latin
     corpora like the testdata ``documents`` table (Thai corpora are verified
     in pytest against the in-process oracle instead).
+
+    ``candidate_where`` restricts the FINAL candidate set by a metadata
+    predicate on ``{table}`` (P4 filter semantics: corpus-wide BM25 stats are
+    computed over ALL docs, the filter only prunes candidates — exactly what
+    the engine's filtered search does).  ``order_by`` overrides the relevance
+    ordering of the top-k cut (P6 sort semantics; ``dl.dl`` is the token-count
+    doc length the engine exposes as ``doc_len``).
     """
     terms = list(dict.fromkeys(query_terms))
     terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     having = f"HAVING COUNT(DISTINCT tf.term) = {len(terms)}" if matching == "all" else ""
+    where = (
+        f"WHERE tf.doc_key IN (SELECT {id_col} FROM {table} WHERE {candidate_where})"
+        if candidate_where
+        else ""
+    )
+    order = order_by or "score DESC, doc_key ASC"
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_key, unnest(regexp_extract_all({text_col}, '{token_regex}')) AS term
@@ -121,8 +136,9 @@ FROM tf
 JOIN df_t ON tf.term = df_t.term
 JOIN dl ON tf.doc_key = dl.doc_key
 CROSS JOIN stats
+{where}
 GROUP BY tf.doc_key
 {having}
-ORDER BY score DESC, doc_key ASC
+ORDER BY {order}
 LIMIT {k}
 """

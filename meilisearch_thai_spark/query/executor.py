@@ -261,6 +261,102 @@ def _make_bucket_topk(
     return run
 
 
+def _empty_topk_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "variant_id": pd.Series(dtype="int32"),
+            "doc_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+            "terms_matched": pd.Series(dtype="int64"),
+        }
+    )
+
+
+def _make_filtered_bucket_topk(
+    k1: float,
+    b: float,
+    avgdl: float,
+    n_docs: int,
+    k: int,
+    required_terms: dict[int, int],
+    phrase_terms: dict[int, list[str]] | None = None,
+):
+    """Per-bucket top-k restricted to an allowed-doc set (P4 filtered search).
+
+    Runs as a cogroup of (candidate blocks, allowed doc ids) per bucket: a
+    bucket with NO allowed docs is never decoded (the filter prunes whole
+    buckets before any posting bytes are touched — the filtered twin of
+    block-max pruning), and within a bucket only allowed docs enter the heap.
+    Block-max bounds stay valid upper bounds under filtering, so results are
+    exact.  Output is ≤ k rows per (variant, bucket); the caller merges with
+    a global top-k."""
+
+    def run(blocks_pdf: pd.DataFrame, allowed_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(blocks_pdf) or not len(allowed_pdf):
+            return _empty_topk_pdf()
+        allowed = np.sort(allowed_pdf["doc_id"].to_numpy(np.int64))
+        out_vid, out_doc, out_score, out_cnt = [], [], [], []
+        for vid, vg in blocks_pdf.groupby("variant_id", sort=False):
+            need = required_terms.get(int(vid))
+            ids_l, score_l = [], []
+            for row in vg.itertuples(index=False):
+                deltas = varbyte_decode(row.doc_bytes)
+                ids = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
+                tfs = varbyte_decode(row.tf_bytes).astype(np.float64)
+                dls = varbyte_decode(row.dl_bytes).astype(np.float64)
+                idf = np.log(1.0 + (n_docs - row.df + 0.5) / (row.df + 0.5))
+                score_l.append(idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl)))
+                ids_l.append(ids)
+            ids = np.concatenate(ids_l)
+            scores = np.concatenate(score_l)
+            keep = np.isin(ids, allowed, assume_unique=False)
+            ids, scores = ids[keep], scores[keep]
+            if not len(ids):
+                continue
+            uids, inv = np.unique(ids, return_inverse=True)
+            sums = np.bincount(inv, weights=scores)
+            cnts = np.bincount(inv)
+            if need is not None:
+                keep = cnts == need
+                uids, sums, cnts = uids[keep], sums[keep], cnts[keep]
+            if phrase_terms and int(vid) in phrase_terms and len(uids):
+                ok = _phrase_docs(vg, phrase_terms[int(vid)])
+                keep = np.fromiter((int(d) in ok for d in uids), dtype=bool, count=len(uids))
+                uids, sums, cnts = uids[keep], sums[keep], cnts[keep]
+            if not len(uids):
+                continue
+            order = np.lexsort((uids, -sums))[:k]
+            out_vid.append(np.full(len(order), vid, dtype=np.int32))
+            out_doc.append(uids[order])
+            out_score.append(sums[order])
+            out_cnt.append(cnts[order])
+        if not out_doc:
+            return _empty_topk_pdf()
+        return pd.DataFrame(
+            {
+                "variant_id": np.concatenate(out_vid),
+                "doc_id": np.concatenate(out_doc),
+                "score": np.concatenate(out_score),
+                "terms_matched": np.concatenate(out_cnt).astype(np.int64),
+            }
+        )
+
+    return run
+
+
+def parse_sort(sort: list[str], available: list[str]) -> list:
+    """``["field:asc|desc", ...]`` → orderBy Column list; unknown fields raise
+    (the reference 400s on non-sortable attributes; silently dropping a sort
+    is worse than rejecting it — VERDICT.md r1 'wire or reject')."""
+    cols = []
+    for s in sort:
+        fld, _, direction = s.partition(":")
+        if fld not in available:
+            raise ValueError(f"sort field {fld!r} not in doc metadata {sorted(available)}")
+        cols.append(F.asc(fld) if direction == "asc" else F.desc(fld))
+    return cols
+
+
 class SearchEngine:
     """Query-side handle on a built index directory."""
 
@@ -428,27 +524,57 @@ class SearchEngine:
         )
         return blocks.mapInPandas(run, _TOPK_SCHEMA)
 
-    def search_terms(
-        self,
-        terms: list[str],
-        k: int = 10,
-        matching: str = "best",
-    ) -> DataFrame:
-        """Single-variant BM25 top-k (the walking-skeleton API).
+    def allowed_docs(self, filters: dict) -> DataFrame:
+        """P4: filter dict → allowed doc_id set from the doc metadata table
+        (reference filter semantics: restrict candidates, corpus-wide BM25
+        stats unchanged — search_executor.py:766-829)."""
+        from .requests import filters_to_column
 
-        ``matching='all'`` requires every query term present (reference
-        matching strategy 'all'; search_executor.py:845-910), 'best' is
-        disjunctive.
-        """
-        qterms = [QueryTerm(0, t) for t in dict.fromkeys(terms)]
-        required = {0: len(qterms)} if matching == "all" else None
-        scored = self.score_variants_topk(qterms, k=k, required_terms=required)
-        topk = (
-            scored.orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-            .select("doc_id", "score", "terms_matched")
+        return self.doc_stats.filter(filters_to_column(filters)).select("doc_id")
+
+    def score_variants_topk_filtered(
+        self,
+        qterms: list[QueryTerm],
+        k: int,
+        allowed: DataFrame,
+        required_terms: dict[int, int] | None = None,
+        phrase_terms: dict[int, list[str]] | None = None,
+    ) -> DataFrame:
+        """Exact per-variant top-k over an allowed-doc subset (P4 + R11).
+
+        Cogroups candidate blocks with the allowed doc ids per bucket:
+        buckets with no allowed docs are pruned before any decode, and the
+        decode loop intersects with the allowed set before the heap.  The
+        allowed side arrives as one hash shuffle of bare doc ids (the filter
+        predicate itself was already pushed into the doc_stats scan)."""
+        cols = [
+            "variant_id", "bucket", "term", "df", "block_max_score",
+            "doc_bytes", "tf_bytes", "dl_bytes",
+        ]
+        if phrase_terms:
+            if not getattr(self.meta, "positional", False):
+                raise ValueError(
+                    "phrase matching requires a positional index "
+                    "(build_index(positional=True))"
+                )
+            cols.append("pos_bytes")
+        blocks = self.candidate_blocks(qterms).select(*cols)
+        allowed_b = allowed.withColumn(
+            "bucket", (F.col("doc_id") / F.lit(self.meta.bucket_span)).cast("long")
         )
-        out_cols = ["url", "doc_id", "score", "terms_matched"] + (
+        run = _make_filtered_bucket_topk(
+            self.meta.k1, self.meta.b, self.meta.avgdl, self.meta.n_docs, k,
+            required_terms or {}, phrase_terms,
+        )
+        return (
+            blocks.groupby("bucket")
+            .cogroup(allowed_b.groupby("bucket"))
+            .applyInPandas(run, _TOPK_SCHEMA)
+        )
+
+    def _finalize_hits(self, topk: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
+        """Resolve urls (and stored text) for the ≤ k winning rows."""
+        out_cols = ["url", "doc_id", "score", "terms_matched"] + (extra_cols or []) + (
             ["text_crop"] if "text_crop" in self.doc_stats.columns else []
         )
         return (
@@ -456,6 +582,55 @@ class SearchEngine:
             .select(*out_cols)
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
+
+    def search_terms(
+        self,
+        terms: list[str],
+        k: int = 10,
+        matching: str = "best",
+        filters: dict | None = None,
+        sort: list[str] | None = None,
+    ) -> DataFrame:
+        """Single-variant BM25 top-k (the walking-skeleton API).
+
+        ``matching='all'`` requires every query term present (reference
+        matching strategy 'all'; search_executor.py:845-910), 'best' is
+        disjunctive.  ``filters`` restricts candidates by doc metadata
+        (corpus-wide BM25 stats unchanged); ``sort`` replaces relevance order
+        with doc-field order (MeiliSearch sort semantics: sort fields first,
+        relevance as tie-break) — with sort the top-k cannot prune by score,
+        so the exact full-scoring path runs instead of the block-max heap.
+        """
+        qterms = [QueryTerm(0, t) for t in dict.fromkeys(terms)]
+        required = {0: len(qterms)} if matching == "all" else None
+        if sort:
+            sort_cols = parse_sort(sort, self.doc_stats.columns)
+            scored = self.score_variants(qterms)
+            if filters:
+                scored = scored.join(self.allowed_docs(filters), "doc_id")
+            if required:
+                scored = scored.filter(F.col("terms_matched") == required[0])
+            out_cols = ["url", "doc_id", "score", "terms_matched"] + (
+                ["text_crop"] if "text_crop" in self.doc_stats.columns else []
+            )
+            return (
+                self.doc_stats.join(scored.drop("variant_id"), "doc_id")
+                .orderBy(*sort_cols, F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .select(*out_cols)
+            )
+        if filters:
+            scored = self.score_variants_topk_filtered(
+                qterms, k=k, allowed=self.allowed_docs(filters), required_terms=required
+            )
+        else:
+            scored = self.score_variants_topk(qterms, k=k, required_terms=required)
+        topk = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score", "terms_matched")
+        )
+        return self._finalize_hits(topk)
 
     def search_with_proximity(
         self,
@@ -542,12 +717,19 @@ class SearchEngine:
                 out[d] = int(best)
         return out
 
-    def search(self, query: str, k: int = 10, matching: str = "best") -> DataFrame:
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        matching: str = "best",
+        filters: dict | None = None,
+        sort: list[str] | None = None,
+    ) -> DataFrame:
         """Tokenize ``query`` with the SAME pinned tokenizer and score."""
         from ..tokenizer import extract_index_terms, tokenize_for_index
 
         terms = extract_index_terms(tokenize_for_index(query))
-        return self.search_terms(terms, k=k, matching=matching)
+        return self.search_terms(terms, k=k, matching=matching, filters=filters, sort=sort)
 
     def multi_variant_search(
         self,
@@ -555,6 +737,8 @@ class SearchEngine:
         k: int = 10,
         min_score_threshold: float = 0.0,
         normalize: bool = False,
+        filters: dict | None = None,
+        sort: list[str] | None = None,
     ) -> DataFrame:
         """Full search-proxy semantics in ONE Spark job (SURVEY §3.3 / X1).
 
@@ -563,6 +747,14 @@ class SearchEngine:
         asyncio fan-out, search_executor.py:55-176), then R1/R2 weight+boost,
         X4 per-doc dedup keeping the best variant hit, optional R6
         normalization, P7 threshold, R10 top-k.
+
+        ``filters`` (P4, search_executor.py:721-764) restricts candidates by
+        doc metadata through the filtered block-max path; ``sort`` (P6,
+        search_executor.py:766-843) orders the final page by doc fields with
+        relevance as tie-break (score top-k pruning is disabled then — sort
+        must see every matching doc).  With sort, phrase variants degrade to
+        conjunctive matching (positions aren't decoded on the full-scoring
+        path).
 
         Returns (url, doc_id, score, variant_type, terms_matched).
         """
@@ -631,15 +823,35 @@ class SearchEngine:
         phrase_specs: dict[int, list[str]] = {}
         for vid, v in enumerate(pq.variants):
             if v.matching == "phrase":
-                if getattr(self.meta, "positional", False):
+                if getattr(self.meta, "positional", False) and not sort:
                     phrase_specs[vid] = list(v.terms)
                 else:
-                    # graceful degradation on a non-positional index:
-                    # conjunctive matching (all terms required, no adjacency)
+                    # graceful degradation on a non-positional index (or the
+                    # sort path): conjunctive matching (all terms required,
+                    # no adjacency)
                     pass
-        scored = self.score_variants_topk(
-            qterms, k=k, required_terms=required, phrase_terms=phrase_specs or None
-        )
+        if sort:
+            sort_cols = parse_sort(sort, self.doc_stats.columns)
+            scored = self.score_variants(qterms)
+            if filters:
+                scored = scored.join(self.allowed_docs(filters), "doc_id")
+            if required:
+                needmap = F.create_map(
+                    *[x for vid, n in required.items() for x in (F.lit(vid), F.lit(n))]
+                )
+                scored = scored.filter(
+                    needmap[F.col("variant_id")].isNull()
+                    | (F.col("terms_matched") == needmap[F.col("variant_id")])
+                )
+        elif filters:
+            scored = self.score_variants_topk_filtered(
+                qterms, k=k, allowed=self.allowed_docs(filters),
+                required_terms=required, phrase_terms=phrase_specs or None,
+            )
+        else:
+            scored = self.score_variants_topk(
+                qterms, k=k, required_terms=required, phrase_terms=phrase_specs or None
+            )
         # variant metadata folded in as literal maps (≤5 variants): no
         # createDataFrame / broadcast exchange on the latency path
         wmap = F.create_map(*[x for vid, _t, w, _n, _m in vmeta_rows for x in (F.lit(vid), F.lit(w))])
@@ -667,10 +879,19 @@ class SearchEngine:
             dedup = normalize_scores(dedup, "score")
         if min_score_threshold > 0:
             dedup = dedup.filter(F.col("score") >= F.lit(min_score_threshold))
-        topk = dedup.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         out_cols = ["url", "doc_id", "score", "variant_type", "terms_matched"] + (
             ["text_crop"] if "text_crop" in self.doc_stats.columns else []
         )
+        if sort:
+            # sort fields first, relevance as tie-break; limit AFTER the
+            # metadata join (TakeOrderedAndProject — no full sort materializes)
+            return (
+                self.doc_stats.join(dedup, "doc_id")
+                .orderBy(*sort_cols, F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .select(*out_cols)
+            )
+        topk = dedup.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         return (
             self.doc_stats.join(F.broadcast(topk), "doc_id")
             .select(*out_cols)

@@ -73,9 +73,18 @@ class SearchService:
         ab_test_algorithm: str | None = None,
         ab_traffic_pct: int = 10,
         min_score_threshold: float = 0.0,
+        filters: dict | None = None,
+        sort: list[str] | None = None,
     ) -> SearchResponse:
         req = validate_request(
-            SearchRequest(query, limit=limit, offset=offset, min_score_threshold=min_score_threshold)
+            SearchRequest(
+                query,
+                limit=limit,
+                offset=offset,
+                min_score_threshold=min_score_threshold,
+                filters=filters,
+                sort=list(sort or []),
+            )
         )
 
         # R8: A/B selection unless explicitly pinned
@@ -98,6 +107,8 @@ class SearchService:
             k=max(fetch_k, 1),
             min_score_threshold=req.min_score_threshold,
             normalize=config.normalize,
+            filters=req.filters,
+            sort=req.sort or None,
         ).collect()
         t_search = time.time()
 
@@ -137,7 +148,10 @@ class SearchService:
             out_hits.append(
                 Hit(h["url"], h["doc_id"], score, h["variant_type"], h["terms_matched"], highlights, rel)
             )
-        out_hits.sort(key=lambda x: (-x.score, x.doc_id))
+        if not sort:
+            # with sort=..., the engine's doc-field ordering is authoritative
+            # (re-sorting by enhanced score would undo it)
+            out_hits.sort(key=lambda x: (-x.score, x.doc_id))
         t_rank = time.time()
 
         timings = {
