@@ -344,6 +344,41 @@ def _make_filtered_bucket_topk(
     return run
 
 
+def matching_prefixes(
+    terms: list[str],
+    matching: str,
+    dfs: dict[str, int] | None = None,
+    max_levels: int = 5,
+) -> list[list[str]]:
+    """Q7 'last'/'frequency' as conjunctive prefix sub-variants
+    (query_processor.py:954-981, search_executor.py:735-742).
+
+    'last': MeiliSearch drops trailing query words until hits exist; per-doc
+    that means "score each doc on the longest query prefix it fully
+    contains", expressed here as one conjunctive sub-variant per prefix —
+    a doc's winning sub-variant is its longest matched prefix automatically,
+    because the longer prefix's BM25 sum strictly dominates (per-term scores
+    are positive) and the per-doc dedup keeps the max.
+
+    'frequency': same scheme over terms re-ordered rarest-first (ascending
+    document frequency), so the most selective terms are required and the
+    Zipf-head terms relax first.
+
+    ``max_levels`` caps the sub-variant count (the reference stops dropping
+    as soon as results appear; at 5 levels a miss on the 5 leading terms is
+    a miss).  Returns ``[terms]`` unchanged for other strategies.
+    """
+    uniq = list(dict.fromkeys(terms))
+    if matching not in ("last", "frequency") or len(uniq) < 2:
+        return [uniq]
+    if matching == "frequency":
+        dfs = dfs or {}
+        order = sorted(range(len(uniq)), key=lambda i: (dfs.get(uniq[i], 0), i))
+        uniq = [uniq[i] for i in order]
+    lo = max(1, len(uniq) - max_levels + 1)
+    return [uniq[:j] for j in range(len(uniq), lo - 1, -1)]
+
+
 def parse_sort(sort: list[str], available: list[str]) -> list:
     """``["field:asc|desc", ...]`` → orderBy Column list; unknown fields raise
     (the reference 400s on non-sortable attributes; silently dropping a sort
@@ -367,6 +402,7 @@ class SearchEngine:
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
         self._bucket_partitioned = False
+        self._df_cache: dict[str, int] = {}  # term -> document frequency
         if cache_postings:
             # Document-partitioned serving layout (the way search engines
             # shard): cache the postings hash-partitioned by bucket ONCE, so
@@ -524,6 +560,41 @@ class SearchEngine:
         )
         return blocks.mapInPandas(run, _TOPK_SCHEMA)
 
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Document frequency per query term (drives 'frequency' matching).
+
+        One term-pushdown scan for the not-yet-cached terms only; results are
+        memoized per engine, so repeated/warm queries pay nothing.  A term
+        absent from the index gets df=0 (sorts first — required earliest —
+        which keeps unknown terms from silently relaxing)."""
+        missing = sorted({t for t in terms if t not in self._df_cache})
+        if missing:
+            rows = (
+                self.postings.filter(F.col("term").isin(missing))
+                .groupBy("term")
+                .agg(F.max("df").alias("df"))
+                .collect()
+            )
+            for r in rows:
+                self._df_cache[r["term"]] = int(r["df"])
+            for t in missing:
+                self._df_cache.setdefault(t, 0)
+        return {t: self._df_cache[t] for t in terms}
+
+    @staticmethod
+    def _dedup_best_per_doc(scored: DataFrame) -> DataFrame:
+        """Keep each doc's best sub-variant row (X4 within one logical
+        variant): max score, ties to the earliest sub-variant."""
+        best = F.max_by(
+            F.struct("score", "terms_matched"),
+            F.struct(F.col("score"), -F.col("variant_id")),
+        ).alias("b")
+        return scored.groupBy("doc_id").agg(best).select(
+            "doc_id",
+            F.col("b.score").alias("score"),
+            F.col("b.terms_matched").alias("terms_matched"),
+        )
+
     def allowed_docs(self, filters: dict) -> DataFrame:
         """P4: filter dict → allowed doc_id set from the doc metadata table
         (reference filter semantics: restrict candidates, corpus-wide BM25
@@ -595,26 +666,44 @@ class SearchEngine:
 
         ``matching='all'`` requires every query term present (reference
         matching strategy 'all'; search_executor.py:845-910), 'best' is
-        disjunctive.  ``filters`` restricts candidates by doc metadata
-        (corpus-wide BM25 stats unchanged); ``sort`` replaces relevance order
-        with doc-field order (MeiliSearch sort semantics: sort fields first,
-        relevance as tie-break) — with sort the top-k cannot prune by score,
-        so the exact full-scoring path runs instead of the block-max heap.
+        disjunctive, 'last'/'frequency' expand into conjunctive prefix
+        sub-variants (:func:`matching_prefixes`) scored in the same job.
+        ``filters`` restricts candidates by doc metadata (corpus-wide BM25
+        stats unchanged); ``sort`` replaces relevance order with doc-field
+        order (MeiliSearch sort semantics: sort fields first, relevance as
+        tie-break) — with sort the top-k cannot prune by score, so the exact
+        full-scoring path runs instead of the block-max heap.
         """
-        qterms = [QueryTerm(0, t) for t in dict.fromkeys(terms)]
-        required = {0: len(qterms)} if matching == "all" else None
+        uniq = list(dict.fromkeys(terms))
+        dfs = self.term_dfs(uniq) if matching == "frequency" and len(uniq) > 1 else None
+        prefixes = matching_prefixes(uniq, matching, dfs)
+        qterms = [QueryTerm(vid, t) for vid, pf in enumerate(prefixes) for t in pf]
+        if matching == "all":
+            required: dict[int, int] | None = {0: len(uniq)}
+        elif len(prefixes) > 1:
+            required = {vid: len(pf) for vid, pf in enumerate(prefixes)}
+        else:
+            required = None
         if sort:
             sort_cols = parse_sort(sort, self.doc_stats.columns)
             scored = self.score_variants(qterms)
             if filters:
                 scored = scored.join(self.allowed_docs(filters), "doc_id")
             if required:
-                scored = scored.filter(F.col("terms_matched") == required[0])
+                needmap = F.create_map(
+                    *[x for vid, n in required.items() for x in (F.lit(vid), F.lit(n))]
+                )
+                scored = scored.filter(F.col("terms_matched") == needmap[F.col("variant_id")])
+            scored = (
+                self._dedup_best_per_doc(scored)
+                if len(prefixes) > 1
+                else scored.drop("variant_id")
+            )
             out_cols = ["url", "doc_id", "score", "terms_matched"] + (
                 ["text_crop"] if "text_crop" in self.doc_stats.columns else []
             )
             return (
-                self.doc_stats.join(scored.drop("variant_id"), "doc_id")
+                self.doc_stats.join(scored, "doc_id")
                 .orderBy(*sort_cols, F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .select(*out_cols)
@@ -625,6 +714,8 @@ class SearchEngine:
             )
         else:
             scored = self.score_variants_topk(qterms, k=k, required_terms=required)
+        if len(prefixes) > 1:
+            scored = self._dedup_best_per_doc(scored)
         topk = (
             scored.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
@@ -776,11 +867,33 @@ class SearchEngine:
 
         qterms = []
         vmeta_rows = []
-        for vid, v in enumerate(pq.variants):
-            uniq = list(dict.fromkeys(v.terms))
-            for t in uniq:
+        phrase_specs: dict[int, list[str]] = {}
+        # one df lookup covering every 'frequency' variant's terms (memoized)
+        freq_terms = sorted(
+            {t for v in pq.variants if v.matching == "frequency" and len(set(v.terms)) > 1 for t in v.terms}
+        )
+        dfs = self.term_dfs(freq_terms) if freq_terms else None
+
+        def add_scoring_variant(vtype: str, terms: list[str], weight: float, m: str) -> int:
+            vid = len(vmeta_rows)
+            for t in terms:
                 qterms.append(QueryTerm(vid, t))
-            vmeta_rows.append((vid, v.variant_type, float(v.weight), len(uniq), v.matching))
+            vmeta_rows.append((vid, vtype, float(weight), len(terms), m))
+            return vid
+
+        for v in pq.variants:
+            uniq = list(dict.fromkeys(v.terms))
+            if v.matching in ("last", "frequency") and len(uniq) >= 2:
+                # Q7: one conjunctive sub-variant per prefix, all in this job;
+                # a doc's longest matched prefix wins the per-doc dedup
+                for pf in matching_prefixes(uniq, v.matching, dfs):
+                    add_scoring_variant(v.variant_type, pf, v.weight, "all")
+                continue
+            vid = add_scoring_variant(v.variant_type, uniq, v.weight, v.matching)
+            if v.matching == "phrase" and getattr(self.meta, "positional", False) and not sort:
+                phrase_specs[vid] = list(v.terms)
+            # non-positional index or sort path: phrase degrades to
+            # conjunctive matching (all terms required, no adjacency)
 
         # Q10 vocabulary expansion as an extra FALLBACK variant: MeiliSearch
         # matches sub-words/prefixes natively (the golden corpus's
@@ -820,16 +933,6 @@ class SearchEngine:
         required = {
             vid: n for vid, _t, _w, n, m in vmeta_rows if m in ("all", "phrase")
         }
-        phrase_specs: dict[int, list[str]] = {}
-        for vid, v in enumerate(pq.variants):
-            if v.matching == "phrase":
-                if getattr(self.meta, "positional", False) and not sort:
-                    phrase_specs[vid] = list(v.terms)
-                else:
-                    # graceful degradation on a non-positional index (or the
-                    # sort path): conjunctive matching (all terms required,
-                    # no adjacency)
-                    pass
         if sort:
             sort_cols = parse_sort(sort, self.doc_stats.columns)
             scored = self.score_variants(qterms)

@@ -39,14 +39,18 @@ BASE_WEIGHTS = {
     "phrase": 1.0,  # quoted PHRASE variant (query_processor.py:436-702)
 }
 
-# Per-variant matching strategy (query_processor.py:954-981, Q7):
-# original -> 'all' (conjunctive), tokenized -> 'last', fallback -> 'frequency'.
+# Per-variant matching strategy (query_processor.py:954-981 +
+# search_executor.py:735-742, Q7): original -> 'all' (conjunctive),
+# tokenized/compound/mixed -> 'last' (drop trailing terms until hits),
+# fallback -> 'frequency' (relax highest-df terms first).  The executor
+# expands 'last'/'frequency' into conjunctive prefix sub-variants scored in
+# the same single job (executor.matching_prefixes).
 MATCHING_STRATEGY = {
     "original": "all",
-    "tokenized": "best",
-    "compound_split": "best",
-    "fallback": "best",
-    "mixed_language": "best",
+    "tokenized": "last",
+    "compound_split": "last",
+    "fallback": "frequency",
+    "mixed_language": "last",
     "phrase": "phrase",  # exact adjacency on a positional index
 }
 
