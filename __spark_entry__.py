@@ -260,6 +260,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size(hl).alias("n_highlights"),
         )
 
+    def e1_highlight_generate(spark, sf):
+        # E1 highlight GENERATION (search-time <em> insertion around matched
+        # terms — the reference's _formatted view), corpus-scale Column twin
+        # of the per-page crop_and_highlight (enhancer.highlight_expr)
+        from meilisearch_thai_spark.query.enhancer import highlight_expr
+
+        docs = _t(spark, sf, "documents")
+        marked = highlight_expr(F.col("text"), ["data", "hash", "table"])
+        return docs.select(
+            "doc_id",
+            marked.alias("formatted"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("(table|data|hash)"), 1)).alias(
+                "n_marks"
+            ),
+        )
+
     def r3_exact_boost(spark, sf):
         # R3 exact-match boost ×2.0 (result_ranker.py:1286-1303)
         docs = _t(spark, sf, "documents")
@@ -335,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_langid": stats_langid,
         "agg_partial_q1": agg_partial_q1,
         "e1_highlight_extract": e1_highlight_extract,
+        "e1_highlight_generate": e1_highlight_generate,
         "r3_exact_boost": r3_exact_boost,
         "r5_tiebreak_sort": r5_tiebreak_sort,
         "mm_binary_meta": mm_binary_meta,
@@ -424,6 +441,12 @@ FROM documents GROUP BY 1
 SELECT doc_id,
        coalesce(array_to_string(regexp_extract_all(text, '(data|hash|table)', 1), '|'), '') AS highlights,
        len(regexp_extract_all(text, '(data|hash|table)', 1)) AS n_highlights
+FROM documents
+""",
+        "e1_highlight_generate": """
+SELECT doc_id,
+       regexp_replace(text, '(table|data|hash)', '<em>\\1</em>', 'g') AS formatted,
+       len(regexp_extract_all(text, '(table|data|hash)', 1)) AS n_marks
 FROM documents
 """,
         "r3_exact_boost": """

@@ -53,6 +53,83 @@ def highlights_column(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# E1b — highlight GENERATION + crop (search_executor.py:705-723 highlight
+# config, :874-878 Thai crop-doubling; MeiliSearch _formatted semantics)
+# ---------------------------------------------------------------------------
+
+HIGHLIGHT_PRE = "<em>"
+HIGHLIGHT_POST = "</em>"
+CROP_MARKER = "…"
+THAI_CROP_CAP = 400  # min(cropLength * 2, 400) — search_executor.py:877
+
+
+def _term_pattern(term: str) -> str:
+    """Regex for one term; Thai terms tolerate interleaved ZWSP (the
+    tokenizer's joining artifact, SURVEY T9) so stored text highlights even
+    when it carries U+200B boundaries."""
+    from ..tokenizer import is_thai_char
+
+    if any(is_thai_char(c) for c in term):
+        return "\u200b?".join(re.escape(c) for c in term)
+    return re.escape(term)
+
+
+def _terms_regex(terms: list[str]) -> re.Pattern | None:
+    terms = [t for t in dict.fromkeys(terms) if t and len(t) >= 2]
+    if not terms:
+        return None
+    # longest-first alternation: a compound never gets shadowed (and then
+    # re-marked inside) by one of its parts
+    pat = "|".join(_term_pattern(t) for t in sorted(terms, key=len, reverse=True))
+    return re.compile(f"({pat})", re.IGNORECASE)
+
+
+def crop_and_highlight(
+    text: str,
+    terms: list[str],
+    crop_length: int = 200,
+    pre: str = HIGHLIGHT_PRE,
+    post: str = HIGHLIGHT_POST,
+    marker: str = CROP_MARKER,
+    thai_crop_double: bool = True,
+) -> tuple[str, list[str]]:
+    """Generate the reference's ``_formatted`` view: ``(cropped text with
+    <em> markers, matched fragments)``.
+
+    The crop window is chosen on the UNMARKED text centered on the first
+    match (head-crop when none), then markers are inserted inside the window
+    only — tags can never be split by the crop.  Thai-dominant text doubles
+    the crop window capped at 400 chars, reproducing the reference's
+    adjustment for tokenized Thai variants."""
+    from ..tokenizer import thai_ratio
+
+    text = text or ""
+    if thai_crop_double and thai_ratio(text) > 0.5:
+        crop_length = min(crop_length * 2, THAI_CROP_CAP)
+    rx = _terms_regex(terms)
+    m = rx.search(text) if rx else None
+    if m is None:
+        window = text[:crop_length]
+        cropped = window + (marker if len(text) > crop_length else "")
+        return cropped, []
+    start = max(0, min(m.start() - crop_length // 2, len(text) - crop_length))
+    window = text[start : start + crop_length]
+    marked = rx.sub(lambda g: pre + g.group(0) + post, window)
+    prefix = marker if start > 0 else ""
+    suffix = marker if start + crop_length < len(text) else ""
+    return prefix + marked + suffix, [g.group(0) for g in rx.finditer(window)]
+
+
+def highlight_expr(text_col, terms: list[str], pre: str = HIGHLIGHT_PRE, post: str = HIGHLIGHT_POST):
+    """Corpus-scale Spark twin of highlight generation (Column expression,
+    whole-stage codegen — the shape used when exporting a `_formatted` column
+    for a whole result table rather than one response page)."""
+    terms = [t for t in dict.fromkeys(terms) if t]
+    pat = "(" + "|".join(re.escape(t) for t in sorted(terms, key=len, reverse=True)) + ")"
+    return F.regexp_replace(text_col, pat, pre + "$1" + post)
+
+
+# ---------------------------------------------------------------------------
 # E2-E4 — spans (result_enhancer.py:392-432,460-487,507-543)
 # ---------------------------------------------------------------------------
 

@@ -22,6 +22,7 @@ from .enhancer import (
     ALGORITHMS,
     RankingConfig,
     content_similarity_dedup,
+    crop_and_highlight,
     enhanced_score,
     extract_highlights,
     fuzzy_partial_confidence,
@@ -42,6 +43,7 @@ class Hit:
     terms_matched: int
     highlights: list[str] = field(default_factory=list)
     relevance: dict = field(default_factory=dict)
+    formatted: str = ""  # the reference's _formatted: cropped text with <em> marks
 
 
 @dataclass
@@ -75,6 +77,7 @@ class SearchService:
         min_score_threshold: float = 0.0,
         filters: dict | None = None,
         sort: list[str] | None = None,
+        crop_length: int = 200,
     ) -> SearchResponse:
         req = validate_request(
             SearchRequest(
@@ -84,6 +87,7 @@ class SearchService:
                 min_score_threshold=min_score_threshold,
                 filters=filters,
                 sort=list(sort or []),
+                crop_length=crop_length,
             )
         )
 
@@ -132,21 +136,34 @@ class SearchService:
 
         out_hits = []
         q_lower = req.query.lower()
+        # highlight terms: every variant's terms + the raw query (longest
+        # match wins inside crop_and_highlight's alternation)
+        hl_terms = list(dict.fromkeys([t for v in pq.variants for t in v.terms] + [req.query]))
         for h in page:
             text = str(h.get("text", ""))
-            highlights = extract_highlights(text)
+            has_content = bool(text) and text != h["url"]
+            if has_content:
+                # E1 generation: the reference's _formatted hit view
+                # (search_executor.py:705-723; Thai crop-doubling :874-878)
+                formatted, gen_hl = crop_and_highlight(text, hl_terms, req.crop_length)
+            else:
+                formatted, gen_hl = "", []
+            highlights = gen_hl or extract_highlights(text)
             conf = fuzzy_partial_confidence(q_lower, text.lower())
             rel = relevance_factors(text, highlights, 0, h["terms_matched"], [conf] if conf else [])
             # R3/E5 on stored content: exact substring containment boosts 2.0
             # (result_ranker.py:1286-1303); thai-ratio boost capped at 1.8
             from ..tokenizer import thai_ratio as _tr
 
-            exact = q_lower in text.lower() and text != h["url"]
-            score = enhanced_score(h["score"], 0, _tr(text) if text != h["url"] else 0.0, False)
+            exact = q_lower in text.lower() and has_content
+            score = enhanced_score(h["score"], 0, _tr(text) if has_content else 0.0, False)
             if exact:
                 score *= 2.0
             out_hits.append(
-                Hit(h["url"], h["doc_id"], score, h["variant_type"], h["terms_matched"], highlights, rel)
+                Hit(
+                    h["url"], h["doc_id"], score, h["variant_type"], h["terms_matched"],
+                    highlights, rel, formatted,
+                )
             )
         if not sort:
             # with sort=..., the engine's doc-field ordering is authoritative
