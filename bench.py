@@ -85,11 +85,13 @@ def main() -> None:
     eng = SearchEngine(spark, idx_dir)
     eng.postings.count()  # materialize cache
     eng.doc_stats.count()
-    eng.search(THAI_QUERIES[0], k=10).collect()  # warm python workers
+    # serving warmup: builds the decoded warm tier + compiles the point-query
+    # plan once (codegen cached thereafter — InSet keeps source stable)
+    eng.search_page(THAI_QUERIES[0], k=10)
     lat = []
     for q in THAI_QUERIES:
         t0 = time.time()
-        eng.search(q, k=10).collect()
+        eng.search_page(q, k=10)
         lat.append(time.time() - t0)
     timings["thai_query_p50"] = round(statistics.median(lat), 3)
     extra["thai_query_max"] = round(max(lat), 3)

@@ -106,14 +106,14 @@ class SearchService:
         # need offset+limit rows, +headroom when content-dedup may drop some
         k = req.offset + req.limit
         fetch_k = k * 2 if config.content_dedup else k
-        rows = self.engine.multi_variant_search(
+        rows = self.engine.multi_variant_page(
             req.query,
             k=max(fetch_k, 1),
             min_score_threshold=req.min_score_threshold,
             normalize=config.normalize,
             filters=req.filters,
             sort=req.sort or None,
-        ).collect()
+        )
         t_search = time.time()
 
         # when the index stores content (build_index(store_text_crop=N)),
@@ -125,7 +125,7 @@ class SearchService:
                 "score": float(r["score"]),
                 "variant_type": r["variant_type"],
                 "terms_matched": int(r["terms_matched"]),
-                "text": (r["text_crop"] if "text_crop" in r.__fields__ else None) or r["url"],
+                "text": r.get("text_crop") or r["url"],
             }
             for r in rows
         ]

@@ -42,6 +42,11 @@ def build_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # always compile IN-lists to InSet (a referenced set object) instead
+        # of inlined constants: point-query plans then generate IDENTICAL
+        # Java source across queries, so Janino's codegen cache hits and the
+        # per-query compile cost disappears from serving latency
+        .config("spark.sql.optimizer.inSetConversionThreshold", "0")
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
