@@ -61,6 +61,7 @@ class IndexMeta:
     n_terms: int = -1
     n_postings: int = -1
     positional: bool = False
+    stopwords_fingerprint: str = ""  # T12: "" = no stop-word list (default OFF)
 
 
 POSTINGS_SCHEMA = T.StructType(
@@ -196,6 +197,7 @@ def tokenized_docs(
     _caches: list[DataFrame] | None = None,
     store_text_crop: int | None = None,
     positional: bool = False,
+    stopwords: frozenset[str] | None = None,
 ) -> DataFrame:
     """pages → (doc_id, url, lang, doc_len, norm_hash, terms) in ONE pass.
 
@@ -258,6 +260,11 @@ def tokenized_docs(
                 if isinstance(t, str) and t:
                     toks = tokenize_for_index(t)
                     tt = extract_index_terms(toks)
+                    if stopwords:
+                        # T12: stop-words leave the POSTING stream only — the
+                        # norm hash below stays over the full token stream
+                        # (byte-identity extraction contract is untouched)
+                        tt = [w for w in tt if w not in stopwords]
                     norm = proc.process_tokens(t, toks).processed_text
                     h = hashlib.sha256(norm.encode("utf-8")).hexdigest()
                 else:
@@ -442,6 +449,7 @@ def build_index(
     postings_partitions: int | None = None,
     store_text_crop: int | None = None,
     positional: bool = False,
+    stopwords: list[str] | frozenset[str] | None = None,
 ) -> IndexMeta:
     """Build the full inverted index under ``out_dir``.
 
@@ -453,16 +461,24 @@ def build_index(
     behavior (settings_manager.py:80-95): hits come back with content for
     highlighting and exact-match boosts.  Off by default (at web scale stored
     text multiplies the doc_stats footprint).
+
+    ``stopwords`` (T12; reference settings_manager stopWords, default OFF like
+    the reference ships none for Thai) drops the listed terms from the posting
+    stream inside the fused tokenize pass — doc_len and BM25 stats then count
+    indexed terms only; the byte-identity norm hash is unaffected.  The list's
+    fingerprint lands in meta.json so index/query config drift is detectable.
     """
     from ..dictionary import dictionary_fingerprint
 
     postings_partitions = postings_partitions or spark.sparkContext.defaultParallelism
+    stopset = frozenset(stopwords) if stopwords else None
 
     # id assignment + tokenization + byte-identity hash fused into one pass
     # (column pruning first: html/warc_ts never enter a shuffle or Python)
     caches: list[DataFrame] = []
     docs = tokenized_docs(
-        pages, _caches=caches, store_text_crop=store_text_crop, positional=positional
+        pages, _caches=caches, store_text_crop=store_text_crop, positional=positional,
+        stopwords=stopset,
     ).persist()
 
     # doc_stats: id mapping + byte-identity lineage hash (north-rule invariant).
@@ -516,6 +532,8 @@ def build_index(
         .parquet(os.path.join(out_dir, "postings"))
     )
 
+    import hashlib as _hashlib
+
     meta = IndexMeta(
         n_docs=n_docs,
         avgdl=avgdl,
@@ -525,6 +543,11 @@ def build_index(
         b=params.b,
         dictionary_fingerprint=dictionary_fingerprint(),
         positional=positional,
+        stopwords_fingerprint=(
+            _hashlib.sha256("\n".join(sorted(stopset)).encode("utf-8")).hexdigest()
+            if stopset
+            else ""
+        ),
     )
     pst = spark.read.parquet(os.path.join(out_dir, "postings"))
     agg = pst.agg(

@@ -163,19 +163,80 @@ def _clamp_weight(w: float) -> float:
     return max(0.1, min(1.0, w))
 
 
+CHAR_FALLBACK_CONFIDENCE = 0.3  # query_processor.py:431 (character-level)
+
+
+def tokenization_confidence(query: str, tokens: list[str]) -> float:
+    """Q3: tokenization-quality confidence blend (query_processor.py:339-394).
+
+    Mean of: (1) tokens-per-char reasonableness — optimal 0.1-0.5 tokens per
+    non-space char; (2) processing-time factor, PINNED to 1.0 here (the
+    reference computes max(0.1, 1 - ms/1000) and our pinned in-process
+    segmenter runs sub-millisecond, so the reference value is ~1.0 too —
+    pinning keeps the blend deterministic, SURVEY §7 M0); (3) average Thai
+    token length — 2-6 chars preferred.  Empty tokenization → 0.0."""
+    if not tokens:
+        return 0.0
+    factors: list[float] = []
+    qlen = len(query.replace(" ", ""))
+    if qlen > 0:
+        tpc = len(tokens) / qlen
+        if 0.1 <= tpc <= 0.5:
+            factors.append(1.0)
+        elif tpc < 0.1:
+            factors.append(tpc / 0.1)
+        else:
+            factors.append(max(0.1, 1.0 - (tpc - 0.5) / 0.5))
+    factors.append(1.0)  # time factor (deterministic pin, see docstring)
+    thai_tokens = [t for t in tokens if any(is_thai_char(c) for c in t)]
+    if thai_tokens:
+        avg_len = sum(len(t) for t in thai_tokens) / len(thai_tokens)
+        if 2 <= avg_len <= 6:
+            factors.append(1.0)
+        elif avg_len < 2:
+            factors.append(avg_len / 2)
+        else:
+            factors.append(max(0.3, 1.0 - (avg_len - 6) / 10))
+    return sum(factors) / len(factors) if factors else 0.5
+
+
+def _tokenization_quality_multiplier(confidence: float, variant_type: str) -> float:
+    """Q3→Q5 feed (query_processor.py:929-952): confidence bands scale the
+    variant weight; ORIGINAL doesn't depend on tokenization quality."""
+    if variant_type == "original":
+        return 1.0
+    if confidence >= 0.9:
+        return 1.1
+    if confidence >= 0.7:
+        return 1.0
+    if confidence >= 0.5:
+        return 0.9
+    return 0.8
+
+
 def generate_variants(q: str, analysis: QueryAnalysis, preserve_original: bool = True) -> list[QueryVariant]:
     """Q4: emit ORIGINAL / TOKENIZED / COMPOUND_SPLIT / MIXED / FALLBACK,
     dedup by lowercased text, cap at MAX_QUERY_VARIANTS keeping highest
     weight (query_processor.py:436-702)."""
     length_m = _length_multiplier(analysis)
     candidates: list[QueryVariant] = []
+    primary = tokenize_for_index(q)
+    # Q3: one confidence for the primary segmentation; the char-level
+    # fallback carries its own pinned low confidence (query_processor.py:431)
+    primary_conf = tokenization_confidence(q, extract_index_terms(primary))
 
     def add(vt: str, tokens: list[str], meta: dict | None = None) -> None:
         terms = extract_index_terms(tokens)
         if not terms:
             return
         text = " ".join(terms)
-        w = _clamp_weight(BASE_WEIGHTS[vt] * length_m * _language_multiplier(analysis, vt))
+        conf = CHAR_FALLBACK_CONFIDENCE if vt == "fallback" else primary_conf
+        w = _clamp_weight(
+            BASE_WEIGHTS[vt]
+            * length_m
+            * _language_multiplier(analysis, vt)
+            * _tokenization_quality_multiplier(conf, vt)
+        )
         candidates.append(
             QueryVariant(
                 variant_type=vt,
@@ -183,11 +244,9 @@ def generate_variants(q: str, analysis: QueryAnalysis, preserve_original: bool =
                 terms=terms,
                 weight=w,
                 matching=MATCHING_STRATEGY[vt],
-                metadata=meta or {},
+                metadata={**(meta or {}), "tokenization_confidence": round(conf, 4)},
             )
         )
-
-    primary = tokenize_for_index(q)
     if preserve_original:
         add("original", primary, {"source": "original"})
     add("tokenized", primary, {"engine": "newmm"})

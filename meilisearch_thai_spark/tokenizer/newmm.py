@@ -211,6 +211,19 @@ class NewmmSegmenter:
             i += 1
         return tokens
 
+    def _token_confidence(self, tok: str) -> float:
+        """Deterministic per-token confidence (Q3 substrate): dictionary Thai
+        words are certain (1.0), unknown Thai clusters came from the DP
+        fallback (0.5), Latin/digit runs are rule-based (0.9), everything
+        else — punctuation, symbols, whitespace — is neutral (0.7)."""
+        if not tok or tok.isspace():
+            return 0.7
+        if is_thai_char(tok[0]):
+            return 1.0 if tok in self.trie else 0.5
+        if tok[0].isascii() and (tok[0].isalpha() or tok[0].isdigit()):
+            return 0.9
+        return 0.7
+
     def segment_text(self, text: str) -> TokenizationResult:
         """Full result with boundaries — reference thai_segmenter.py:84-155."""
         if not text or not text.strip():
@@ -222,6 +235,7 @@ class NewmmSegmenter:
             original_text=text,
             tokens=tokens,
             word_boundaries=boundaries,
+            confidence_scores=[self._token_confidence(t) for t in tokens],
             processing_time_ms=(time.perf_counter() - t0) * 1000.0,
             engine=self.engine_tag,
         )
