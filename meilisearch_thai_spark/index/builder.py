@@ -450,6 +450,7 @@ def build_index(
     store_text_crop: int | None = None,
     positional: bool = False,
     stopwords: list[str] | frozenset[str] | None = None,
+    sink=None,
 ) -> IndexMeta:
     """Build the full inverted index under ``out_dir``.
 
@@ -467,8 +468,16 @@ def build_index(
     stream inside the fused tokenize pass — doc_len and BM25 stats then count
     indexed terms only; the byte-identity norm hash is unaffected.  The list's
     fingerprint lands in meta.json so index/query config drift is detectable.
+
+    ``sink`` (default :class:`~.sinks.ParquetSink` rooted at ``out_dir``) is
+    the storage seam: every final index table write/read goes through it, so
+    an Iceberg deployment is ``sink=IcebergSink("cat.db.idx")`` — one
+    constructor, zero builder changes (north-rule Iceberg mapping).
     """
     from ..dictionary import dictionary_fingerprint
+    from .sinks import ParquetSink
+
+    sink = sink or ParquetSink(out_dir)
 
     postings_partitions = postings_partitions or spark.sparkContext.defaultParallelism
     stopset = frozenset(stopwords) if stopwords else None
@@ -487,11 +496,11 @@ def build_index(
     if store_text_crop is not None:
         stat_cols.append("text_crop")
     obs = Observation("corpus_stats")
-    (
-        docs.select(*stat_cols)
-        .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "doc_stats"))
+    sink.write(
+        docs.select(*stat_cols).observe(
+            obs, F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+        ),
+        "doc_stats",
     )  # docs is already range-partitioned by url → doc_id-contiguous files, no shuffle
     for c in caches:  # docs cache is materialized now; upstream caches can go
         c.unpersist()
@@ -525,11 +534,10 @@ def build_index(
 
     # final clustering by term: blocks are already compressed (cheap shuffle),
     # and term-contiguous files give parquet row-group pruning at query time
-    (
+    sink.write(
         postings.repartition(postings_partitions, "term")
-        .sortWithinPartitions("term", "bucket", "block_id")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "postings"))
+        .sortWithinPartitions("term", "bucket", "block_id"),
+        "postings",
     )
 
     import hashlib as _hashlib
@@ -549,7 +557,7 @@ def build_index(
             else ""
         ),
     )
-    pst = spark.read.parquet(os.path.join(out_dir, "postings"))
+    pst = sink.read(spark, "postings")
     agg = pst.agg(
         F.countDistinct("term").alias("nt"), F.sum("n_docs").alias("np")
     ).collect()[0]

@@ -221,14 +221,23 @@ def finalize_index(
     block_size: int = DEFAULT_BLOCK_SIZE,
     bucket_span: int = DEFAULT_BUCKET_SPAN,
     params: BM25Params = BM25Params(),
+    sink=None,
 ) -> IndexMeta:
     """Phase 2 (shared by resumable batch and streaming ingest): committed tf
     shards + doc_map → doc_stats, compressed postings, meta.json.
 
     ``tf_all`` defaults to ``{out_dir}/tf`` (columns shard, url, term, tf,
     doc_len, norm_hash); ``doc_map`` defaults to ``{out_dir}/doc_map``
-    (url, lang, doc_id).  Idempotent: all writes are overwrite-mode."""
+    (url, lang, doc_id).  Idempotent: all writes are overwrite-mode.
+
+    Final index tables go through ``sink`` (default parquet at ``out_dir``;
+    see ``index.sinks`` for the Iceberg mapping).  The tf/doc_map STAGING
+    area stays path-based parquet deliberately — it is the resumable
+    checkpoint format (shard markers + atomic dirs), not a queryable table."""
     from ..dictionary import dictionary_fingerprint
+    from .sinks import ParquetSink
+
+    sink = sink or ParquetSink(out_dir)
 
     if tf_all is None:
         tf_all = spark.read.parquet(os.path.join(out_dir, "tf"))
@@ -239,8 +248,8 @@ def finalize_index(
     per_doc = tf_all.select("url", "doc_len", "norm_hash").dropDuplicates(["url"])
 
     doc_stats = per_doc.join(doc_map, "url").select("doc_id", "url", "lang", "doc_len", "norm_hash")
-    doc_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
-    doc_stats = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
+    sink.write(doc_stats, "doc_stats")
+    doc_stats = sink.read(spark, "doc_stats")
 
     g = doc_stats.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 1.0)
@@ -260,11 +269,10 @@ def finalize_index(
     )
     parts = spark.sparkContext.defaultParallelism
     postings = encode_postings(posting_rows, n_docs, avgdl, params, block_size, parts)
-    (
+    sink.write(
         postings.repartition(parts, "term")
-        .sortWithinPartitions("term", "bucket", "block_id")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "postings"))
+        .sortWithinPartitions("term", "bucket", "block_id"),
+        "postings",
     )
     with_ids.unpersist()
 
@@ -278,7 +286,7 @@ def finalize_index(
         dictionary_fingerprint=dictionary_fingerprint(),
         positional=positional,
     )
-    pst = spark.read.parquet(os.path.join(out_dir, "postings"))
+    pst = sink.read(spark, "postings")
     agg = pst.agg(F.countDistinct("term").alias("nt"), F.sum("n_docs").alias("np")).collect()[0]
     meta.n_terms, meta.n_postings = int(agg["nt"]), int(agg["np"])
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
