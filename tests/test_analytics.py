@@ -1,0 +1,102 @@
+"""S6 analytics parity (VERDICT r1 item 8): query patterns, sessions,
+performance trends as DataFrame aggregations (reference analytics.py:211-332).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from meilisearch_thai_spark.query import analytics as an
+
+T0 = datetime(2025, 6, 1, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    recs = [
+        # session A: 3 searches over 120 s, all successful
+        {"query": "อาหารไทย", "session_id": "A", "ts": T0, "response_time_ms": 100.0,
+         "n_hits": 5, "success": True, "language": "thai"},
+        {"query": "อาหารไทย", "session_id": "A", "ts": T0 + timedelta(seconds=60),
+         "response_time_ms": 200.0, "n_hits": 3, "success": True, "language": "thai"},
+        {"query": "street food", "session_id": "A", "ts": T0 + timedelta(seconds=120),
+         "response_time_ms": 1500.0, "n_hits": 1, "success": True, "language": "english"},
+        # session B: bounce (single search), zero results, failed
+        {"query": "xyzzy", "session_id": "B", "ts": T0 + timedelta(hours=1),
+         "response_time_ms": 50.0, "n_hits": 0, "success": False, "language": "english"},
+        # sessionless request
+        {"query": "  Street   FOOD ", "session_id": None, "ts": T0 + timedelta(hours=1, minutes=5),
+         "response_time_ms": 300.0, "n_hits": 2, "success": True, "language": "english"},
+    ]
+    return an.events_frame(spark, recs)
+
+
+def test_query_patterns_normalize_and_aggregate(events):
+    pats = {r["pattern"]: r for r in an.query_patterns(events).collect()}
+    # whitespace-collapsed lowercase normalization merges the two spellings
+    assert pats["street food"]["frequency"] == 2
+    assert pats["อาหารไทย"]["frequency"] == 2
+    assert pats["xyzzy"]["zero_result_count"] == 1
+    assert pats["xyzzy"]["success_rate"] == 0.0
+    assert pats["อาหารไทย"]["avg_response_time_ms"] == 150.0
+
+
+def test_query_analytics_summary(events):
+    qa = an.query_analytics(events)
+    assert qa["total_unique_queries"] == 3
+    assert qa["total_query_volume"] == 5
+    assert qa["zero_result_queries"] == 1
+    assert qa["slow_queries"] == 1  # the 1500 ms one
+    assert qa["failed_queries"] == 1
+    assert qa["language_distribution"]["thai"] == 2
+    assert qa["top_queries"][0]["frequency"] == 2
+
+
+def test_session_analytics(events):
+    ss = {r["session_id"]: r for r in an.session_stats(events).collect()}
+    assert set(ss) == {"A", "B"}  # sessionless rows excluded
+    assert ss["A"]["total_searches"] == 3 and ss["A"]["duration_seconds"] == 120
+    assert ss["B"]["total_searches"] == 1 and ss["B"]["successful_searches"] == 0
+    agg = an.session_analytics(events)
+    assert agg["sessions"] == 2
+    assert agg["avg_session_duration_seconds"] == 60.0
+    assert agg["avg_queries_per_session"] == 2.0
+    assert agg["session_success_rate"] == 0.5
+    assert agg["bounce_rate"] == 0.5
+
+
+def test_performance_trends_hourly(events):
+    rows = an.performance_trends(events).collect()
+    assert len(rows) == 2  # two distinct hours
+    first = rows[0]
+    assert first["avg_response_time_ms"] == 600.0  # (100+200+1500)/3
+    assert first["requests_per_minute"] == round(3 / 60.0, 4)
+    assert first["success_rate"] == 1.0
+    assert first["p99_response_time_ms"] >= first["p95_response_time_ms"] >= 200.0
+
+
+def test_service_records_and_reports(spark, tmp_path_factory):
+    from meilisearch_thai_spark.index.builder import build_index
+    from meilisearch_thai_spark.query.service import SearchService
+    from meilisearch_thai_spark.sources.pages import generate_pages
+
+    out = str(tmp_path_factory.mktemp("svc_an"))
+    build_index(spark, generate_pages(spark, 300, seed=9), out)
+    svc = SearchService(spark, out, cache_postings=False)
+    svc.search("อาหารไทย", limit=3, session_id="s1")
+    svc.search("อาหารไทย", limit=3, session_id="s1")
+    svc.search("เทคโนโลยี", limit=3, session_id="s2")
+    rep = svc.analytics_report(spark)
+    assert rep["query_analytics"]["total_query_volume"] == 3
+    assert rep["query_analytics"]["total_unique_queries"] == 2
+    assert rep["session_analytics"]["sessions"] == 2
+    assert rep["session_analytics"]["bounce_rate"] == 0.5
+    # export writes a JSON summary
+    p = str(tmp_path_factory.mktemp("an_out") / "summary.json")
+    an.export_analytics(svc.events_df(spark), p)
+    import json
+
+    with open(p) as fh:
+        assert "query_analytics" in json.load(fh)
