@@ -160,6 +160,11 @@ class SearchService:
             score = enhanced_score(h["score"], 0, _tr(text) if has_content else 0.0, False)
             if exact:
                 score *= 2.0
+            # R7 algorithm-specific boost (rank_hits semantics on the
+            # collected page): experimental_score's thai-ratio boost must
+            # actually change the ranking vs the control arm
+            if config.thai_ratio_boost and has_content:
+                score *= 1.0 + config.thai_ratio_boost * _tr(text)
             out_hits.append(
                 Hit(
                     h["url"], h["doc_id"], score, h["variant_type"], h["terms_matched"],

@@ -98,6 +98,22 @@ def start_ingest_stream(
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
+        # WITHIN-batch re-crawls: keep one row per url (latest warc_ts,
+        # content-hash tie-break) BEFORE tokenization — otherwise the
+        # groupBy(url, term) below would sum tf across the duplicate rows
+        # and corrupt doc_len/BM25 stats.  Cross-batch re-crawls are handled
+        # by latest-batch-wins at finalize; this makes the rule uniform:
+        # last crawl of a url wins at every granularity.
+        batch_df = (
+            batch_df.groupBy("url")
+            .agg(
+                F.max_by(
+                    F.struct("warc_ts", "html", "text", "lang"),
+                    F.struct(F.col("warc_ts"), F.xxhash64("text")),
+                ).alias("_r")
+            )
+            .select("url", "_r.*")
+        )
         tf = _tf_rows(batch_df, n_shards, batch_id, positional=positional)
         (
             tf.write.mode("overwrite")

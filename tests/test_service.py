@@ -75,3 +75,13 @@ def test_stored_content_eops(spark, tmp_path_factory):
     assert any(thai_ratio(row["text_crop"]) > 0.3 for row in eng_rows)
     # content-backed relevance: thai-heavy stored text implies nonzero density
     assert all(h.relevance is not None for h in r.hits)
+    # experimental_score applies the thai-ratio boost on stored text, so its
+    # scores must actually differ from the control arm (ADVICE r1: the A/B
+    # test must not compare two identical treatments)
+    ctl = svc.search("ปัญญาประดิษฐ์", limit=5, algorithm="optimized_score")
+    exp = svc.search("ปัญญาประดิษฐ์", limit=5, algorithm="experimental_score")
+    assert [h.score for h in exp.hits] != [h.score for h in ctl.hits]
+    by_doc_ctl = {h.doc_id: h.score for h in ctl.hits}
+    for h in exp.hits:
+        if h.doc_id in by_doc_ctl:
+            assert h.score >= by_doc_ctl[h.doc_id]  # boost only raises

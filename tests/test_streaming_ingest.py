@@ -79,6 +79,33 @@ def test_lineage_records_per_batch(built):
     assert len(recs) >= 2  # at least one batch per drop
 
 
+def test_within_batch_duplicate_url_keeps_latest(spark, tmp_path_factory):
+    """A single micro-batch containing the SAME url twice must not sum tf
+    across the duplicates (that corrupts doc_len/BM25); last crawl by warc_ts
+    wins, uniform with the cross-batch latest-batch rule."""
+    from datetime import datetime
+
+    root = tmp_path_factory.mktemp("stream_dup")
+    inbox = str(root / "inbox")
+    out = str(root / "idx")
+    rows = [
+        ("u1", datetime(2024, 1, 1, 0, 0), b"", "เทคโนโลยี", "th"),
+        ("u1", datetime(2024, 1, 2, 0, 0), b"", "อาหารไทยอาหารไทย", "th"),  # later crawl
+        ("u2", datetime(2024, 1, 1, 0, 0), b"", "เทคโนโลยี", "th"),
+    ]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(inbox, "drop"))
+    q = start_ingest_stream(spark, inbox + "/*", out, n_shards=2)
+    q.awaitTermination(120)
+    meta = finalize_streamed_index(spark, out)
+    assert meta.n_docs == 2
+    eng = SearchEngine(spark, out, cache_postings=False)
+    dls = {r["url"]: r["doc_len"] for r in eng.doc_stats.select("url", "doc_len").collect()}
+    assert dls["u1"] == 2  # the LATER crawl's two terms, not a 3-term merge
+    assert not eng.search("เทคโนโลยี", k=5).filter(F.col("url") == "u1").collect()
+
+
 def test_streamed_index_queryable(spark, built):
     out_stream, out_batch, *_ = built
     es = SearchEngine(spark, out_stream, cache_postings=False)
