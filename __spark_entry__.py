@@ -229,6 +229,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_lsh_topk(spark, sf):
         return sim.lsh_cosine_topk(_t(spark, sf, "embeddings"), "vec_id", "embedding", 64, 0, k=20)
 
+    def dedup_embedding_lsh(spark, sf):
+        # scale-path twin of dedup_embedding_cosine under the exact gate:
+        # md5-plane LSH buckets -> per-bucket self-join -> exact cosine filter
+        return sim.embedding_near_dup_pairs_lsh(
+            _t(spark, sf, "embeddings"), "vec_id", "embedding", 64, threshold=0.4, n_planes=4
+        )
+
     def dedup_embedding_cosine(spark, sf):
         return sim.embedding_near_dup_pairs(
             _t(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.4
@@ -376,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         "stats_token": stats_token,
         "stats_quality": stats_quality,
         "stats_langid": stats_langid,
@@ -465,6 +473,9 @@ FROM documents GROUP BY 1
         "ann_cosine_topk": sim.cosine_topk_sql("embeddings", "vec_id", "embedding", 0, k=20),
         "dedup_embedding_cosine": sim.embedding_near_dup_pairs_sql(
             "embeddings", "vec_id", "embedding", threshold=0.4
+        ),
+        "dedup_embedding_lsh": sim.embedding_near_dup_pairs_lsh_sql(
+            "embeddings", "vec_id", "embedding", 64, threshold=0.4, n_planes=4
         ),
         "stats_token": ts.token_stats_sql("documents", "doc_id", "text"),
         "stats_quality": ts.quality_score_sql("documents", "doc_id", "text"),

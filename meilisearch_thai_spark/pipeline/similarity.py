@@ -406,6 +406,36 @@ WHERE ROUND(list_dot_product(a.{vec_col}, b.{vec_col})
 """
 
 
+def embedding_near_dup_pairs_lsh_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of :func:`embedding_near_dup_pairs_lsh` — md5-derived
+    planes make even the LSH bucketing (and therefore the candidate pair set)
+    exactly reproducible outside Spark."""
+    bucket = _bucket_expr_sql("v", dim, n_planes, seed)
+    cos = (
+        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+WITH v AS (
+  SELECT {id_col} AS vec_key, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+),
+b AS (
+  SELECT vec_key, v, {bucket} AS bucket FROM v
+)
+SELECT a.vec_key AS left_key, b.vec_key AS right_key, ROUND({cos}, 4) AS cosine
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_key < b.vec_key
+WHERE ROUND({cos}, 4) >= {threshold}
+"""
+
+
 def embedding_near_dup_pairs_lsh(
     emb: DataFrame,
     id_col: str,
