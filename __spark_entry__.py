@@ -39,6 +39,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _docs_index_positional(spark: SparkSession, sf_dir: str) -> str:
+    """Positional twin of :func:`_docs_index` (phrase-capable)."""
+    key = sf_dir + ":pos"
+    if key in _IDX_CACHE:
+        return _IDX_CACHE[key]
+    import tempfile
+
+    from meilisearch_thai_spark.index.builder import build_index
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    out = tempfile.mkdtemp(prefix="drv_idx_pos_")
+    build_index(spark, pages, out, positional=True)
+    _IDX_CACHE[key] = out
+    return out
+
+
 def _docs_index(spark: SparkSession, sf_dir: str) -> str:
     """Compressed posting index over the ``documents`` table; urls are
     zero-padded doc ids so internal rank order == external id order, and
@@ -127,6 +150,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("score", 4).alias("score"),
             F.col("terms_matched").cast("long").alias("terms_matched"),
         )
+
+    def r11_phrase_search(spark, sf):
+        # exact-adjacency phrase over the POSITIONAL index (position-chain
+        # verification in the bucket top-k).  The synthetic corpus is pure
+        # lowercase words + single spaces, so term-space adjacency == the
+        # SQL substring ' merge join ' — an exact oracle for phrase matching
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index_positional(spark, sf), cache_postings=False)
+        hits = eng.search_phrase(["merge", "join"], k=20)
+        return hits.select(
+            F.col("url").cast("long").alias("doc_key"),
+            F.round("score", 4).alias("score"),
+            F.col("terms_matched").cast("long").alias("terms_matched"),
+        ).orderBy(F.desc("score"), F.asc("doc_key"))
 
     def r11_bm25_conjunctive(spark, sf):
         return adhoc.bm25_topk(
@@ -363,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "r11_bm25_topk": r11_bm25_topk,
         "r11_indexed_bm25": r11_indexed_bm25,
+        "r11_phrase_search": r11_phrase_search,
         "r11_bm25_conjunctive": r11_bm25_conjunctive,
         "p4_filtered_search": p4_filtered_search,
         "p6_sorted_search": p6_sorted_search,
@@ -407,6 +446,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "r11_bm25_conjunctive": adhoc.bm25_topk_sql_oracle(
             "documents", "doc_id", "text", _BM25_CONJ, k=20, matching="all"
+        ),
+        "r11_phrase_search": adhoc.bm25_topk_sql_oracle(
+            "documents", "doc_id", "text", ["merge", "join"], k=20, matching="all",
+            candidate_where="(' ' || text || ' ') LIKE '% merge join %'",
         ),
         "p4_filtered_search": adhoc.bm25_topk_sql_oracle(
             "documents", "doc_id", "text", _BM25_QUERY, k=20,

@@ -1006,6 +1006,24 @@ class SearchEngine:
         )
         return self._finalize_hits(topk)
 
+    def search_phrase(self, terms: list[str], k: int = 10) -> DataFrame:
+        """Exact-adjacency phrase search (MeiliSearch quoted-phrase
+        semantics): BM25 top-k over docs containing ``terms`` as a
+        consecutive run, verified by position chains inside the bucket top-k
+        (requires ``build_index(positional=True)``).  Raw BM25 — the
+        variant-weighted phrase boost lives in ``multi_variant_search``."""
+        uniq = list(dict.fromkeys(terms))
+        qterms = [QueryTerm(0, t) for t in uniq]
+        scored = self.score_variants_topk(
+            qterms, k=k, required_terms={0: len(uniq)}, phrase_terms={0: list(terms)}
+        )
+        topk = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score", "terms_matched")
+        )
+        return self._finalize_hits(topk)
+
     def search_with_proximity(
         self,
         query: str,

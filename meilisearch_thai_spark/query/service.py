@@ -107,6 +107,10 @@ class SearchService:
         # need offset+limit rows, +headroom when content-dedup may drop some
         k = req.offset + req.limit
         fetch_k = k * 2 if config.content_dedup else k
+        # Q7: fallback tokenization doubles the candidate fetch, capped at
+        # 100 (search_executor.py:884-886 — "most permissive settings")
+        if pq.fallback_used:
+            fetch_k = min(fetch_k * 2, 100)
         rows = self.engine.multi_variant_page(
             req.query,
             k=max(fetch_k, 1),
