@@ -168,6 +168,29 @@ def performance_trends(events: DataFrame, bucket: str = "1 hour") -> DataFrame:
     )
 
 
+def performance_trends_stream(
+    events: DataFrame, bucket: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of :func:`performance_trends` for a live event feed:
+    the same windowed aggregation under a watermark, so late events beyond
+    ``watermark`` are dropped and window state is finalized/evicted — the
+    Structured Streaming shape for continuous analytics.  Exact percentiles
+    need the full value set and are a batch-only column; the streaming
+    surface carries the state-friendly aggregates (avg / rpm / success)."""
+    mins = {"1 hour": 60.0, "30 minutes": 30.0, "1 minute": 1.0}.get(bucket, 60.0)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", bucket).alias("w"))
+        .agg(
+            F.round(F.avg("response_time_ms"), 2).alias("avg_response_time_ms"),
+            F.round(F.count("*") / F.lit(mins), 4).alias("requests_per_minute"),
+            F.round(F.avg(F.col("success").cast("double")), 4).alias("success_rate"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "*")
+        .drop("w")
+    )
+
+
 def export_analytics(events: DataFrame, out_path: str) -> dict:
     """analytics.py:388-429 export: one JSON summary (query + session blocks)
     written driver-side, trends as a parquet table."""

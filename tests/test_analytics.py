@@ -77,6 +77,33 @@ def test_performance_trends_hourly(events):
     assert first["p99_response_time_ms"] >= first["p95_response_time_ms"] >= 200.0
 
 
+def test_performance_trends_streaming_matches_batch(spark, events, tmp_path_factory):
+    """The streaming trends job (watermark + windowed agg) over a file
+    stream must agree with the batch computation on the shared columns."""
+    root = tmp_path_factory.mktemp("an_stream")
+    src = str(root / "events")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(an.EVENT_SCHEMA).parquet(src)
+    q = (
+        an.performance_trends_stream(stream)
+        .writeStream.format("memory")
+        .queryName("trends_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["bucket_start"]: (r["avg_response_time_ms"], r["requests_per_minute"], r["success_rate"])
+        for r in spark.table("trends_stream").collect()
+    }
+    want = {
+        r["bucket_start"]: (r["avg_response_time_ms"], r["requests_per_minute"], r["success_rate"])
+        for r in an.performance_trends(events).collect()
+    }
+    assert got == want and len(got) == 2
+
+
 def test_service_records_and_reports(spark, tmp_path_factory):
     from meilisearch_thai_spark.index.builder import build_index
     from meilisearch_thai_spark.query.service import SearchService

@@ -106,6 +106,7 @@ def test_service_passes_filters_and_sort(spark, built):
     svc = SearchService.__new__(SearchService)
     svc.engine = eng
     svc.metrics = []
+    svc.events = []
     resp = svc.search(QUERY, limit=5, filters={"lang": {"$eq": "th"}})
     assert resp.hits and all(stats[h.doc_id][0] == "th" for h in resp.hits)
     resp2 = svc.search(QUERY, limit=5, sort=["doc_len:desc", "doc_id:asc"])

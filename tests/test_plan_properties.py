@@ -1,0 +1,77 @@
+"""Physical-plan regression guards for the hot paths (PLANS.md).
+
+These assert the *shape* Catalyst produces, so a refactor that silently
+reintroduces a shuffle or a Python stage into the serving path fails CI, not
+a benchmark three rounds later.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meilisearch_thai_spark.index.builder import build_index
+from meilisearch_thai_spark.query.executor import QueryTerm, SearchEngine
+from meilisearch_thai_spark.sources.pages import generate_pages
+
+
+@pytest.fixture(scope="module")
+def warm_engine(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_plan"))
+    build_index(spark, generate_pages(spark, 400, seed=23), out)
+    eng = SearchEngine(spark, out)
+    eng.warm_postings()
+    yield eng
+    eng.postings.unpersist()
+    eng.doc_stats.unpersist()
+    if eng._warm is not None:
+        eng._warm.unpersist()
+
+
+def _final_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_warm_point_query_plan_has_no_python_stage_or_exchange(warm_engine):
+    scored = warm_engine._warm_score_variants([QueryTerm(0, "เทคโนโลยี"), QueryTerm(0, "อาหาร")], None)
+    plan = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    plan.collect()  # finalize AQE so the executed plan is the real one
+    txt = _final_plan(plan)
+    # the query path itself: no Python, no shuffle.  (Exchange/MapInPandas
+    # strings appear inside InMemoryRelation cache-BUILD subtrees, so strip
+    # cached-plan sections before asserting.)
+    query_part = txt.split("InMemoryRelation")[0]
+    assert "MapInPandas" not in query_part
+    assert "Exchange" not in query_part
+    assert "TakeOrderedAndProject" in txt
+    # terms compiled as a referenced InSet, not inlined constants
+    assert "INSET" in txt.upper()
+
+
+def test_warm_single_variant_plan_is_query_invariant(warm_engine):
+    """Two different queries must produce IDENTICAL generated-code shape:
+    same plan string modulo the InSet values — the codegen-cache property
+    the serving latency depends on."""
+    import re
+
+    def shape(terms):
+        scored = warm_engine._warm_score_variants([QueryTerm(0, t) for t in terms], None)
+        plan = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+        plan.collect()
+        txt = _final_plan(plan).split("InMemoryRelation")[0]
+        txt = re.sub(r"INSET [^)]*", "INSET <terms>", txt)
+        txt = re.sub(r"#\d+L?", "#x", txt)  # normalize expr ids
+        return txt
+
+    # ≥2 terms keeps the InSet form (a 1-element isin optimizes to EqualTo,
+    # whose string literal is still a codegen reference object — cached —
+    # but the PLAN STRING differs, so compare multi-term shapes here)
+    assert shape(["เทคโนโลยี", "อาหาร"]) == shape(["อาหารไทย", "โรงเรียน"])
+
+
+def test_cold_scan_pushes_term_filter(spark, warm_engine):
+    cold = SearchEngine(spark, warm_engine.index_dir, cache_postings=False)
+    blocks = cold.candidate_blocks([QueryTerm(0, "เทคโนโลยี")])
+    txt = blocks._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in txt
+    assert "term" in txt
