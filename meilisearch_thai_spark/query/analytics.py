@@ -168,6 +168,38 @@ def performance_trends(events: DataFrame, bucket: str = "1 hour") -> DataFrame:
     )
 
 
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessionization via the BUILT-IN ``F.session_window`` — the
+    Spark-first replacement for the reference's in-memory session tracker
+    with its 30-minute timeout (analytics.py:102-146 session_timeout_minutes,
+    :489-521 _update_session/_cleanup_expired_sessions).
+
+    A session = consecutive searches by one session_id with < ``gap`` between
+    them; the same expression runs over a bounded log OR a live stream (add
+    ``withWatermark`` upstream and state evicts itself — no lock-guarded
+    dict, no cleanup thread).  Custom ``applyInPandasWithState`` is NOT
+    needed here: gap-sessionization is exactly what the built-in expresses,
+    and built-ins keep the aggregation JVM-side with state-store support."""
+    return (
+        events.filter(F.col("session_id").isNotNull())
+        .groupBy(F.session_window("ts", gap).alias("w"), "session_id")
+        .agg(
+            F.count("*").alias("total_searches"),
+            F.sum(F.col("success").cast("long")).alias("successful_searches"),
+        )
+        .select(
+            "session_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            (
+                F.unix_timestamp("w.end") - F.unix_timestamp("w.start")
+            ).alias("window_seconds"),
+            "total_searches",
+            "successful_searches",
+        )
+    )
+
+
 def performance_trends_stream(
     events: DataFrame, bucket: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

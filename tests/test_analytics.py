@@ -77,6 +77,51 @@ def test_performance_trends_hourly(events):
     assert first["p99_response_time_ms"] >= first["p95_response_time_ms"] >= 200.0
 
 
+def test_session_windows_gap_split(spark):
+    """One session_id with a > gap pause must split into two sessions; the
+    built-in session_window replaces the reference's timeout-dict tracker."""
+    recs = [
+        {"query": "a", "session_id": "U", "ts": T0, "response_time_ms": 10.0,
+         "n_hits": 1, "success": True, "language": "en"},
+        {"query": "b", "session_id": "U", "ts": T0 + timedelta(minutes=10),
+         "response_time_ms": 10.0, "n_hits": 1, "success": True, "language": "en"},
+        # 31-minute silence > the 30-minute gap -> new session
+        {"query": "c", "session_id": "U", "ts": T0 + timedelta(minutes=41),
+         "response_time_ms": 10.0, "n_hits": 0, "success": False, "language": "en"},
+    ]
+    rows = sorted(
+        an.session_windows(an.events_frame(spark, recs)).collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert len(rows) == 2
+    assert rows[0]["total_searches"] == 2 and rows[0]["successful_searches"] == 2
+    assert rows[1]["total_searches"] == 1 and rows[1]["successful_searches"] == 0
+
+
+def test_session_windows_streaming(spark, tmp_path_factory):
+    """The same sessionization expression runs on a live stream with a
+    watermark — state evicts itself, no cleanup thread."""
+    recs = [
+        {"query": "a", "session_id": "S", "ts": T0 + timedelta(minutes=i), "response_time_ms": 5.0,
+         "n_hits": 1, "success": True, "language": "en"}
+        for i in range(3)
+    ]
+    src = str(tmp_path_factory.mktemp("sess_stream") / "ev")
+    an.events_frame(spark, recs).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(an.EVENT_SCHEMA).parquet(src).withWatermark("ts", "1 hour")
+    q = (
+        an.session_windows(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("sessions_stream").collect()
+    assert len(rows) == 1 and rows[0]["total_searches"] == 3
+
+
 def test_performance_trends_streaming_matches_batch(spark, events, tmp_path_factory):
     """The streaming trends job (watermark + windowed agg) over a file
     stream must agree with the batch computation on the shared columns."""
