@@ -21,7 +21,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1209,6 +1209,145 @@ class SearchEngine:
         rows = dedup.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         return self._resolve_meta(rows)
 
+    def batch_multi_variant_page(
+        self,
+        queries: list[str],
+        k: int = 10,
+        min_score_threshold: float = 0.0,
+        normalize: bool = False,
+    ) -> list[list[dict]]:
+        """Many full multi-variant searches in ONE Spark job (the reference's
+        batch_search endpoint, search_proxy_service.py:267-349 — but instead
+        of an asyncio semaphore running N independent HTTP searches, every
+        query's variants score together with a (query, variant) namespace and
+        split apart after one collect).  Per-query cost at scale is the
+        at-scale claim: job overhead amortizes across the whole batch.
+
+        Scope notes: Q10 vocabulary expansion and positional phrase
+        verification are per-query refinements of the single-query path —
+        batch mode keeps the Q1-Q8 variant semantics (quoted phrases degrade
+        to conjunctive matching here).
+
+        Returns one hit-row list per input query (order preserved)."""
+        from .pipeline import process_query
+        from .ranker import variant_boost_expr
+
+        qterms: list[QueryTerm] = []
+        vmeta_rows: list[tuple[int, int, str, float, int, str]] = []
+        per_query_empty = [True] * len(queries)
+        for qi, query in enumerate(queries):
+            pq = process_query(query)
+            if not pq.variants:
+                continue
+            per_query_empty[qi] = False
+            freq_terms = sorted(
+                {t for v in pq.variants if v.matching == "frequency" and len(set(v.terms)) > 1 for t in v.terms}
+            )
+            dfs = self.term_dfs(freq_terms) if freq_terms else None
+            for v in pq.variants:
+                uniq = list(dict.fromkeys(v.terms))
+                groups = (
+                    matching_prefixes(uniq, v.matching, dfs)
+                    if v.matching in ("last", "frequency") and len(uniq) >= 2
+                    else [uniq]
+                )
+                m = "all" if len(groups) > 1 else v.matching
+                for pf in groups:
+                    vid = len(vmeta_rows)
+                    for t in pf:
+                        qterms.append(QueryTerm(vid, t))
+                    vmeta_rows.append((vid, qi, v.variant_type, float(v.weight), len(pf), m))
+            # Q10 expansion fallbacks, namespaced to this query
+            q_seen = {q.term for q in qterms}
+            for terms, weight in self._expansion_variants(
+                [t for v in pq.variants for t in v.terms], q_seen
+            ):
+                vid = len(vmeta_rows)
+                for e in terms:
+                    qterms.append(QueryTerm(vid, e))
+                vmeta_rows.append((vid, qi, "fallback", weight, len(terms), "best"))
+        if not qterms:
+            return [[] for _ in queries]
+        required = {
+            vid: n for vid, _qi, _t, _w, n, m in vmeta_rows if m in ("all", "phrase")
+        }
+        if self._warm_enabled:
+            scored = self._warm_score_variants(qterms, required)
+        else:
+            scored = self.score_variants_topk(qterms, k=k, required_terms=required)
+        qmap = F.create_map(*[x for vid, qi, *_r in vmeta_rows for x in (F.lit(vid), F.lit(qi))])
+        wmap = F.create_map(*[x for vid, _qi, _t, w, _n, _m in vmeta_rows for x in (F.lit(vid), F.lit(w))])
+        tmap = F.create_map(*[x for vid, _qi, t, _w, _n, _m in vmeta_rows for x in (F.lit(vid), F.lit(t))])
+        hit = (
+            scored.withColumn("query_id", qmap[F.col("variant_id")])
+            .withColumn("weight", wmap[F.col("variant_id")])
+            .withColumn("variant_type", tmap[F.col("variant_id")])
+            .withColumn("score", F.col("score") * F.col("weight") * variant_boost_expr("variant_type"))
+        )
+        best = F.max_by(
+            F.struct("score", "variant_type", "terms_matched"),
+            F.struct(F.col("score"), F.col("weight"), -F.col("variant_id")),
+        ).alias("best")
+        dedup = hit.groupBy("query_id", "doc_id").agg(best).select(
+            "query_id",
+            "doc_id",
+            F.col("best.score").alias("score"),
+            F.col("best.variant_type").alias("variant_type"),
+            F.col("best.terms_matched").alias("terms_matched"),
+        )
+        if normalize:
+            # R6 per query: divide by that query's max (window over the
+            # k-bounded per-query groups, not the whole corpus)
+            wmax = Window.partitionBy("query_id")
+            dedup = dedup.withColumn(
+                "score",
+                F.when(
+                    F.max("score").over(wmax) > 0,
+                    F.col("score") / F.max("score").over(wmax),
+                ).otherwise(F.col("score")),
+            )
+        if min_score_threshold > 0:
+            dedup = dedup.filter(F.col("score") >= F.lit(min_score_threshold))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        rows = (
+            dedup.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+            .collect()
+        )
+        resolved = self._resolve_meta(rows)
+        out: list[list[dict]] = [[] for _ in queries]
+        for d in resolved:
+            out[int(d.pop("query_id"))].append(d)
+        for hits in out:
+            hits.sort(key=lambda d: (-d["score"], d["doc_id"]))
+        return out
+
+    def _expansion_variants(self, tokens: list[str], seen_terms: set[str]):
+        """Q10 vocabulary + typo expansion as extra FALLBACK variant term
+        sets: ``[(terms, weight), ...]`` — shared by the single-query and
+        batch paths.  Only fires when the index actually contains superstring
+        (or 1-2-edit) terms for a query token."""
+        expansions: list[str] = []
+        fuzzy: list[str] = []
+        for tok in dict.fromkeys(tokens):
+            for e in self.expand_terms(tok):
+                if e not in seen_terms and e not in expansions:
+                    expansions.append(e)
+            # typo rule fires only when the token itself misses the index
+            # (MeiliSearch ranks exact above typo; an existing term needs no
+            # fuzzy neighbors to produce its hits)
+            if tok not in self._vocab_set():
+                for e in self.expand_terms_fuzzy(tok):
+                    if e not in seen_terms and e not in expansions and e not in fuzzy:
+                        fuzzy.append(e)
+        out = []
+        if expansions:
+            out.append((expansions[:10], 0.6))
+        if fuzzy:
+            out.append((fuzzy[:10], 0.5))
+        return out
+
     def _multi_variant_dedup(
         self,
         query: str,
@@ -1260,36 +1399,18 @@ class SearchEngine:
             # non-positional index or sort path: phrase degrades to
             # conjunctive matching (all terms required, no adjacency)
 
-        # Q10 vocabulary expansion as an extra FALLBACK variant: MeiliSearch
+        # Q10 vocabulary expansion as extra FALLBACK variants: MeiliSearch
         # matches sub-words/prefixes natively (the golden corpus's
         # partial_compound queries rely on it); exact-term BM25 needs the
-        # expansion made explicit.  Only fires when some query token misses
-        # the expansion source entirely is the index vocabulary, so this adds
-        # no candidate unless the index actually contains a superstring term.
+        # expansion made explicit.
         seen_terms = {q.term for q in qterms}
-        expansions: list[str] = []
-        fuzzy: list[str] = []
-        for tok in dict.fromkeys(t for v in pq.variants for t in v.terms):
-            for e in self.expand_terms(tok):
-                if e not in seen_terms and e not in expansions:
-                    expansions.append(e)
-            # typo rule fires only when the token itself misses the index
-            # (MeiliSearch ranks exact above typo; an existing term needs no
-            # fuzzy neighbors to produce its hits)
-            if tok not in self._vocab_set():
-                for e in self.expand_terms_fuzzy(tok):
-                    if e not in seen_terms and e not in expansions and e not in fuzzy:
-                        fuzzy.append(e)
-        if expansions:
+        for terms, weight in self._expansion_variants(
+            [t for v in pq.variants for t in v.terms], seen_terms
+        ):
             vid = len(vmeta_rows)
-            for e in expansions[:10]:
+            for e in terms:
                 qterms.append(QueryTerm(vid, e))
-            vmeta_rows.append((vid, "fallback", 0.6, len(expansions[:10]), "best"))
-        if fuzzy:
-            vid = len(vmeta_rows)
-            for e in fuzzy[:10]:
-                qterms.append(QueryTerm(vid, e))
-            vmeta_rows.append((vid, "fallback", 0.5, len(fuzzy[:10]), "best"))
+            vmeta_rows.append((vid, "fallback", weight, len(terms), "best"))
 
         # per-variant EXACT top-k with bucket pruning is sufficient for the
         # global top-k after weighting: weights are constant per variant, so

@@ -120,7 +120,16 @@ class SearchService:
             sort=req.sort or None,
         )
         t_search = time.time()
+        return self._postprocess(
+            req, pq, rows, algorithm, config, session_id, sort, t0, t_tok, t_search
+        )
 
+    def _postprocess(
+        self, req, pq, rows, algorithm, config, session_id, sort, t0, t_tok, t_search
+    ) -> SearchResponse:
+        """Driver-side page finishing shared by search and batch_search:
+        X7 content-dedup, pagination, E1 highlight generation, E3-E6
+        enhancement, R3/R7 boosts, S6 metric+event records."""
         # when the index stores content (build_index(store_text_crop=N)),
         # the E-ops and X7 run on real text; otherwise they key on url
         hits = [
@@ -225,6 +234,63 @@ class SearchService:
             timings_ms=timings,
             algorithm=algorithm,
         )
+
+    MAX_BATCH_SIZE = 50  # reference models/requests.py:98 (max_items=50)
+    MAX_QUERY_LENGTH = 500  # reference performance.max_query_length
+
+    def batch_search(
+        self,
+        queries: list[str],
+        limit: int = 10,
+        offset: int = 0,
+        algorithm: str | None = None,
+        session_id: str | None = None,
+        min_score_threshold: float = 0.0,
+    ) -> list[SearchResponse]:
+        """The reference's batch-search endpoint
+        (search_proxy_service.py:267-349, POST /api/v1/batch-search):
+        validate 1-50 non-empty queries, answer each with full search
+        semantics, return one SearchResponse per query in order.
+
+        Spark-first shape: instead of N concurrent HTTP searches under an
+        asyncio semaphore, ALL queries' variants score in ONE cluster job
+        (engine.batch_multi_variant_page) and only the driver-side page
+        finishing runs per query — per-query cost amortizes toward the
+        at-scale batched number (~70 ms/query in bench.py)."""
+        if not 1 <= len(queries) <= self.MAX_BATCH_SIZE:
+            raise ValueError(f"batch size must be in [1, {self.MAX_BATCH_SIZE}], got {len(queries)}")
+        for i, q in enumerate(queries):
+            if not isinstance(q, str) or not q.strip():
+                raise ValueError(f"query {i + 1} cannot be empty")
+            if len(q) > self.MAX_QUERY_LENGTH:
+                raise ValueError(f"query {i + 1} too long: {len(q)} > {self.MAX_QUERY_LENGTH}")
+        algorithm = algorithm or "optimized_score"
+        config: RankingConfig = ALGORITHMS[algorithm]
+
+        t0 = time.time()
+        reqs = [
+            validate_request(
+                SearchRequest(q, limit=limit, offset=offset, min_score_threshold=min_score_threshold)
+            )
+            for q in queries
+        ]
+        pqs = [process_query(r.query) for r in reqs]
+        t_tok = time.time()
+        k = offset + limit
+        fetch_k = k * 2 if config.content_dedup else k
+        if any(pq.fallback_used for pq in pqs):
+            fetch_k = min(fetch_k * 2, 100)
+        per_query_rows = self.engine.batch_multi_variant_page(
+            queries, k=max(fetch_k, 1), min_score_threshold=min_score_threshold,
+            normalize=config.normalize,
+        )
+        t_search = time.time()
+        return [
+            self._postprocess(
+                req, pq, rows, algorithm, config, session_id, None, t0, t_tok, t_search
+            )
+            for req, pq, rows in zip(reqs, pqs, per_query_rows)
+        ]
 
     def export_metrics(self, spark: SparkSession):
         """S6: metrics DataFrame for the run (write with .write.json/parquet)."""

@@ -1,0 +1,56 @@
+"""Batch search (reference POST /api/v1/batch-search,
+search_proxy_service.py:267-349): many queries answered with full search
+semantics, all scored in ONE Spark job.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from meilisearch_thai_spark.index.builder import build_index
+from meilisearch_thai_spark.query.service import SearchService
+from meilisearch_thai_spark.sources.pages import generate_pages
+
+QUERIES = ["ปัญญาประดิษฐ์", "อาหารไทย", "เทคโนโลยี", "machine learning"]
+
+
+@pytest.fixture(scope="module")
+def svc(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("svc_batch"))
+    build_index(spark, generate_pages(spark, 600, seed=27), out, store_text_crop=400)
+    return SearchService(spark, out)
+
+
+def test_batch_matches_individual_searches(svc):
+    batch = svc.batch_search(QUERIES, limit=5, algorithm="optimized_score")
+    assert len(batch) == len(QUERIES)
+    for q, resp in zip(QUERIES, batch):
+        single = svc.search(q, limit=5, algorithm="optimized_score")
+        got = [(h.doc_id, round(h.score, 6)) for h in resp.hits]
+        want = [(h.doc_id, round(h.score, 6)) for h in single.hits]
+        assert got == want, q
+        assert resp.query_info["original_query"] == single.query_info["original_query"]
+
+
+def test_batch_empty_result_query_isolated(svc):
+    batch = svc.batch_search(["อาหารไทย", "zzzznothingzzz"], limit=5)
+    assert batch[0].hits
+    assert batch[1].hits == [] and batch[1].total_unique_hits == 0
+
+
+def test_batch_validation(svc):
+    with pytest.raises(ValueError, match="batch size"):
+        svc.batch_search([], limit=5)
+    with pytest.raises(ValueError, match="batch size"):
+        svc.batch_search(["q"] * 51, limit=5)
+    with pytest.raises(ValueError, match="cannot be empty"):
+        svc.batch_search(["อาหารไทย", "   "], limit=5)
+    with pytest.raises(ValueError, match="too long"):
+        svc.batch_search(["x" * 501], limit=5)
+
+
+def test_batch_records_events_per_query(svc):
+    before = len(svc.events)
+    svc.batch_search(QUERIES[:2], limit=3, session_id="batch-1")
+    assert len(svc.events) == before + 2
+    assert all(e["session_id"] == "batch-1" for e in svc.events[-2:])
