@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import asdict, dataclass
+from dataclasses import asdict, dataclass, field
 from typing import Iterator
 
 import numpy as np
@@ -62,6 +62,10 @@ class IndexMeta:
     n_postings: int = -1
     positional: bool = False
     stopwords_fingerprint: str = ""  # T12: "" = no stop-word list (default OFF)
+    # the list itself (small — config, not data): the query side must drop
+    # the same terms, or conjunctive strategies would require unindexed
+    # (df=0) words and return nothing
+    stopwords: list[str] = field(default_factory=list)
 
 
 POSTINGS_SCHEMA = T.StructType(
@@ -556,6 +560,7 @@ def build_index(
             if stopset
             else ""
         ),
+        stopwords=sorted(stopset) if stopset else [],
     )
     pst = sink.read(spark, "postings")
     agg = pst.agg(

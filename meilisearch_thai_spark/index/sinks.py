@@ -95,9 +95,11 @@ class IcebergSink(TableSink):
                 w.createOrReplace()
         except Exception as e:  # noqa: BLE001 — surface the real cause
             raise RuntimeError(
-                f"IcebergSink write to {self._qualified(table)} failed — is an "
-                "Iceberg catalog configured on this SparkSession "
-                "(spark.sql.catalog.* + iceberg-spark-runtime jar)?"
+                f"IcebergSink write to {self._qualified(table)} failed "
+                f"({type(e).__name__}; original cause chained below). "
+                "If the table name could not be resolved, check that an "
+                "Iceberg catalog is configured on this SparkSession "
+                "(spark.sql.catalog.* + iceberg-spark-runtime jar)."
             ) from e
 
     def read(self, spark, table):

@@ -147,12 +147,25 @@ def session_analytics(events: DataFrame) -> dict:
     }
 
 
+def _bucket_minutes(bucket: str) -> float:
+    """Parse an ``F.window``-style interval ("N seconds|minutes|hours") into
+    minutes — rejecting what it can't parse instead of silently assuming an
+    hour (a wrong denominator corrupts requests_per_minute)."""
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(\d+)\s*(second|minute|hour)s?\s*", bucket)
+    if not m:
+        raise ValueError(f"unsupported bucket interval {bucket!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    return n * {"second": 1 / 60.0, "minute": 1.0, "hour": 60.0}[unit]
+
+
 def performance_trends(events: DataFrame, bucket: str = "1 hour") -> DataFrame:
     """analytics.py:304-332 PerformanceTrend points as a time-window
     aggregation: per bucket avg/p95/p99 response time, requests-per-minute,
     success rate.  ``F.window`` keeps this streaming-compatible (the same
     expression runs under a watermark in Structured Streaming)."""
-    mins = {"1 hour": 60.0, "30 minutes": 30.0, "1 minute": 1.0}.get(bucket, 60.0)
+    mins = _bucket_minutes(bucket)
     return (
         events.groupBy(F.window("ts", bucket).alias("w"))
         .agg(
@@ -209,7 +222,7 @@ def performance_trends_stream(
     Structured Streaming shape for continuous analytics.  Exact percentiles
     need the full value set and are a batch-only column; the streaming
     surface carries the state-friendly aggregates (avg / rpm / success)."""
-    mins = {"1 hour": 60.0, "30 minutes": 30.0, "1 minute": 1.0}.get(bucket, 60.0)
+    mins = _bucket_minutes(bucket)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", bucket).alias("w"))
@@ -224,8 +237,9 @@ def performance_trends_stream(
 
 
 def export_analytics(events: DataFrame, out_path: str) -> dict:
-    """analytics.py:388-429 export: one JSON summary (query + session blocks)
-    written driver-side, trends as a parquet table."""
+    """analytics.py:388-429 export: one JSON summary (query + session
+    blocks) written driver-side; trend tables are written separately by the
+    caller (``performance_trends(events).write.parquet(...)``)."""
     import json
 
     summary = {

@@ -125,6 +125,10 @@ def highlight_expr(text_col, terms: list[str], pre: str = HIGHLIGHT_PRE, post: s
     whole-stage codegen — the shape used when exporting a `_formatted` column
     for a whole result table rather than one response page)."""
     terms = [t for t in dict.fromkeys(terms) if t]
+    if not terms:
+        # "()" would match the empty string at every position and stud the
+        # whole column with empty marker pairs — no terms means no marking
+        return F.col(text_col) if isinstance(text_col, str) else text_col
     pat = "(" + "|".join(re.escape(t) for t in sorted(terms, key=len, reverse=True)) + ")"
     return F.regexp_replace(text_col, pat, pre + "$1" + post)
 

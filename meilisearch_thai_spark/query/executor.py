@@ -388,6 +388,8 @@ def parse_sort(sort: list[str], available: list[str]) -> list:
         fld, _, direction = s.partition(":")
         if fld not in available:
             raise ValueError(f"sort field {fld!r} not in doc metadata {sorted(available)}")
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"sort direction must be 'asc' or 'desc', got {s!r}")
         cols.append(F.asc(fld) if direction == "asc" else F.desc(fld))
     return cols
 
@@ -452,6 +454,10 @@ class SearchEngine:
         self._df_cache: dict[str, int] = {}  # term -> document frequency
         self._warm: DataFrame | None = None  # decoded serving tier (lazy)
         self._warm_enabled = cache_postings
+        # T12 query side: the index's stop-words never produce postings, so
+        # they must leave query term sets too (else 'all'/'last'/'frequency'
+        # require df=0 terms and match nothing)
+        self._stopwords = frozenset(getattr(self.meta, "stopwords", []) or [])
         if cache_postings:
             # Document-partitioned serving layout (the way search engines
             # shard): cache the postings hash-partitioned by bucket ONCE, so
@@ -838,9 +844,14 @@ class SearchEngine:
             .applyInPandas(run, _TOPK_SCHEMA)
         )
 
+    def _drop_stopwords(self, terms: list[str]) -> list[str]:
+        if not self._stopwords:
+            return terms
+        return [t for t in terms if t not in self._stopwords]
+
     def _expand_matching(self, terms: list[str], matching: str):
         """Shared Q7 expansion: (uniq, prefixes, qterms, required)."""
-        uniq = list(dict.fromkeys(terms))
+        uniq = list(dict.fromkeys(self._drop_stopwords(terms)))
         dfs = self.term_dfs(uniq) if matching == "frequency" and len(uniq) > 1 else None
         prefixes = matching_prefixes(uniq, matching, dfs)
         qterms = [QueryTerm(vid, t) for vid, pf in enumerate(prefixes) for t in pf]
@@ -1012,10 +1023,16 @@ class SearchEngine:
         consecutive run, verified by position chains inside the bucket top-k
         (requires ``build_index(positional=True)``).  Raw BM25 — the
         variant-weighted phrase boost lives in ``multi_variant_search``."""
-        uniq = list(dict.fromkeys(terms))
+        uniq = list(dict.fromkeys(self._drop_stopwords(terms)))
+        if not uniq:
+            return self._finalize_hits(
+                self.doc_stats.filter(F.lit(False)).select(
+                    "doc_id", F.lit(0.0).alias("score"), F.lit(0).cast("long").alias("terms_matched")
+                )
+            )
         qterms = [QueryTerm(0, t) for t in uniq]
         scored = self.score_variants_topk(
-            qterms, k=k, required_terms={0: len(uniq)}, phrase_terms={0: list(terms)}
+            qterms, k=k, required_terms={0: len(uniq)}, phrase_terms={0: self._drop_stopwords(list(terms))}
         )
         topk = (
             scored.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1234,18 +1251,18 @@ class SearchEngine:
 
         qterms: list[QueryTerm] = []
         vmeta_rows: list[tuple[int, int, str, float, int, str]] = []
-        per_query_empty = [True] * len(queries)
         for qi, query in enumerate(queries):
             pq = process_query(query)
             if not pq.variants:
                 continue
-            per_query_empty[qi] = False
             freq_terms = sorted(
                 {t for v in pq.variants if v.matching == "frequency" and len(set(v.terms)) > 1 for t in v.terms}
             )
             dfs = self.term_dfs(freq_terms) if freq_terms else None
             for v in pq.variants:
-                uniq = list(dict.fromkeys(v.terms))
+                uniq = list(dict.fromkeys(self._drop_stopwords(v.terms)))
+                if not uniq:
+                    continue
                 groups = (
                     matching_prefixes(uniq, v.matching, dfs)
                     if v.matching in ("last", "frequency") and len(uniq) >= 2
@@ -1257,8 +1274,10 @@ class SearchEngine:
                     for t in pf:
                         qterms.append(QueryTerm(vid, t))
                     vmeta_rows.append((vid, qi, v.variant_type, float(v.weight), len(pf), m))
-            # Q10 expansion fallbacks, namespaced to this query
-            q_seen = {q.term for q in qterms}
+            # Q10 expansion fallbacks, namespaced to this query (suppression
+            # set = THIS query's own terms only — another batch member's
+            # terms must not mask an expansion here)
+            q_seen = {t for v in pq.variants for t in v.terms}
             for terms, weight in self._expansion_variants(
                 [t for v in pq.variants for t in v.terms], q_seen
             ):
@@ -1386,7 +1405,9 @@ class SearchEngine:
             return vid
 
         for v in pq.variants:
-            uniq = list(dict.fromkeys(v.terms))
+            uniq = list(dict.fromkeys(self._drop_stopwords(v.terms)))
+            if not uniq:
+                continue  # pure-stopword variant: nothing indexable to match
             if v.matching in ("last", "frequency") and len(uniq) >= 2:
                 # Q7: one conjunctive sub-variant per prefix, all in this job;
                 # a doc's longest matched prefix wins the per-doc dedup

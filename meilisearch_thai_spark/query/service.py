@@ -108,9 +108,10 @@ class SearchService:
         k = req.offset + req.limit
         fetch_k = k * 2 if config.content_dedup else k
         # Q7: fallback tokenization doubles the candidate fetch, capped at
-        # 100 (search_executor.py:884-886 — "most permissive settings")
+        # 100 (search_executor.py:884-886) — but never below the requested
+        # page end, or deep offsets would truncate to an empty page
         if pq.fallback_used:
-            fetch_k = min(fetch_k * 2, 100)
+            fetch_k = min(fetch_k * 2, max(100, k))
         rows = self.engine.multi_variant_page(
             req.query,
             k=max(fetch_k, 1),
@@ -215,7 +216,10 @@ class SearchService:
                 "ts": _dt.datetime.now(),
                 "response_time_ms": timings["search_ms"],
                 "n_hits": total,
-                "success": total > 0,
+                # success = the request EXECUTED (reference analytics
+                # distinguishes failures from zero-result queries; empty
+                # results are counted via n_hits == 0, not as failures)
+                "success": True,
                 "language": pq.analysis.primary_language,
             }
         )
@@ -279,7 +283,7 @@ class SearchService:
         k = offset + limit
         fetch_k = k * 2 if config.content_dedup else k
         if any(pq.fallback_used for pq in pqs):
-            fetch_k = min(fetch_k * 2, 100)
+            fetch_k = min(fetch_k * 2, max(100, k))
         per_query_rows = self.engine.batch_multi_variant_page(
             queries, k=max(fetch_k, 1), min_score_threshold=min_score_threshold,
             normalize=config.normalize,

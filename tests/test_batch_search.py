@@ -11,7 +11,11 @@ from meilisearch_thai_spark.index.builder import build_index
 from meilisearch_thai_spark.query.service import SearchService
 from meilisearch_thai_spark.sources.pages import generate_pages
 
-QUERIES = ["ปัญญาประดิษฐ์", "อาหารไทย", "เทคโนโลยี", "machine learning"]
+# deliberately OVERLAPPING term sets (อาหารไทย twice-ish, shared tokens):
+# batch results must match single-query results even when another batch
+# member already "saw" a query's terms (expansion suppression must be
+# per-query — code-review r2 finding)
+QUERIES = ["ปัญญาประดิษฐ์", "อาหารไทย", "อาหาร", "เทคโนโลยี", "machine learning"]
 
 
 @pytest.fixture(scope="module")

@@ -92,6 +92,33 @@ def test_stopwords_removed_from_postings(spark, tmp_path):
     assert dls == {"u1": 1, "u2": 1}
 
 
+def test_stopword_query_terms_dropped_not_required(spark, tmp_path):
+    """A query mixing a stop-word with a real term must match on the real
+    term — conjunctive strategies must NOT require the (unindexed, df=0)
+    stop-word (code-review r2 finding)."""
+    from datetime import datetime
+
+    from meilisearch_thai_spark.index.builder import build_index
+    from meilisearch_thai_spark.query.executor import SearchEngine
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", datetime(2024, 1, 1), b"", "อาหารเทคโนโลยี", "th"),
+            ("u2", datetime(2024, 1, 1), b"", "เทคโนโลยี", "th"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = str(tmp_path / "idx_stopq")
+    build_index(spark, pages, out, stopwords=[STOP])
+    eng = SearchEngine(spark, out, cache_postings=False)
+    for matching in ("all", "last", "frequency", "best"):
+        hits = {r["url"] for r in eng.search_terms([STOP, "เทคโนโลยี"], k=5, matching=matching).collect()}
+        assert hits == {"u1", "u2"}, matching
+    # full proxy path too (original variant is conjunctive)
+    mv = {r["url"] for r in eng.multi_variant_search(f"{STOP}เทคโนโลยี", k=5).collect()}
+    assert mv == {"u1", "u2"}
+
+
 def test_no_stopwords_default_unchanged(spark, tmp_path):
     from meilisearch_thai_spark.index.builder import build_index
 
