@@ -180,6 +180,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = rk.dedup_by_content_signature(docs, "text", 100, ["n_chars"], "doc_id")
         return out.select("doc_id", "n_chars")
 
+    def x6_hybrid_dedup(spark, sf):
+        # X6: id-dedup then content-signature dedup chained
+        # (search_executor.py:581-601) — upgraded from unit-only to the
+        # driver gate
+        docs = _t(spark, sf, "documents").select("doc_id", "source", "text", "n_chars")
+        out = rk.hybrid_dedup(
+            docs.withColumnRenamed("source", "gid"), "gid", "text", 80, ["n_chars", "doc_id"]
+        )
+        return out.select("gid", "doc_id", "n_chars")
+
     def x8_distribution(spark, sf):
         return (
             _t(spark, sf, "events")
@@ -321,6 +331,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def r7_rank_algorithm(spark, sf):
+        # R7: the experimental_score algorithm's thai-ratio boost applied via
+        # rank_hits as a Column transform; output scaled to an exact integer
+        # (float-rounding policy — see x9)
+        from meilisearch_thai_spark.query.enhancer import ALGORITHMS, rank_hits
+
+        ev = _t(spark, sf, "events").select(
+            "event_id",
+            F.col("value").alias("score"),
+            ((F.col("user_id") % 100) / F.lit(100.0)).alias("tr"),
+        )
+        out = rank_hits(ev, ALGORITHMS["experimental_score"], thai_ratio_col="tr")
+        return out.select(
+            "event_id", F.round(F.col("score") * 1e6).cast("long").alias("score_e6")
+        )
+
     def r3_exact_boost(spark, sf):
         # R3 exact-match boost ×2.0 (result_ranker.py:1286-1303)
         docs = _t(spark, sf, "documents")
@@ -407,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_sorted_search": p6_sorted_search,
         "x4_dedup_best_per_key": x4_dedup_best_per_key,
         "x5_content_signature_dedup": x5_content_signature_dedup,
+        "x6_hybrid_dedup": x6_hybrid_dedup,
         "x8_distribution": x8_distribution,
         "x9_enrichment": x9_enrichment,
         "p4_filter_translation": p4_filter_translation,
@@ -431,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_partial_q1": agg_partial_q1,
         "e1_highlight_extract": e1_highlight_extract,
         "e1_highlight_generate": e1_highlight_generate,
+        "r7_rank_algorithm": r7_rank_algorithm,
         "r3_exact_boost": r3_exact_boost,
         "r5_tiebreak_sort": r5_tiebreak_sort,
         "mm_binary_meta": mm_binary_meta,
@@ -473,6 +501,22 @@ SELECT doc_id, n_chars FROM (
          ROW_NUMBER() OVER (PARTITION BY substring(text, 1, 100) ORDER BY n_chars DESC, doc_id ASC) rn
   FROM documents
 ) WHERE rn = 1
+""",
+        "x6_hybrid_dedup": """
+WITH step1 AS (
+  SELECT source AS gid, doc_id, text, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id DESC, source ASC) rn
+  FROM documents
+),
+kept1 AS (SELECT gid, doc_id, text, n_chars FROM step1 WHERE rn = 1),
+step2 AS (
+  SELECT gid, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY substring(text, 1, 80)
+                            ORDER BY n_chars DESC, doc_id DESC, gid ASC) rn
+  FROM kept1
+)
+SELECT gid, doc_id, n_chars FROM step2 WHERE rn = 1
 """,
         "x8_distribution": "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1",
         "x9_enrichment": """
@@ -534,6 +578,11 @@ SELECT doc_id,
        regexp_replace(text, '(table|data|hash)', '<em>\\1</em>', 'g') AS formatted,
        len(regexp_extract_all(text, '(table|data|hash)', 1)) AS n_marks
 FROM documents
+""",
+        "r7_rank_algorithm": """
+SELECT event_id,
+       CAST(round((value * (1.0 + 0.2 * ((user_id % 100) / 100.0))) * 1000000.0) AS BIGINT) AS score_e6
+FROM events
 """,
         "r3_exact_boost": """
 SELECT doc_id,
