@@ -407,26 +407,33 @@ _WARM_SCHEMA = T.StructType(
 
 def _make_warm_exploder():
     """postings blocks → decoded (term, doc_id, tf, dl, df) rows — the one-off
-    pass that builds the hot serving tier."""
+    pass that builds the hot serving tier.
+
+    One pandas DataFrame per ARROW BATCH (numpy arrays concatenated across
+    blocks), not one per posting block: per-block frame construction + concat
+    dominated the tier load at scale (~617k blocks for a 3M-doc index)."""
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            outs = []
+            terms_l, ids_l, tf_l, dl_l, df_l = [], [], [], [], []
             for row in pdf.itertuples(index=False):
                 ids = np.cumsum(varbyte_decode(row.doc_bytes), dtype=np.uint64).astype(np.int64)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term": row.term,
-                            "doc_id": ids,
-                            "tf": varbyte_decode(row.tf_bytes).astype(np.int32),
-                            "dl": varbyte_decode(row.dl_bytes).astype(np.int32),
-                            "df": np.int64(row.df),
-                        }
-                    )
+                n = len(ids)
+                terms_l.append(np.full(n, row.term, dtype=object))
+                ids_l.append(ids)
+                tf_l.append(varbyte_decode(row.tf_bytes).astype(np.int32))
+                dl_l.append(varbyte_decode(row.dl_bytes).astype(np.int32))
+                df_l.append(np.full(n, row.df, dtype=np.int64))
+            if ids_l:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms_l),
+                        "doc_id": np.concatenate(ids_l),
+                        "tf": np.concatenate(tf_l),
+                        "dl": np.concatenate(dl_l),
+                        "df": np.concatenate(df_l),
+                    }
                 )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
 
     return explode
 
