@@ -79,6 +79,7 @@ class SearchService:
         filters: dict | None = None,
         sort: list[str] | None = None,
         crop_length: int = 200,
+        include_tokenization_info: bool = False,
     ) -> SearchResponse:
         req = validate_request(
             SearchRequest(
@@ -122,11 +123,13 @@ class SearchService:
         )
         t_search = time.time()
         return self._postprocess(
-            req, pq, rows, algorithm, config, session_id, sort, t0, t_tok, t_search
+            req, pq, rows, algorithm, config, session_id, sort, t0, t_tok, t_search,
+            include_tokenization_info=include_tokenization_info,
         )
 
     def _postprocess(
-        self, req, pq, rows, algorithm, config, session_id, sort, t0, t_tok, t_search
+        self, req, pq, rows, algorithm, config, session_id, sort, t0, t_tok, t_search,
+        include_tokenization_info: bool = False,
     ) -> SearchResponse:
         """Driver-side page finishing shared by search and batch_search:
         X7 content-dedup, pagination, E1 highlight generation, E3-E6
@@ -223,18 +226,42 @@ class SearchService:
                 "language": pq.analysis.primary_language,
             }
         )
+        query_info = {
+            "original_query": pq.original_query,
+            "primary_language": pq.analysis.primary_language,
+            "thai_content_detected": pq.analysis.thai_ratio > 0,
+            "variant_count": len(pq.variants),
+        }
+        if include_tokenization_info:
+            # reference include_tokenization_info (models/requests.py:101,
+            # responses carry the segmentation behind the search): the pinned
+            # segmenter's full result for the normalized query
+            from ..tokenizer import default_segmenter
+
+            seg_res = default_segmenter().segment_text(pq.original_query)
+            query_info["tokenization_info"] = {
+                "engine": seg_res.engine,
+                "tokens": seg_res.tokens,
+                "word_boundaries": seg_res.word_boundaries,
+                "confidence_scores": seg_res.confidence_scores,
+                "variants": [
+                    {
+                        "type": v.variant_type,
+                        "terms": v.terms,
+                        "weight": v.weight,
+                        "matching": v.matching,
+                        "tokenization_confidence": v.metadata.get("tokenization_confidence"),
+                    }
+                    for v in pq.variants
+                ],
+            }
         return SearchResponse(
             hits=out_hits,
             total_unique_hits=total,
             offset=req.offset,
             limit=req.limit,
             has_next=total > req.offset + req.limit,
-            query_info={
-                "original_query": pq.original_query,
-                "primary_language": pq.analysis.primary_language,
-                "thai_content_detected": pq.analysis.thai_ratio > 0,
-                "variant_count": len(pq.variants),
-            },
+            query_info=query_info,
             timings_ms=timings,
             algorithm=algorithm,
         )

@@ -85,3 +85,15 @@ def test_stored_content_eops(spark, tmp_path_factory):
     for h in exp.hits:
         if h.doc_id in by_doc_ctl:
             assert h.score >= by_doc_ctl[h.doc_id]  # boost only raises
+
+
+def test_include_tokenization_info(service):
+    r = service.search("สาหร่ายวากาเมะ", limit=3, include_tokenization_info=True)
+    ti = r.query_info["tokenization_info"]
+    assert ti["engine"].startswith("newmm")
+    assert ti["tokens"] and "".join(ti["tokens"]) == "สาหร่ายวากาเมะ"
+    assert len(ti["confidence_scores"]) == len(ti["tokens"])
+    assert ti["variants"] and all("weight" in v for v in ti["variants"])
+    # absent unless requested (reference default False)
+    r2 = service.search("สาหร่ายวากาเมะ", limit=3)
+    assert "tokenization_info" not in r2.query_info
