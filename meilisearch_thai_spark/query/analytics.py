@@ -153,11 +153,15 @@ def _bucket_minutes(bucket: str) -> float:
     hour (a wrong denominator corrupts requests_per_minute)."""
     import re as _re
 
-    m = _re.fullmatch(r"\s*(\d+)\s*(second|minute|hour)s?\s*", bucket)
-    if not m:
+    units = {
+        "second": 1 / 60.0, "minute": 1.0, "hour": 60.0,
+        "day": 1440.0, "week": 10080.0,
+    }
+    parts = _re.findall(r"(\d+)\s*(second|minute|hour|day|week)s?", bucket)
+    leftover = _re.sub(r"(\d+)\s*(second|minute|hour|day|week)s?", "", bucket).strip()
+    if not parts or leftover:
         raise ValueError(f"unsupported bucket interval {bucket!r}")
-    n, unit = int(m.group(1)), m.group(2)
-    return n * {"second": 1 / 60.0, "minute": 1.0, "hour": 60.0}[unit]
+    return sum(int(n) * units[u] for n, u in parts)
 
 
 def performance_trends(events: DataFrame, bucket: str = "1 hour") -> DataFrame:

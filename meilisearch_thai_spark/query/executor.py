@@ -1248,6 +1248,7 @@ class SearchEngine:
         k: int = 10,
         min_score_threshold: float = 0.0,
         normalize: bool = False,
+        pqs: list | None = None,
     ) -> list[list[dict]]:
         """Many full multi-variant searches in ONE Spark job (the reference's
         batch_search endpoint, search_proxy_service.py:267-349 — but instead
@@ -1267,14 +1268,24 @@ class SearchEngine:
 
         qterms: list[QueryTerm] = []
         vmeta_rows: list[tuple[int, int, str, float, int, str]] = []
-        for qi, query in enumerate(queries):
-            pq = process_query(query)
+        if pqs is None:  # caller (SearchService) usually already processed them
+            pqs = [process_query(q) for q in queries]
+        # ONE df lookup covering every query's 'frequency' terms — per-query
+        # term_dfs calls would serialize up to 50 driver-blocking scans before
+        # the single scoring job (memoized, so only uncached terms cost)
+        all_freq = sorted(
+            {
+                t
+                for pq in pqs
+                for v in pq.variants
+                if v.matching == "frequency" and len(set(v.terms)) > 1
+                for t in v.terms
+            }
+        )
+        dfs = self.term_dfs(all_freq) if all_freq else None
+        for qi, pq in enumerate(pqs):
             if not pq.variants:
                 continue
-            freq_terms = sorted(
-                {t for v in pq.variants if v.matching == "frequency" and len(set(v.terms)) > 1 for t in v.terms}
-            )
-            dfs = self.term_dfs(freq_terms) if freq_terms else None
             for v in pq.variants:
                 uniq = list(dict.fromkeys(self._drop_stopwords(v.terms)))
                 if not uniq:
@@ -1432,7 +1443,10 @@ class SearchEngine:
                 continue
             vid = add_scoring_variant(v.variant_type, uniq, v.weight, v.matching)
             if v.matching == "phrase" and getattr(self.meta, "positional", False) and not sort:
-                phrase_specs[vid] = list(v.terms)
+                # stop-words leave the phrase too: the build strips them
+                # BEFORE position numbering, so remaining terms are adjacent
+                # in the index exactly when they surround dropped stop-words
+                phrase_specs[vid] = self._drop_stopwords(list(v.terms))
             # non-positional index or sort path: phrase degrades to
             # conjunctive matching (all terms required, no adjacency)
 

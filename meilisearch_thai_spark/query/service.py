@@ -112,15 +112,23 @@ class SearchService:
         # 100 (search_executor.py:884-886) — but never below the requested
         # page end, or deep offsets would truncate to an empty page
         if pq.fallback_used:
-            fetch_k = min(fetch_k * 2, max(100, k))
-        rows = self.engine.multi_variant_page(
-            req.query,
-            k=max(fetch_k, 1),
-            min_score_threshold=req.min_score_threshold,
-            normalize=config.normalize,
-            filters=req.filters,
-            sort=req.sort or None,
-        )
+            fetch_k = min(fetch_k * 2, max(100, fetch_k))
+        try:
+            rows = self.engine.multi_variant_page(
+                req.query,
+                k=max(fetch_k, 1),
+                min_score_threshold=req.min_score_threshold,
+                normalize=config.normalize,
+                filters=req.filters,
+                sort=req.sort or None,
+            )
+        except Exception:
+            # S6: execution failures ARE recorded (success=False) before the
+            # error surfaces — without this, failed_queries could never be
+            # nonzero and the failure/zero-result distinction is meaningless
+            self._record_event(req.query, session_id, (time.time() - t_tok) * 1000,
+                               0, False, pq.analysis.primary_language)
+            raise
         t_search = time.time()
         return self._postprocess(
             req, pq, rows, algorithm, config, session_id, sort, t0, t_tok, t_search,
@@ -208,23 +216,12 @@ class SearchService:
                 "algorithm": algorithm,
             }
         )
-        # S6 event record (analytics.EVENT_SCHEMA) — the substrate for
-        # query-pattern / session / trend aggregation jobs
-        import datetime as _dt
-
-        self.events.append(
-            {
-                "query": req.query,
-                "session_id": session_id,
-                "ts": _dt.datetime.now(),
-                "response_time_ms": timings["search_ms"],
-                "n_hits": total,
-                # success = the request EXECUTED (reference analytics
-                # distinguishes failures from zero-result queries; empty
-                # results are counted via n_hits == 0, not as failures)
-                "success": True,
-                "language": pq.analysis.primary_language,
-            }
+        # S6 event record (analytics.EVENT_SCHEMA) — success=True because the
+        # request EXECUTED (failures are recorded in search()'s except path;
+        # zero-result queries are counted via n_hits == 0, not as failures)
+        self._record_event(
+            req.query, session_id, timings["search_ms"], total, True,
+            pq.analysis.primary_language,
         )
         query_info = {
             "original_query": pq.original_query,
@@ -264,6 +261,21 @@ class SearchService:
             query_info=query_info,
             timings_ms=timings,
             algorithm=algorithm,
+        )
+
+    def _record_event(self, query, session_id, response_time_ms, n_hits, success, language):
+        import datetime as _dt
+
+        self.events.append(
+            {
+                "query": query,
+                "session_id": session_id,
+                "ts": _dt.datetime.now(),
+                "response_time_ms": response_time_ms,
+                "n_hits": n_hits,
+                "success": success,
+                "language": language,
+            }
         )
 
     MAX_BATCH_SIZE = 50  # reference models/requests.py:98 (max_items=50)
@@ -310,15 +322,25 @@ class SearchService:
         k = offset + limit
         fetch_k = k * 2 if config.content_dedup else k
         if any(pq.fallback_used for pq in pqs):
-            fetch_k = min(fetch_k * 2, max(100, k))
+            fetch_k = min(fetch_k * 2, max(100, fetch_k))
         per_query_rows = self.engine.batch_multi_variant_page(
             queries, k=max(fetch_k, 1), min_score_threshold=min_score_threshold,
-            normalize=config.normalize,
+            normalize=config.normalize, pqs=pqs,
         )
         t_search = time.time()
+        # per-query timing attribution: the batch shares one job, so each
+        # response (and its S6 event) carries its 1/n share — recording the
+        # WHOLE batch wall per query would corrupt latency analytics
+        n = len(queries)
+        tok_each, search_each = (t_tok - t0) / n, (t_search - t_tok) / n
+        # anchor at the real wall clock so _postprocess's ranking_ms
+        # (time.time() - t_search) stays meaningful
+        t_tok_i = t_search - search_each
+        t0_i = t_tok_i - tok_each
         return [
             self._postprocess(
-                req, pq, rows, algorithm, config, session_id, None, t0, t_tok, t_search
+                req, pq, rows, algorithm, config, session_id, None,
+                t0_i, t_tok_i, t_search,
             )
             for req, pq, rows in zip(reqs, pqs, per_query_rows)
         ]

@@ -119,6 +119,38 @@ def test_stopword_query_terms_dropped_not_required(spark, tmp_path):
     assert mv == {"u1", "u2"}
 
 
+def test_phrase_across_stopword_matches(spark, tmp_path):
+    """Quoted phrases drop stop-words on BOTH sides: the build strips them
+    before position numbering, so surviving terms become adjacent — the
+    query-side phrase chain must match that renumbering (review r2.2)."""
+    from datetime import datetime
+
+    from meilisearch_thai_spark.index.builder import build_index
+    from meilisearch_thai_spark.query.executor import SearchEngine
+
+    pages = spark.createDataFrame(
+        [
+            # terms: [เทคโนโลยี, อาหาร(stop), โรงเรียน] -> adjacent after strip
+            ("u1", datetime(2024, 1, 1), b"", "เทคโนโลยีอาหารโรงเรียน", "th"),
+            # terms: [เทคโนโลยี, ไทย, โรงเรียน] -> NOT adjacent (ไทย kept)
+            ("u2", datetime(2024, 1, 1), b"", "เทคโนโลยีไทยโรงเรียน", "th"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = str(tmp_path / "idx_stop_phrase")
+    build_index(spark, pages, out, stopwords=[STOP], positional=True)
+    eng = SearchEngine(spark, out, cache_postings=False)
+    hits = {r["url"] for r in eng.search_phrase(["เทคโนโลยี", STOP, "โรงเรียน"], k=5).collect()}
+    assert hits == {"u1"}
+    mv = {r["url"] for r in eng.multi_variant_search('"เทคโนโลยี อาหาร โรงเรียน"', k=5).collect()}
+    assert "u1" in mv
+    phrase_rows = [
+        r for r in eng.multi_variant_search('"เทคโนโลยี อาหาร โรงเรียน"', k=5).collect()
+        if r["variant_type"] == "phrase"
+    ]
+    assert {r["url"] for r in phrase_rows} == {"u1"}
+
+
 def test_no_stopwords_default_unchanged(spark, tmp_path):
     from meilisearch_thai_spark.index.builder import build_index
 
