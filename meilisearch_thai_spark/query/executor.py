@@ -181,6 +181,7 @@ def _make_bucket_topk(
     k: int,
     required_terms: dict[int, int],
     phrase_terms: dict[int, list[str]] | None = None,
+    excluded: np.ndarray | None = None,
 ):
     """Block-max pruned per-partition top-k (R11 block-max WAND, SURVEY §7.4).
 
@@ -230,6 +231,10 @@ def _make_bucket_topk(
                 uids, inv = np.unique(ids, return_inverse=True)
                 sums = np.bincount(inv, weights=scores)
                 cnts = np.bincount(inv)  # each (term, doc) appears exactly once
+                if excluded is not None and len(uids):
+                    # tombstones excluded INSIDE the heap so pages stay full
+                    keep = ~np.isin(uids, excluded)
+                    uids, sums, cnts = uids[keep], sums[keep], cnts[keep]
                 if need is not None:
                     keep = cnts == need
                     uids, sums, cnts = uids[keep], sums[keep], cnts[keep]
@@ -280,6 +285,7 @@ def _make_filtered_bucket_topk(
     k: int,
     required_terms: dict[int, int],
     phrase_terms: dict[int, list[str]] | None = None,
+    excluded: np.ndarray | None = None,
 ):
     """Per-bucket top-k restricted to an allowed-doc set (P4 filtered search).
 
@@ -295,6 +301,10 @@ def _make_filtered_bucket_topk(
         if not len(blocks_pdf) or not len(allowed_pdf):
             return _empty_topk_pdf()
         allowed = np.sort(allowed_pdf["doc_id"].to_numpy(np.int64))
+        if excluded is not None:
+            allowed = allowed[~np.isin(allowed, excluded)]
+        if not len(allowed):
+            return _empty_topk_pdf()
         out_vid, out_doc, out_score, out_cnt = [], [], [], []
         for vid, vg in blocks_pdf.groupby("variant_id", sort=False):
             need = required_terms.get(int(vid))
@@ -465,6 +475,12 @@ class SearchEngine:
         # they must leave query term sets too (else 'all'/'last'/'frequency'
         # require df=0 terms and match nothing)
         self._stopwords = frozenset(getattr(self.meta, "stopwords", []) or [])
+        # deleted docs (index/maintenance.py delete_docs): excluded exactly
+        # in every scoring path; compact_index() resets the set — keep it
+        # compacted before it grows unbounded (Lucene-style deletes)
+        from ..index.maintenance import tombstoned_ids
+
+        self._tombstones: list[int] = tombstoned_ids(spark, index_dir)
         if cache_postings:
             # Document-partitioned serving layout (the way search engines
             # shard): cache the postings hash-partitioned by bucket ONCE, so
@@ -511,10 +527,15 @@ class SearchEngine:
         if self._warm is None:
             rows = max(self.meta.n_postings, 1)
             P = max(1, min(self.spark.sparkContext.defaultParallelism, rows * 32 // (64 << 20) + 1))
+            warm = self.postings.select(
+                "term", "df", "doc_bytes", "tf_bytes", "dl_bytes"
+            ).mapInPandas(_make_warm_exploder(), _WARM_SCHEMA)
+            if self._tombstones:
+                # deleted docs never enter the serving tier — zero per-query
+                # cost for deletes on the warm path
+                warm = warm.filter(~F.col("doc_id").isin(self._tombstones))
             self._warm = (
-                self.postings.select("term", "df", "doc_bytes", "tf_bytes", "dl_bytes")
-                .mapInPandas(_make_warm_exploder(), _WARM_SCHEMA)
-                .repartition(P, "doc_id")
+                warm.repartition(P, "doc_id")
                 # term-sorted WITHIN each doc_id partition: the in-memory
                 # columnar cache keeps min/max stats per batch, so a query's
                 # term filter prunes whole batches instead of scanning every
@@ -723,6 +744,11 @@ class SearchEngine:
             .withColumn("variant_id", F.explode(vmap[F.col("term")]))
         )
 
+    def _excluded_array(self):
+        if not self._tombstones:
+            return None
+        return np.sort(np.asarray(self._tombstones, dtype=np.int64))
+
     def score_variants(self, qterms: list[QueryTerm], prune_threshold: float | None = None) -> DataFrame:
         """Per-(variant, doc) BM25 sums + matched-term counts."""
         blocks = self.candidate_blocks(qterms)
@@ -732,6 +758,8 @@ class SearchEngine:
         scored = blocks.select(
             "variant_id", "term", "df", "doc_bytes", "tf_bytes", "dl_bytes"
         ).mapInPandas(decode, _SCORED_SCHEMA)
+        if self._tombstones:
+            scored = scored.filter(~F.col("doc_id").isin(self._tombstones))
         # count(*) == countDistinct(term): a doc appears in exactly one bucket
         # per term, so each (variant, doc, term) row is unique
         return scored.groupBy("variant_id", "doc_id").agg(
@@ -773,7 +801,7 @@ class SearchEngine:
             blocks = blocks.repartition(partitions, "bucket")
         run = _make_bucket_topk(
             self.meta.k1, self.meta.b, self.meta.avgdl, self.meta.n_docs, k,
-            required_terms or {}, phrase_terms,
+            required_terms or {}, phrase_terms, self._excluded_array(),
         )
         return blocks.mapInPandas(run, _TOPK_SCHEMA)
 
@@ -852,7 +880,7 @@ class SearchEngine:
         )
         run = _make_filtered_bucket_topk(
             self.meta.k1, self.meta.b, self.meta.avgdl, self.meta.n_docs, k,
-            required_terms or {}, phrase_terms,
+            required_terms or {}, phrase_terms, self._excluded_array(),
         )
         return (
             blocks.groupby("bucket")

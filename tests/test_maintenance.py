@@ -1,0 +1,109 @@
+"""Document deletion (tombstones) + compaction (reference
+meilisearch_integration/client.py:251-268 delete_document[s])."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from meilisearch_thai_spark.index.builder import build_index, load_meta
+from meilisearch_thai_spark.index.maintenance import compact_index, delete_docs, tombstoned_ids
+from meilisearch_thai_spark.query.executor import SearchEngine
+from meilisearch_thai_spark.sources.pages import generate_pages
+
+N = 500
+
+
+def _common_term(eng):
+    """Highest-df index term — guarantees enough matches to refill pages."""
+    from pyspark.sql import functions as F
+
+    return eng.postings.groupBy("term").agg(F.max("df").alias("df")).orderBy(
+        F.desc("df"), F.asc("term")
+    ).limit(1).collect()[0]["term"]
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    out = str(tmp_path / "idx_del")
+    pages = generate_pages(spark, N, seed=33).persist()
+    build_index(spark, pages, out, bucket_span=128)
+    return out, pages
+
+
+def test_delete_excludes_from_all_paths(spark, built):
+    out, pages = built
+    base = SearchEngine(spark, out, cache_postings=False)
+    term = _common_term(base)
+    victims = [r["url"] for r in base.search_terms([term], k=3).collect()]
+    assert delete_docs(spark, out, victims) == len(victims) == 3
+    assert delete_docs(spark, out, ["https://no.such/url"]) == 0
+
+    cold = SearchEngine(spark, out, cache_postings=False)
+    hits_cold = [r["url"] for r in cold.search_terms([term], k=10).collect()]
+    assert not set(victims) & set(hits_cold) and len(hits_cold) == 10  # page refilled
+    # conjunctive + filtered + sort paths exclude too
+    assert not set(victims) & {
+        r["url"] for r in cold.search_terms([term], k=10, filters={"lang": {"$in": ["th", "th-en", "en"]}}).collect()
+    }
+    assert not set(victims) & {
+        r["url"] for r in cold.search_terms([term], k=10, sort=["doc_len:desc", "doc_id:asc"]).collect()
+    }
+    # warm serving tier
+    warm = SearchEngine(spark, out)
+    assert not set(victims) & {r["url"] for r in warm.search_page(term, k=10)}
+    warm.postings.unpersist()
+    warm.doc_stats.unpersist()
+    if warm._warm is not None:
+        warm._warm.unpersist()
+
+
+def test_compact_matches_fresh_build(spark, built, tmp_path):
+    out, pages = built
+    base = SearchEngine(spark, out, cache_postings=False)
+    term = _common_term(base)
+    victims = [r["url"] for r in base.search_terms([term], k=2).collect()]
+    delete_docs(spark, out, victims)
+    meta = compact_index(spark, out)
+    assert meta.n_docs == N - 2
+    assert tombstoned_ids(spark, out) == []
+    assert load_meta(out).n_postings == meta.n_postings
+
+    # scores per url equal a FRESH build over the surviving corpus
+    fresh_dir = str(tmp_path / "idx_fresh")
+    from pyspark.sql import functions as F
+
+    build_index(spark, pages.filter(~F.col("url").isin(victims)), fresh_dir, bucket_span=128)
+    compacted = SearchEngine(spark, out, cache_postings=False)
+    fresh = SearchEngine(spark, fresh_dir, cache_postings=False)
+    for q in (term, "อาหารไทย", "ปัญญาประดิษฐ์"):
+        a = [(r["url"], round(r["score"], 9)) for r in compacted.search(q, k=10).collect()]
+        b = [(r["url"], round(r["score"], 9)) for r in fresh.search(q, k=10).collect()]
+        assert a == b, q
+    # idempotent no-op when nothing is tombstoned
+    again = compact_index(spark, out)
+    assert again.n_docs == meta.n_docs
+
+
+def test_compact_positional_keeps_phrases(spark, tmp_path):
+    out = str(tmp_path / "idx_del_pos")
+    pages = generate_pages(spark, 300, seed=35)
+    build_index(spark, pages, out, bucket_span=128, positional=True)
+    eng = SearchEngine(spark, out, cache_postings=False)
+    # pick a doc and a 2-term phrase from its indexed terms
+    from meilisearch_thai_spark.tokenizer import extract_index_terms, tokenize_for_index
+
+    row = eng.doc_stats.orderBy("doc_id").limit(1).collect()[0]
+    text = pages.filter(pages.url == row["url"]).collect()[0]["text"]
+    terms = extract_index_terms(tokenize_for_index(text))
+    phrase = terms[:2]
+    assert eng.search_phrase(phrase, k=5).collect()
+    # delete a different doc and compact; phrase search still works
+    other = eng.doc_stats.orderBy(eng.doc_stats.doc_id.desc()).limit(1).collect()[0]["url"]
+    delete_docs(spark, out, [other])
+    meta = compact_index(spark, out)
+    assert meta.positional
+    eng2 = SearchEngine(spark, out, cache_postings=False)
+    hits = {r["url"] for r in eng2.search_phrase(phrase, k=5).collect()}
+    assert row["url"] in hits and other not in hits
