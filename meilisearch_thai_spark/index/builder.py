@@ -570,6 +570,11 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
         json.dump(asdict(meta), fh, indent=1)
+    # a fresh build defines a NEW document set: tombstones against the old
+    # index must not dangle onto reassigned doc ids (maintenance.py)
+    from .maintenance import clear_tombstones
+
+    clear_tombstones(out_dir)
     docs.unpersist()
     return meta
 

@@ -91,3 +91,26 @@ def decode_doc_block(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.
     """Decode one posting block back to (doc_ids, tfs)."""
     deltas = varbyte_decode(doc_bytes)
     return np.cumsum(deltas, dtype=np.uint64), varbyte_decode(tf_bytes)
+
+
+def decode_block_positions(pos_bytes: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Per-doc absolute positions from one block's concatenated deltas.
+
+    Encoding contract (builder._encode_sorted_frame): positions flatten
+    doc-by-doc, delta-encoded with an absolute reset at each doc's first
+    value; ``tfs`` gives the per-doc segment lengths.  Single source of truth
+    for this reconstruction — both the query-side position decode and index
+    compaction use it."""
+    flat = varbyte_decode(pos_bytes)
+    n = len(tfs)
+    if not len(flat):
+        return [np.zeros(0, dtype=np.int64)] * n
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.asarray(tfs, dtype=np.int64), out=offs[1:])
+    cs = np.cumsum(flat)
+    out: list[np.ndarray] = []
+    for i in range(n):
+        seg = cs[offs[i] : offs[i + 1]]
+        base = cs[offs[i] - 1] if offs[i] > 0 else 0
+        out.append((seg - base).astype(np.int64))
+    return out

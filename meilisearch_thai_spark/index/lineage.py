@@ -291,4 +291,8 @@ def finalize_index(
     meta.n_terms, meta.n_postings = int(agg["nt"]), int(agg["np"])
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
         json.dump(asdict(meta), fh, indent=1)
+    # fresh finalize = new document set; stale tombstones must not dangle
+    from .maintenance import clear_tombstones
+
+    clear_tombstones(out_dir)
     return meta

@@ -4,21 +4,27 @@ The reference deletes documents through MeiliSearch
 (src/meilisearch_integration/client.py:251-268 delete_document[s]); the
 Spark-native equivalent is the standard search-engine/LSM shape:
 
-- ``delete_docs`` writes TOMBSTONES (doc ids) — O(deleted) work, no index
-  rewrite.  Query paths exclude tombstoned ids exactly (inside the top-k
-  heaps, so result pages stay full); the warm serving tier excludes them at
-  load.  Corpus stats (df, n_docs, avgdl) intentionally still count
-  tombstoned docs until compaction — exactly how Lucene treats deletes.
+- ``delete_docs`` writes TOMBSTONES — O(deleted) work, no index rewrite.
+  Tombstones are keyed by URL (the external document key): doc ids are
+  reassigned by global url rank on every rebuild, so id-keyed tombstones
+  would dangle.  Query engines resolve urls → current doc ids at load and
+  exclude them exactly (inside the top-k heaps, so result pages stay full);
+  the warm serving tier excludes them at load for zero per-query cost.
+  Corpus stats (df, n_docs, avgdl) intentionally still count tombstoned docs
+  until compaction — exactly how Lucene treats deletes.  A fresh
+  ``build_index``/``finalize_index`` over the directory CLEARS tombstones
+  (a rebuild defines a new document set; a re-crawled url legitimately
+  resurrects, matching MeiliSearch re-add semantics).
 - ``compact_index`` rewrites the index WITHOUT the deleted docs by decoding
   the posting blocks themselves (no original text needed): blocks → tf rows
   (+ positions for positional indexes) → recomputed df/n_docs/avgdl →
   re-encode through the same salted (term, bucket) merge as the build.
   After compaction, scores per url are IDENTICAL to a fresh build over the
-  surviving corpus (tested) and the tombstone set resets.
-
-Re-adding a url (re-crawl) goes through the streaming/resumable upsert path
-(latest-crawl-wins); deletion + upsert together give the reference's full
-document CRUD surface.
+  surviving corpus (tested) and the tombstone set resets.  The table swap is
+  crash-safe: the old tables are renamed ASIDE before the new ones move in,
+  meta.json is written before tombstones drop, and only then is the old data
+  deleted — an interruption at any point leaves either the old index or the
+  new one fully consistent.
 """
 
 from __future__ import annotations
@@ -31,41 +37,61 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .builder import BM25Params, IndexMeta, encode_postings, load_meta
-from .codec import varbyte_decode
+from .codec import decode_block_positions, varbyte_decode
 
 TOMBSTONES = "tombstones"
 
+# beyond this many deleted docs, plan-literal exclusion (Column.isin) is the
+# wrong shape — engines switch to anti-joins, and compaction is overdue
+TOMBSTONE_LITERAL_CAP = 100_000
+
+
+def clear_tombstones(index_dir: str) -> None:
+    """Drop the tombstone set — called by fresh builds over the directory."""
+    shutil.rmtree(os.path.join(index_dir, TOMBSTONES), ignore_errors=True)
+
 
 def delete_docs(spark: SparkSession, index_dir: str, urls: list[str]) -> int:
-    """Tombstone the documents with the given urls; returns how many matched.
+    """Tombstone the documents with the given urls; returns how many exist in
+    the index right now.
 
-    Append-only parquet of doc ids — repeated deletes accumulate and are
-    deduplicated at read time.  Unknown urls are ignored (MeiliSearch's
-    delete semantics: deleting a missing id is a no-op)."""
+    Append-only parquet of urls — repeated deletes accumulate and are
+    deduplicated at read time.  Unknown urls are recorded but harmless
+    (MeiliSearch's delete semantics: deleting a missing id is a no-op)."""
     if not urls:
         return 0
+    uniq = sorted(set(urls))
+    spark.createDataFrame([(u,) for u in uniq], "url string").coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(index_dir, TOMBSTONES))
     ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
-    doomed = ds.filter(F.col("url").isin(list(urls))).select("doc_id")
-    n = doomed.count()
-    if n:
-        doomed.write.mode("append").parquet(os.path.join(index_dir, TOMBSTONES))
-    return n
+    return ds.filter(F.col("url").isin(uniq)).count()
+
+
+def _tombstone_urls(spark: SparkSession, index_dir: str):
+    """Tombstone url DataFrame or None — existence probed by READING (works
+    on object stores where os.path checks always say no)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(os.path.join(index_dir, TOMBSTONES)).select("url").distinct()
+    except AnalysisException:
+        return None
 
 
 def tombstoned_ids(spark: SparkSession, index_dir: str) -> list[int]:
-    """Distinct tombstoned doc ids ([] when none)."""
-    path = os.path.join(index_dir, TOMBSTONES)
-    if not os.path.isdir(path):
+    """CURRENT doc ids of tombstoned urls ([] when none) — resolved through
+    doc_stats at read time, so id reassignment by rebuilds cannot dangle."""
+    t = _tombstone_urls(spark, index_dir)
+    if t is None:
         return []
-    return [
-        int(r["doc_id"])
-        for r in spark.read.parquet(path).select("doc_id").distinct().collect()
-    ]
+    ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    return [int(r["doc_id"]) for r in ds.join(t, "url").select("doc_id").collect()]
 
 
 def _tf_schema(positional: bool) -> T.StructType:
@@ -99,14 +125,9 @@ def _make_block_unpacker(excluded: list[int], positional: bool):
                 if not keep.any():
                     continue
                 if positional:
-                    flat = varbyte_decode(row.pos_bytes)
-                    cs = np.cumsum(flat)
-                    offs = np.zeros(len(tfs) + 1, dtype=np.int64)
-                    np.cumsum(tfs, out=offs[1:])
+                    per_doc = decode_block_positions(row.pos_bytes, tfs)
                     for i in np.flatnonzero(keep):
-                        seg = cs[offs[i] : offs[i + 1]]
-                        base = cs[offs[i] - 1] if offs[i] > 0 else 0
-                        pos_out.append((seg - base).astype(np.int32).tolist())
+                        pos_out.append(per_doc[i].astype(np.int32).tolist())
                 n = int(keep.sum())
                 rows["term"].append(np.full(n, row.term, dtype=object))
                 rows["doc_id"].append(ids[keep])
@@ -137,10 +158,23 @@ def compact_index(
     """Rewrite the index without tombstoned docs; stats (df, n_docs, avgdl)
     refresh to the surviving corpus.  Doc ids are PRESERVED (no re-ranking),
     so external references stay valid; scores equal a fresh build over the
-    surviving corpus per url (tested).  Idempotent; clears the tombstone set
-    on success.  A no-op (returns current meta) when nothing is tombstoned."""
+    surviving corpus per url (tested).  Passing ``params`` rescores blocks
+    AND meta with the new k1/b together (they must agree, or block-max
+    pruning would use different constants than query scoring).  Idempotent;
+    clears the tombstone set on success.  A no-op (returns current meta)
+    when nothing is tombstoned."""
+    from pyspark import StorageLevel
+
     from .sinks import ParquetSink
 
+    if sink is not None and not isinstance(sink, ParquetSink):
+        # the swap below is a directory rename dance; catalog sinks would
+        # need a transactional REPLACE TABLE flow instead — reject loudly
+        # rather than leave half-compacted tables behind
+        raise NotImplementedError(
+            "compact_index currently supports the parquet directory layout "
+            "only (got a non-ParquetSink sink)"
+        )
     meta = load_meta(index_dir)
     excluded = tombstoned_ids(spark, index_dir)
     if not excluded:
@@ -149,13 +183,15 @@ def compact_index(
     params = params or BM25Params(k1=meta.k1, b=meta.b)
     positional = bool(getattr(meta, "positional", False))
 
-    # surviving doc_stats → new corpus stats (write via a temp table name so
-    # the source of the running read isn't clobbered mid-plan)
+    # surviving doc_stats → new corpus stats (written to a staging table name
+    # so the source of the running read isn't clobbered mid-plan)
     ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
-    survivors = ds.filter(~F.col("doc_id").isin(excluded)).cache()
+    t_urls = _tombstone_urls(spark, index_dir)
+    survivors = ds.join(t_urls, "url", "left_anti").cache()
     g = survivors.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 1.0)
-    sink.write(survivors, "doc_stats_compacting")
+    sink.write(survivors.select(*ds.columns), "doc_stats_compacting")
+    survivors.unpersist()
 
     cols = ["term", "df", "doc_bytes", "tf_bytes", "dl_bytes"] + (
         ["pos_bytes"] if positional else []
@@ -164,6 +200,8 @@ def compact_index(
         spark.read.parquet(os.path.join(index_dir, "postings"))
         .select(*cols)
         .mapInPandas(_make_block_unpacker(excluded, positional), _tf_schema(positional))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds BOTH df agg and join —
+        # without it the full varbyte decode would run twice
     )
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     posting_rows = tf.join(df_tbl, "term").withColumn(
@@ -175,19 +213,26 @@ def compact_index(
         postings.repartition(parts, "term").sortWithinPartitions("term", "bucket", "block_id"),
         "postings_compacting",
     )
-    survivors.unpersist()
+    tf.unpersist()
 
-    # atomic-ish swap: move compacted tables into place, then drop tombstones
+    # crash-safe swap: old aside → new in → meta → tombstones → drop old.
+    # an interruption anywhere leaves a fully consistent index (old or new)
+    aside: list[str] = []
     for table in ("doc_stats", "postings"):
-        final, tmp = os.path.join(index_dir, table), os.path.join(index_dir, table + "_compacting")
-        shutil.rmtree(final)
-        os.replace(tmp, final)
-    shutil.rmtree(os.path.join(index_dir, TOMBSTONES), ignore_errors=True)
-
+        final = os.path.join(index_dir, table)
+        old = final + "_replaced"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(final, old)
+        aside.append(old)
+        os.replace(final + "_compacting", final)
     pst = sink.read(spark, "postings")
     agg = pst.agg(F.countDistinct("term").alias("nt"), F.sum("n_docs").alias("np")).collect()[0]
+    meta.k1, meta.b = params.k1, params.b  # must match the block_max encoding
     meta.n_docs, meta.avgdl = n_docs, avgdl
     meta.n_terms, meta.n_postings = int(agg["nt"]), int(agg["np"])
     with open(os.path.join(index_dir, "meta.json"), "w") as fh:
         json.dump(asdict(meta), fh, indent=1)
+    clear_tombstones(index_dir)
+    for old in aside:
+        shutil.rmtree(old, ignore_errors=True)
     return meta

@@ -128,19 +128,10 @@ _TOPK_SCHEMA = T.StructType(
 
 def _decode_doc_positions(doc_ids, tfs, pos_bytes) -> dict[int, np.ndarray]:
     """pos_bytes (concatenated per-doc position deltas) → {doc_id: positions}."""
-    flat = varbyte_decode(pos_bytes)
-    if not len(flat):
-        return {}
-    offs = np.zeros(len(tfs) + 1, dtype=np.int64)
-    np.cumsum(tfs.astype(np.int64), out=offs[1:])
-    cs = np.cumsum(flat)
-    out = {}
-    for i, d in enumerate(doc_ids):
-        seg = cs[offs[i] : offs[i + 1]]
-        if len(seg):
-            base = cs[offs[i] - 1] if offs[i] > 0 else 0
-            out[int(d)] = seg - base
-    return out
+    from ..index.codec import decode_block_positions
+
+    per_doc = decode_block_positions(pos_bytes, tfs)
+    return {int(d): seg for d, seg in zip(doc_ids, per_doc) if len(seg)}
 
 
 def _phrase_docs(g, ordered_terms: list[str]) -> set[int]:
@@ -477,7 +468,9 @@ class SearchEngine:
         self._stopwords = frozenset(getattr(self.meta, "stopwords", []) or [])
         # deleted docs (index/maintenance.py delete_docs): excluded exactly
         # in every scoring path; compact_index() resets the set — keep it
-        # compacted before it grows unbounded (Lucene-style deletes)
+        # compacted before it grows unbounded (Lucene-style deletes).
+        # Snapshotted at load; call refresh_deletes() on a live engine to
+        # pick up later delete_docs calls.
         from ..index.maintenance import tombstoned_ids
 
         self._tombstones: list[int] = tombstoned_ids(spark, index_dir)
@@ -530,10 +523,9 @@ class SearchEngine:
             warm = self.postings.select(
                 "term", "df", "doc_bytes", "tf_bytes", "dl_bytes"
             ).mapInPandas(_make_warm_exploder(), _WARM_SCHEMA)
-            if self._tombstones:
-                # deleted docs never enter the serving tier — zero per-query
-                # cost for deletes on the warm path
-                warm = warm.filter(~F.col("doc_id").isin(self._tombstones))
+            # deleted docs never enter the serving tier — zero per-query
+            # cost for deletes on the warm path
+            warm = self._exclude_deleted(warm)
             self._warm = (
                 warm.repartition(P, "doc_id")
                 # term-sorted WITHIN each doc_id partition: the in-memory
@@ -749,6 +741,34 @@ class SearchEngine:
             return None
         return np.sort(np.asarray(self._tombstones, dtype=np.int64))
 
+    def _exclude_deleted(self, df: DataFrame) -> DataFrame:
+        """Drop tombstoned doc ids from a (…, doc_id, …) frame: plan-literal
+        InSet for small delete sets, anti-join above TOMBSTONE_LITERAL_CAP
+        (a 10^5+-literal plan is the wrong shape — and that size means
+        compact_index is overdue)."""
+        from ..index.maintenance import TOMBSTONE_LITERAL_CAP, _tombstone_urls
+
+        if not self._tombstones:
+            return df
+        if len(self._tombstones) <= TOMBSTONE_LITERAL_CAP:
+            return df.filter(~F.col("doc_id").isin(self._tombstones))
+        t = _tombstone_urls(self.spark, self.index_dir)
+        doomed = self.doc_stats.join(t, "url").select("doc_id")
+        return df.join(doomed, "doc_id", "left_anti")
+
+    def refresh_deletes(self) -> int:
+        """Re-read the tombstone set on a live engine (the reference's
+        deletes apply to the running MeiliSearch immediately; here the
+        serving tier re-excludes on refresh).  Returns the new count."""
+        from ..index.maintenance import tombstoned_ids
+
+        before = set(self._tombstones)
+        self._tombstones = tombstoned_ids(self.spark, self.index_dir)
+        if set(self._tombstones) != before and self._warm is not None:
+            self._warm.unpersist()
+            self._warm = None  # rebuilt (minus deletes) on next warm query
+        return len(self._tombstones)
+
     def score_variants(self, qterms: list[QueryTerm], prune_threshold: float | None = None) -> DataFrame:
         """Per-(variant, doc) BM25 sums + matched-term counts."""
         blocks = self.candidate_blocks(qterms)
@@ -758,8 +778,7 @@ class SearchEngine:
         scored = blocks.select(
             "variant_id", "term", "df", "doc_bytes", "tf_bytes", "dl_bytes"
         ).mapInPandas(decode, _SCORED_SCHEMA)
-        if self._tombstones:
-            scored = scored.filter(~F.col("doc_id").isin(self._tombstones))
+        scored = self._exclude_deleted(scored)
         # count(*) == countDistinct(term): a doc appears in exactly one bucket
         # per term, so each (variant, doc, term) row is unique
         return scored.groupBy("variant_id", "doc_id").agg(

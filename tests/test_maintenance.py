@@ -86,6 +86,26 @@ def test_compact_matches_fresh_build(spark, built, tmp_path):
     assert again.n_docs == meta.n_docs
 
 
+def test_rebuild_clears_tombstones_and_live_refresh(spark, built):
+    """Tombstones are url-keyed but a FRESH build defines a new document set:
+    stale tombstones must not dangle onto reassigned doc ids (review r2.3).
+    Live engines pick up deletes via refresh_deletes()."""
+    out, pages = built
+    live = SearchEngine(spark, out, cache_postings=False)
+    term = _common_term(live)
+    victim = live.search_terms([term], k=1).collect()[0]["url"]
+    delete_docs(spark, out, [victim])
+    # snapshot semantics: the live engine still serves it until refreshed
+    assert victim in {r["url"] for r in live.search_terms([term], k=5).collect()}
+    assert live.refresh_deletes() == 1
+    assert victim not in {r["url"] for r in live.search_terms([term], k=5).collect()}
+    # rebuilding over the same dir resets the delete (re-add semantics)
+    build_index(spark, pages, out, bucket_span=128)
+    assert tombstoned_ids(spark, out) == []
+    fresh = SearchEngine(spark, out, cache_postings=False)
+    assert victim in {r["url"] for r in fresh.search_terms([term], k=5).collect()}
+
+
 def test_compact_positional_keeps_phrases(spark, tmp_path):
     out = str(tmp_path / "idx_del_pos")
     pages = generate_pages(spark, 300, seed=35)
