@@ -580,5 +580,12 @@ def build_index(
 
 
 def load_meta(index_dir: str) -> IndexMeta:
+    if os.path.exists(os.path.join(index_dir, "_COMPACTING")):
+        raise RuntimeError(
+            f"index at {index_dir} has an interrupted compaction in progress "
+            "(_COMPACTING marker present) — the pre-compaction tables are "
+            "preserved as *_replaced; restore them (or re-run compact_index "
+            "after moving them back) before serving"
+        )
     with open(os.path.join(index_dir, "meta.json")) as fh:
         return IndexMeta(**json.load(fh))

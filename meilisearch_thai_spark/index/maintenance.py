@@ -20,11 +20,13 @@ Spark-native equivalent is the standard search-engine/LSM shape:
   (+ positions for positional indexes) → recomputed df/n_docs/avgdl →
   re-encode through the same salted (term, bucket) merge as the build.
   After compaction, scores per url are IDENTICAL to a fresh build over the
-  surviving corpus (tested) and the tombstone set resets.  The table swap is
-  crash-safe: the old tables are renamed ASIDE before the new ones move in,
-  meta.json is written before tombstones drop, and only then is the old data
-  deleted — an interruption at any point leaves either the old index or the
-  new one fully consistent.
+  surviving corpus (tested) and the tombstone set resets.  The table swap
+  cannot be atomic across two directories + meta.json, so it is made LOUD
+  instead: a ``_COMPACTING`` marker guards the whole swap (``load_meta``
+  refuses to serve while it exists), old tables are renamed ASIDE (never
+  deleted) until the swap fully commits, and meta.json is written before
+  tombstones drop — an interruption leaves a recoverable index that refuses
+  to serve inconsistently rather than serving mixed state.
 """
 
 from __future__ import annotations
@@ -66,22 +68,31 @@ def delete_docs(spark: SparkSession, index_dir: str, urls: list[str]) -> int:
     if not urls:
         return 0
     uniq = sorted(set(urls))
-    spark.createDataFrame([(u,) for u in uniq], "url string").coalesce(1).write.mode(
-        "append"
-    ).parquet(os.path.join(index_dir, TOMBSTONES))
+    doomed = spark.createDataFrame([(u,) for u in uniq], "url string")
+    doomed.coalesce(1).write.mode("append").parquet(os.path.join(index_dir, TOMBSTONES))
     ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
-    return ds.filter(F.col("url").isin(uniq)).count()
+    # join, not isin: a bulk delete must not become a 10^5-literal plan
+    return ds.join(doomed, "url").count()
 
 
 def _tombstone_urls(spark: SparkSession, index_dir: str):
     """Tombstone url DataFrame or None — existence probed by READING (works
-    on object stores where os.path checks always say no)."""
+    on object stores where os.path checks always say no).  A tombstone table
+    WITHOUT a url column (e.g. written by an older id-keyed scheme) raises
+    loudly instead of silently erasing pending deletions."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(os.path.join(index_dir, TOMBSTONES)).select("url").distinct()
+        t = spark.read.parquet(os.path.join(index_dir, TOMBSTONES))
     except AnalysisException:
-        return None
+        return None  # no tombstone table
+    if "url" not in t.columns:
+        raise ValueError(
+            f"tombstone table at {os.path.join(index_dir, TOMBSTONES)} has no "
+            f"'url' column (columns: {t.columns}) — written by an "
+            "incompatible version; delete or migrate it"
+        )
+    return t.select("url").distinct()
 
 
 def tombstoned_ids(spark: SparkSession, index_dir: str) -> list[int]:
@@ -167,13 +178,17 @@ def compact_index(
 
     from .sinks import ParquetSink
 
-    if sink is not None and not isinstance(sink, ParquetSink):
-        # the swap below is a directory rename dance; catalog sinks would
-        # need a transactional REPLACE TABLE flow instead — reject loudly
-        # rather than leave half-compacted tables behind
+    if sink is not None and (
+        not isinstance(sink, ParquetSink) or os.path.abspath(sink.root) != os.path.abspath(index_dir)
+    ):
+        # the swap below is a directory rename dance inside index_dir;
+        # catalog sinks (or a parquet sink rooted elsewhere) would stage
+        # tables the swap never sees and then destroy the live layout —
+        # reject loudly rather than leave a broken index behind
         raise NotImplementedError(
-            "compact_index currently supports the parquet directory layout "
-            "only (got a non-ParquetSink sink)"
+            "compact_index currently supports a ParquetSink rooted at "
+            f"index_dir only (got {type(sink).__name__} at "
+            f"{getattr(sink, 'root', '?')})"
         )
     meta = load_meta(index_dir)
     excluded = tombstoned_ids(spark, index_dir)
@@ -215,15 +230,22 @@ def compact_index(
     )
     tf.unpersist()
 
-    # crash-safe swap: old aside → new in → meta → tombstones → drop old.
-    # an interruption anywhere leaves a fully consistent index (old or new)
+    # swap with a visible in-progress marker: a crash mid-swap cannot be
+    # made atomic across two directories + meta.json, but it CAN be made
+    # loud — SearchEngine/load-time readers refuse to serve while the marker
+    # exists, and both phases' sources survive as *_replaced for recovery.
+    marker = os.path.join(index_dir, "_COMPACTING")
+    with open(marker, "w") as fh:
+        json.dump({"excluded": len(excluded)}, fh)
     aside: list[str] = []
-    for table in ("doc_stats", "postings"):
+    for table in ("doc_stats", "postings"):  # phase 1: ALL olds aside
         final = os.path.join(index_dir, table)
-        old = final + "_replaced"
-        shutil.rmtree(old, ignore_errors=True)
-        os.replace(final, old)
-        aside.append(old)
+        prev = final + "_replaced"
+        shutil.rmtree(prev, ignore_errors=True)
+        os.replace(final, prev)
+        aside.append(prev)
+    for table in ("doc_stats", "postings"):  # phase 2: ALL news in
+        final = os.path.join(index_dir, table)
         os.replace(final + "_compacting", final)
     pst = sink.read(spark, "postings")
     agg = pst.agg(F.countDistinct("term").alias("nt"), F.sum("n_docs").alias("np")).collect()[0]
@@ -233,6 +255,7 @@ def compact_index(
     with open(os.path.join(index_dir, "meta.json"), "w") as fh:
         json.dump(asdict(meta), fh, indent=1)
     clear_tombstones(index_dir)
-    for old in aside:
-        shutil.rmtree(old, ignore_errors=True)
+    os.remove(marker)
+    for prev in aside:
+        shutil.rmtree(prev, ignore_errors=True)
     return meta

@@ -474,6 +474,7 @@ class SearchEngine:
         from ..index.maintenance import tombstoned_ids
 
         self._tombstones: list[int] = tombstoned_ids(spark, index_dir)
+        self._doomed_df: DataFrame | None = None  # lazy anti-join side (>cap)
         if cache_postings:
             # Document-partitioned serving layout (the way search engines
             # shard): cache the postings hash-partitioned by bucket ONCE, so
@@ -737,6 +738,11 @@ class SearchEngine:
         )
 
     def _excluded_array(self):
+        """Snapshot exclusion set for the python heap paths.  Ships in the
+        task closure (~8 bytes/id): fine through ~10^5 deletions; beyond
+        that compaction is overdue (TOMBSTONE_LITERAL_CAP guidance) — the
+        JVM paths switch to an anti-join there, the heap paths accept the
+        closure cost to keep exact full pages."""
         if not self._tombstones:
             return None
         return np.sort(np.asarray(self._tombstones, dtype=np.int64))
@@ -746,15 +752,20 @@ class SearchEngine:
         InSet for small delete sets, anti-join above TOMBSTONE_LITERAL_CAP
         (a 10^5+-literal plan is the wrong shape — and that size means
         compact_index is overdue)."""
-        from ..index.maintenance import TOMBSTONE_LITERAL_CAP, _tombstone_urls
+        from ..index.maintenance import TOMBSTONE_LITERAL_CAP
 
         if not self._tombstones:
             return df
         if len(self._tombstones) <= TOMBSTONE_LITERAL_CAP:
             return df.filter(~F.col("doc_id").isin(self._tombstones))
-        t = _tombstone_urls(self.spark, self.index_dir)
-        doomed = self.doc_stats.join(t, "url").select("doc_id")
-        return df.join(doomed, "doc_id", "left_anti")
+        # anti-join against the SNAPSHOTTED ids (not a re-read of the
+        # tombstone files — files may have been cleared by a concurrent
+        # compaction, and snapshot semantics must match the literal branch)
+        if self._doomed_df is None:
+            self._doomed_df = self.spark.createDataFrame(
+                [(int(i),) for i in self._tombstones], "doc_id long"
+            ).cache()
+        return df.join(self._doomed_df, "doc_id", "left_anti")
 
     def refresh_deletes(self) -> int:
         """Re-read the tombstone set on a live engine (the reference's
@@ -764,9 +775,13 @@ class SearchEngine:
 
         before = set(self._tombstones)
         self._tombstones = tombstoned_ids(self.spark, self.index_dir)
-        if set(self._tombstones) != before and self._warm is not None:
-            self._warm.unpersist()
-            self._warm = None  # rebuilt (minus deletes) on next warm query
+        if set(self._tombstones) != before:
+            if self._warm is not None:
+                self._warm.unpersist()
+                self._warm = None  # rebuilt (minus deletes) on next warm query
+            if self._doomed_df is not None:
+                self._doomed_df.unpersist()
+                self._doomed_df = None
         return len(self._tombstones)
 
     def score_variants(self, qterms: list[QueryTerm], prune_threshold: float | None = None) -> DataFrame:
