@@ -612,14 +612,14 @@ FROM documents
         "s6_session_stats": """
 SELECT CAST(user_id AS VARCHAR) AS session_id,
        COUNT(*) AS total_searches,
-       SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS successful_searches,
+       CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS successful_searches,
        CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_seconds
 FROM events GROUP BY 1
 """,
         "s6_query_patterns": """
 SELECT lower(event_type) AS pattern,
        COUNT(*) AS frequency,
-       SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS zero_result_count,
+       CAST(SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT) AS zero_result_count,
        'en' AS language
 FROM events GROUP BY 1
 """,
