@@ -454,14 +454,24 @@ class SearchEngine:
         self.spark = spark
         self.index_dir = index_dir
         self.vocab_cap = vocab_cap or self.VOCAB_CAP
+        self._warm_enabled = cache_postings
+        self._warm: DataFrame | None = None  # decoded serving tier (lazy)
+        self._doomed_df: DataFrame | None = None  # lazy anti-join side (>cap)
+        self._load_index()
+
+    def _load_index(self) -> None:
+        """(Re)bind all index state: tables, meta, caches, tombstones."""
+        spark, index_dir = self.spark, self.index_dir
         self._vocab_truncated = False
+        self._df_cache: dict[str, int] = {}  # term -> document frequency
+        for attr in ("_vocab", "_vocab_by_len", "_vocabset", "_pads"):
+            if hasattr(self, attr):
+                delattr(self, attr)
         self.meta: IndexMeta = load_meta(index_dir)
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
         self._bucket_partitioned = False
-        self._df_cache: dict[str, int] = {}  # term -> document frequency
-        self._warm: DataFrame | None = None  # decoded serving tier (lazy)
-        self._warm_enabled = cache_postings
+        cache_postings = self._warm_enabled
         # T12 query side: the index's stop-words never produce postings, so
         # they must leave query term sets too (else 'all'/'last'/'frequency'
         # require df=0 terms and match nothing)
@@ -474,7 +484,6 @@ class SearchEngine:
         from ..index.maintenance import tombstoned_ids
 
         self._tombstones: list[int] = tombstoned_ids(spark, index_dir)
-        self._doomed_df: DataFrame | None = None  # lazy anti-join side (>cap)
         if cache_postings:
             # Document-partitioned serving layout (the way search engines
             # shard): cache the postings hash-partitioned by bucket ONCE, so
@@ -767,6 +776,22 @@ class SearchEngine:
             ).cache()
         return df.join(self._doomed_df, "doc_id", "left_anti")
 
+    def refresh_index(self) -> None:
+        """Rebind a live engine to the CURRENT on-disk index — required after
+        ``compact_index`` (or any rebuild) over this directory: the engine's
+        DataFrames and cached file listings otherwise keep pointing at the
+        swapped-out tables (maintenance.py single-writer contract).  Drops
+        every derived cache (postings/doc_stats persists, warm tier, vocab,
+        df memo, tombstone snapshot) and re-reads everything."""
+        for df in (self._warm, self._doomed_df):
+            if df is not None:
+                df.unpersist()
+        self._warm, self._doomed_df = None, None
+        if self._bucket_partitioned:
+            self.postings.unpersist()
+            self.doc_stats.unpersist()
+        self._load_index()
+
     def refresh_deletes(self) -> int:
         """Re-read the tombstone set on a live engine (the reference's
         deletes apply to the running MeiliSearch immediately; here the
@@ -896,9 +921,14 @@ class SearchEngine:
         buckets with no allowed docs are pruned before any decode, and the
         decode loop intersects with the allowed set before the heap.  The
         allowed side arrives as one hash shuffle of bare doc ids (the filter
-        predicate itself was already pushed into the doc_stats scan)."""
+        predicate itself was already pushed into the doc_stats scan).
+
+        ``block_max_score`` is intentionally NOT selected: per-bucket groups
+        are scored independently (no running cross-bucket threshold exists
+        inside a cogroup), so the bound could never prune here — shipping it
+        through the Arrow exchange was pure dead weight (ADVICE r2)."""
         cols = [
-            "variant_id", "bucket", "term", "df", "block_max_score",
+            "variant_id", "bucket", "term", "df",
             "doc_bytes", "tf_bytes", "dl_bytes",
         ]
         if phrase_terms:

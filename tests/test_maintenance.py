@@ -127,3 +127,27 @@ def test_compact_positional_keeps_phrases(spark, tmp_path):
     eng2 = SearchEngine(spark, out, cache_postings=False)
     hits = {r["url"] for r in eng2.search_phrase(phrase, k=5).collect()}
     assert row["url"] in hits and other not in hits
+
+
+def test_repeat_delete_counts_zero_and_refresh_index(spark, built):
+    """delete_docs returns NEWLY deleted urls only (repeat delete -> 0), and
+    refresh_index() rebinds a live engine after compaction (the maintenance
+    single-writer contract: stale DataFrames over swapped dirs otherwise)."""
+    out, pages = built
+    live = SearchEngine(spark, out)  # warm engine held ACROSS the compaction
+    term = _common_term(live)
+    victim = live.search_page(term, k=1)[0]["url"]
+    assert delete_docs(spark, out, [victim]) == 1
+    assert delete_docs(spark, out, [victim]) == 0  # repeat: nothing new
+    assert delete_docs(spark, out, [victim, "https://no.such/url"]) == 0
+    compact_index(spark, out)
+    live.refresh_index()
+    assert live.meta.n_docs == N - 1
+    hits = {r["url"] for r in live.search_page(term, k=10)}
+    assert victim not in hits and len(hits) == 10
+    live.refresh_index()  # idempotent on an already-fresh engine
+    assert victim not in {r["url"] for r in live.search_page(term, k=5)}
+    live.postings.unpersist()
+    live.doc_stats.unpersist()
+    if live._warm is not None:
+        live._warm.unpersist()
