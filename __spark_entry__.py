@@ -62,6 +62,34 @@ def _docs_index_positional(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _docs_index_fielded(spark: SparkSession, sf_dir: str) -> str:
+    """Two-field (title/content) index over ``documents``: title = the first
+    4 tokens, content = the rest — a deterministic split DuckDB reproduces
+    with list slicing, exercising the multi-attribute build (field-prefixed
+    term spaces, per-field df/dl/avgdl, weight-baked block-max)."""
+    key = sf_dir + ":fielded"
+    if key in _IDX_CACHE:
+        return _IDX_CACHE[key]
+    import tempfile
+
+    from meilisearch_thai_spark.index.builder import build_index
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = "regexp_extract_all(text, '[a-z]+', 0)"
+    pages = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.expr(f"array_join(slice({toks}, 1, 4), ' ')").alias("title"),
+        F.expr(
+            f"array_join(slice({toks}, 5, greatest(size({toks}) - 4, 0)), ' ')"
+        ).alias("content"),
+        F.col("lang"),
+    )
+    out = tempfile.mkdtemp(prefix="drv_idx_fld_")
+    build_index(spark, pages, out, fields=["title", "content"])
+    _IDX_CACHE[key] = out
+    return out
+
+
 def _docs_index(spark: SparkSession, sf_dir: str) -> str:
     """Compressed posting index over the ``documents`` table; urls are
     zero-padded doc ids so internal rank order == external id order, and
@@ -108,6 +136,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from meilisearch_thai_spark.query.executor import SearchEngine
 
         eng = SearchEngine(spark, _docs_index(spark, sf), cache_postings=False)
+        hits = eng.search_terms(_BM25_QUERY, k=20)
+        return hits.select(
+            F.col("url").cast("long").alias("doc_key"),
+            F.round("score", 4).alias("score"),
+            F.col("terms_matched").cast("long").alias("terms_matched"),
+        ).orderBy(F.desc("score"), F.asc("doc_key"))
+
+    def r11_fielded_bm25(spark, sf):
+        # multi-attribute indexing + 'attribute' ranking (VERDICT r2 item 3):
+        # title-weighted BM25F through the real fielded engine path must
+        # equal DuckDB's from-scratch two-field computation bit-for-bit
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index_fielded(spark, sf), cache_postings=False)
         hits = eng.search_terms(_BM25_QUERY, k=20)
         return hits.select(
             F.col("url").cast("long").alias("doc_key"),
@@ -427,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "r11_bm25_topk": r11_bm25_topk,
         "r11_indexed_bm25": r11_indexed_bm25,
+        "r11_fielded_bm25": r11_fielded_bm25,
         "r11_phrase_search": r11_phrase_search,
         "r11_bm25_conjunctive": r11_bm25_conjunctive,
         "p4_filtered_search": p4_filtered_search,
@@ -470,6 +513,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "r11_bm25_topk": adhoc.bm25_topk_sql_oracle("documents", "doc_id", "text", _BM25_QUERY, k=20),
         "r11_indexed_bm25": adhoc.bm25_topk_sql_oracle(
+            "documents", "doc_id", "text", _BM25_QUERY, k=20
+        ),
+        "r11_fielded_bm25": adhoc.bm25f_topk_sql_oracle(
             "documents", "doc_id", "text", _BM25_QUERY, k=20
         ),
         "r11_bm25_conjunctive": adhoc.bm25_topk_sql_oracle(

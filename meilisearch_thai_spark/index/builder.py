@@ -40,6 +40,20 @@ from .codec import varbyte_encode_chunks
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_BUCKET_SPAN = 8192  # docs per (term, bucket) group == block_size * 64
 
+# Multi-field (attribute) indexing: each searchable field is its own term
+# space — postings for field i of attribute list [title, content, ...] carry
+# terms "i\x1f<term>" (Lucene's per-field inverted index; the reference's
+# searchableAttributes, settings_manager.py:72-95).  \x1f (ASCII unit
+# separator) never survives tokenization, so prefixed and plain terms cannot
+# collide.  Everything downstream (codec, buckets, block-max, compaction)
+# is field-agnostic; only tokenization, BM25 stats (per-field df/dl/avgdl)
+# and the per-field weight know about fields.
+FIELD_SEP = "\x1f"
+
+
+def field_prefix(fid: int) -> str:
+    return f"{fid}{FIELD_SEP}"
+
 
 @dataclass(frozen=True)
 class BM25Params:
@@ -66,6 +80,24 @@ class IndexMeta:
     # the same terms, or conjunctive strategies would require unindexed
     # (df=0) words and return nothing
     stopwords: list[str] = field(default_factory=list)
+    # multi-field (attribute) indexing — [] = classic single-text index.
+    # Weights are an INDEX setting (like MeiliSearch's searchableAttributes
+    # order): they are baked into block_max_score at build time, so the
+    # block-max pruning bound stays exact for weighted scores.
+    fields: list[str] = field(default_factory=list)
+    field_weights: list[float] = field(default_factory=list)
+    field_avgdl: list[float] = field(default_factory=list)
+    # metadata columns carried into doc_stats for attributesToRetrieve
+    stored_fields: list[str] = field(default_factory=list)
+
+    def field_params(self) -> dict[str, tuple[float, float]] | None:
+        """prefix-id → (weight, per-field avgdl), or None when unfielded."""
+        if not self.fields:
+            return None
+        return {
+            str(i): (float(self.field_weights[i]), float(self.field_avgdl[i]))
+            for i in range(len(self.fields))
+        }
 
 
 POSTINGS_SCHEMA = T.StructType(
@@ -180,16 +212,26 @@ def _docs_schema(store_text_crop: int | None) -> T.StructType:
     return T.StructType(fields)
 
 
-def _docs_schema_full(store_text_crop: int | None, positional: bool) -> T.StructType:
-    base = _docs_schema(store_text_crop)
-    if not positional:
-        return base
-    # positions of each term occurrence (ordinal among the doc's index
-    # terms) — the phrase/proximity substrate; tf == len(positions)
-    return T.StructType(
-        base.fields
-        + [T.StructField("tpos", T.MapType(T.StringType(), T.ArrayType(T.IntegerType())), False)]
-    )
+def _docs_schema_full(
+    store_text_crop: int | None,
+    positional: bool,
+    fielded: bool = False,
+    stored: list[T.StructField] | None = None,
+) -> T.StructType:
+    base = list(_docs_schema(store_text_crop).fields)
+    if positional:
+        # positions of each term occurrence (ordinal among the doc's index
+        # terms) — the phrase/proximity substrate; tf == len(positions)
+        base.append(
+            T.StructField("tpos", T.MapType(T.StringType(), T.ArrayType(T.IntegerType())), False)
+        )
+    if fielded:
+        # per-field token counts ("0" → len(title terms), ...): the per-term
+        # dl for field-prefixed postings, and the per-field avgdl source
+        base.append(T.StructField("flens", T.MapType(T.StringType(), T.IntegerType()), False))
+    for f in stored or []:
+        base.append(f)
+    return T.StructType(base)
 
 
 DOCS_SCHEMA = _docs_schema(None)
@@ -202,6 +244,8 @@ def tokenized_docs(
     store_text_crop: int | None = None,
     positional: bool = False,
     stopwords: frozenset[str] | None = None,
+    fields: list[str] | None = None,
+    stored_fields: list[str] | None = None,
 ) -> DataFrame:
     """pages → (doc_id, url, lang, doc_len, norm_hash, terms) in ONE pass.
 
@@ -214,10 +258,20 @@ def tokenized_docs(
 
     Doc ids equal the global url rank regardless of partition count, so the
     output is identical at any parallelism — the scaling-bench invariant.
+
+    ``fields`` switches on multi-attribute indexing: each listed column is
+    tokenized into its own term space (terms prefixed ``f"{i}{FIELD_SEP}"``),
+    per-field token counts land in ``flens``, ``doc_len`` is the total across
+    fields, and the byte-identity hash covers the "\\n"-joined normalized
+    fields in attribute order.  ``stored_fields`` columns pass through
+    untouched (the attributesToRetrieve payload).
     """
     spark = pages.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
-    slim = pages.select("url", "text", "lang").persist()
+    text_cols = list(fields) if fields else ["text"]
+    stored = [c for c in (stored_fields or []) if c not in ("url", "lang")]
+    in_cols = ["url", *dict.fromkeys(text_cols + ["lang"] + stored)]
+    slim = pages.select(*in_cols).persist()
     if _caches is not None:
         _caches.append(slim)
     # persist() freezes the range boundaries: the boundary sampling is seeded
@@ -252,6 +306,20 @@ def tokenized_docs(
         # cache is pure overhead (and its churn hurts multi-worker scaling);
         # tokens are computed once and reused for both terms and the norm hash
         proc = default_processor()
+
+        def field_terms(t):
+            """one field's text → (prefix-less index terms, normalized text)."""
+            if isinstance(t, str) and t:
+                toks = tokenize_for_index(t)
+                tt = extract_index_terms(toks)
+                if stopwords:
+                    # T12: stop-words leave the POSTING stream only — the
+                    # norm hash below stays over the full token stream
+                    # (byte-identity extraction contract is untouched)
+                    tt = [w for w in tt if w not in stopwords]
+                return tt, proc.process_tokens(t, toks).processed_text
+            return [], (t or "")
+
         local = 0
         for pdf in batches:
             if not len(pdf):
@@ -259,28 +327,37 @@ def tokenized_docs(
             pid = int(pdf["_pid"].iloc[0])
             start = boff.value[pid] + local
             local += len(pdf)
-            tcounts, hashes, lens, tpos_col = [], [], [], []
-            for t in pdf["text"]:
-                if isinstance(t, str) and t:
-                    toks = tokenize_for_index(t)
-                    tt = extract_index_terms(toks)
-                    if stopwords:
-                        # T12: stop-words leave the POSTING stream only — the
-                        # norm hash below stays over the full token stream
-                        # (byte-identity extraction contract is untouched)
-                        tt = [w for w in tt if w not in stopwords]
-                    norm = proc.process_tokens(t, toks).processed_text
-                    h = hashlib.sha256(norm.encode("utf-8")).hexdigest()
-                else:
-                    tt, h = [], hashlib.sha256((t or "").encode("utf-8")).hexdigest()
-                tcounts.append(dict(Counter(tt)))
+            tcounts, hashes, lens, tpos_col, flens_col, crops = [], [], [], [], [], []
+            field_series = [pdf[c] for c in text_cols]
+            for vals in zip(*field_series):
+                counter: Counter = Counter()
+                tp: dict[str, list[int]] = {}
+                flens: dict[str, int] = {}
+                norms: list[str] = []
+                total = 0
+                for fi, t in enumerate(vals):
+                    tt, norm = field_terms(t)
+                    norms.append(norm)
+                    pre = f"{fi}{FIELD_SEP}" if fields else ""
+                    flens[str(fi)] = len(tt)
+                    total += len(tt)
+                    counter.update(pre + w for w in tt)
+                    if positional:
+                        # positions restart per field: adjacency (phrase) is a
+                        # within-attribute property, never across fields
+                        for i, term in enumerate(tt):
+                            tp.setdefault(pre + term, []).append(i)
+                h = hashlib.sha256("\n".join(norms).encode("utf-8")).hexdigest()
+                tcounts.append(dict(counter))
                 hashes.append(h)
-                lens.append(len(tt))
+                lens.append(total)
                 if positional:
-                    tp: dict[str, list[int]] = {}
-                    for i, term in enumerate(tt):
-                        tp.setdefault(term, []).append(i)
                     tpos_col.append(tp)
+                if fields:
+                    flens_col.append(flens)
+                if store_text_crop is not None:
+                    disp = "\n".join(v for v in vals if isinstance(v, str))
+                    crops.append(disp[:store_text_crop])
             cols = {
                 "doc_id": np.arange(start, start + len(pdf), dtype=np.int64),
                 "url": pdf["url"].to_numpy(),
@@ -290,18 +367,30 @@ def tokenized_docs(
                 "tcounts": tcounts,
             }
             if store_text_crop is not None:
-                cols["text_crop"] = [
-                    (t[:store_text_crop] if isinstance(t, str) else "") for t in pdf["text"]
-                ]
+                cols["text_crop"] = crops
             if positional:
                 cols["tpos"] = tpos_col
+            if fields:
+                cols["flens"] = flens_col
+            for c in stored:
+                cols[c] = pdf[c].to_numpy()
             yield pd.DataFrame(cols)
 
-    return parted.mapInPandas(assign_and_tokenize, _docs_schema_full(store_text_crop, positional))
+    stored_struct = [pages.schema[c] for c in stored]
+    return parted.mapInPandas(
+        assign_and_tokenize,
+        _docs_schema_full(store_text_crop, positional, bool(fields), stored_struct),
+    )
 
 
 def _encode_sorted_frame(
-    pdf: pd.DataFrame, n_docs: int, avgdl: float, k1: float, b: float, block_size: int
+    pdf: pd.DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+    field_params: dict[str, tuple[float, float]] | None = None,
 ) -> pd.DataFrame:
     """Encode a frame sorted by (term, bucket, doc_id) into posting blocks.
 
@@ -330,9 +419,26 @@ def _encode_sorted_frame(
 
     idf_v = idf(dfs.astype(np.float64), n_docs)
     tfs_f = tfs.astype(np.float64)
-    scores = idf_v * (tfs_f * (k1 + 1.0)) / (
-        tfs_f + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
-    )
+    if field_params:
+        # per-(term, bucket) group lookup of (weight, per-field avgdl) by the
+        # term's field prefix, broadcast to rows via the group run-lengths —
+        # O(#groups) Python, fully vectorized arithmetic after
+        w_g = np.ones(len(gstarts))
+        a_g = np.full(len(gstarts), avgdl)
+        for j, gs in enumerate(gstarts):
+            t = terms[gs]
+            pre, sep, _rest = t.partition(FIELD_SEP)
+            if sep:
+                w_g[j], a_g[j] = field_params.get(pre, (1.0, avgdl))
+        w_row = np.repeat(w_g, glens)
+        a_row = np.repeat(a_g, glens)
+        scores = w_row * idf_v * (tfs_f * (k1 + 1.0)) / (
+            tfs_f + k1 * (1.0 - b + b * dls.astype(np.float64) / a_row)
+        )
+    else:
+        scores = idf_v * (tfs_f * (k1 + 1.0)) / (
+            tfs_f + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
+        )
     bmax = np.maximum.reduceat(scores, bstarts)
 
     deltas = np.empty_like(ids)
@@ -383,7 +489,13 @@ def _encode_sorted_frame(
     )
 
 
-def _make_partition_encoder(n_docs: int, avgdl: float, params: BM25Params, block_size: int):
+def _make_partition_encoder(
+    n_docs: int,
+    avgdl: float,
+    params: BM25Params,
+    block_size: int,
+    field_params: dict[str, tuple[float, float]] | None = None,
+):
     """Streaming ``mapInPandas`` encoder over a partition sorted by
     (term, bucket, doc_id).
 
@@ -412,10 +524,10 @@ def _make_partition_encoder(n_docs: int, avgdl: float, params: BM25Params, block
                 continue
             carry = pdf.iloc[len(pdf) - n_tail :].reset_index(drop=True)
             yield _encode_sorted_frame(
-                pdf.iloc[: len(pdf) - n_tail], n_docs, avgdl, k1, b, block_size
+                pdf.iloc[: len(pdf) - n_tail], n_docs, avgdl, k1, b, block_size, field_params
             )
         if carry is not None and len(carry):
-            yield _encode_sorted_frame(carry, n_docs, avgdl, k1, b, block_size)
+            yield _encode_sorted_frame(carry, n_docs, avgdl, k1, b, block_size, field_params)
 
     return encode_partition
 
@@ -427,6 +539,7 @@ def encode_postings(
     params: BM25Params,
     block_size: int,
     partitions: int,
+    field_params: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """(doc_id, term, tf, doc_len, df, bucket) rows → compressed posting blocks.
 
@@ -435,7 +548,7 @@ def encode_postings(
     across tasks instead of melting one (SURVEY §4.1 — AQE does not cover hot
     aggregation keys).
     """
-    encoder = _make_partition_encoder(n_docs, avgdl, params, block_size)
+    encoder = _make_partition_encoder(n_docs, avgdl, params, block_size, field_params)
     return (
         posting_rows.repartition(partitions, "term", "bucket")
         .sortWithinPartitions("term", "bucket", "doc_id")
@@ -454,6 +567,9 @@ def build_index(
     store_text_crop: int | None = None,
     positional: bool = False,
     stopwords: list[str] | frozenset[str] | None = None,
+    fields: list[str] | None = None,
+    field_weights: list[float] | None = None,
+    stored_fields: list[str] | None = None,
     sink=None,
 ) -> IndexMeta:
     """Build the full inverted index under ``out_dir``.
@@ -473,6 +589,20 @@ def build_index(
     indexed terms only; the byte-identity norm hash is unaffected.  The list's
     fingerprint lands in meta.json so index/query config drift is detectable.
 
+    ``fields`` switches on multi-attribute indexing (the reference's
+    searchableAttributes + 'attribute' ranking rule,
+    settings_manager.py:72-95): each listed ``pages`` column is indexed as
+    its own term space with per-field df/doc_len/avgdl, and scores are
+    weighted per field — ``field_weights`` defaults to halving by attribute
+    ordinal (``2^(n-1-i)``: for [title, content] → [2.0, 1.0]), so a title
+    match outranks the same match in content.  Weights are an INDEX setting
+    (baked into block_max_score so pruning bounds stay exact), mirroring
+    MeiliSearch where attribute order is index configuration.
+
+    ``stored_fields`` carries the listed metadata columns verbatim into
+    doc_stats — the attributesToRetrieve payload (search_executor.py:721-723);
+    they are retrievable per hit and usable as filter/sort fields.
+
     ``sink`` (default :class:`~.sinks.ParquetSink` rooted at ``out_dir``) is
     the storage seam: every final index table write/read goes through it, so
     an Iceberg deployment is ``sink=IcebergSink("cat.db.idx")`` — one
@@ -485,18 +615,24 @@ def build_index(
 
     postings_partitions = postings_partitions or spark.sparkContext.defaultParallelism
     stopset = frozenset(stopwords) if stopwords else None
+    fields = list(fields) if fields else None
+    if fields and field_weights is None:
+        field_weights = [float(2 ** (len(fields) - 1 - i)) for i in range(len(fields))]
+    if fields and len(field_weights) != len(fields):
+        raise ValueError("field_weights must match fields one-to-one")
+    stored = [c for c in (stored_fields or []) if c not in ("url", "lang")]
 
     # id assignment + tokenization + byte-identity hash fused into one pass
     # (column pruning first: html/warc_ts never enter a shuffle or Python)
     caches: list[DataFrame] = []
     docs = tokenized_docs(
         pages, _caches=caches, store_text_crop=store_text_crop, positional=positional,
-        stopwords=stopset,
+        stopwords=stopset, fields=fields, stored_fields=stored,
     ).persist()
 
     # doc_stats: id mapping + byte-identity lineage hash (north-rule invariant).
     # N and avgdl ride along as observed metrics — no separate stats job.
-    stat_cols = ["doc_id", "url", "lang", "doc_len", "norm_hash"]
+    stat_cols = ["doc_id", "url", "lang", "doc_len", "norm_hash"] + stored
     if store_text_crop is not None:
         stat_cols.append("text_crop")
     obs = Observation("corpus_stats")
@@ -510,6 +646,23 @@ def build_index(
         c.unpersist()
     n_docs, avgdl = int(obs.get["n"]), float(obs.get["avgdl"] or 1.0)
 
+    field_params = None
+    if fields:
+        # per-field avgdl over ALL docs (empty fields count as length 0):
+        # one tiny agg over the cached docs frame — flens always carries
+        # every field key, so sum/N == the mean including zeros
+        favg = {
+            r["fid"]: float(r["a"] or 0.0)
+            for r in docs.select(F.explode("flens").alias("fid", "flen"))
+            .groupBy("fid")
+            .agg(F.avg("flen").alias("a"))
+            .collect()
+        }
+        field_avgdl = [max(favg.get(str(i), 0.0), 1e-9) for i in range(len(fields))]
+        field_params = {
+            str(i): (float(field_weights[i]), field_avgdl[i]) for i in range(len(fields))
+        }
+
     # token -> tf: already aggregated per doc inside the tokenize pass (a doc
     # never spans partitions), so this explode is a NARROW op — no shuffle,
     # no groupBy.  Recompute from the docs cache is a cheap map, so tf itself
@@ -517,12 +670,20 @@ def build_index(
     if positional:
         # positions ride along; tf == number of positions (phrase substrate)
         tf = docs.select(
-            "doc_id", "doc_len", F.explode("tpos").alias("term", "positions")
+            "doc_id", "doc_len", *(["flens"] if fields else []),
+            F.explode("tpos").alias("term", "positions"),
         ).withColumn("tf", F.size("positions"))
     else:
         tf = docs.select(
-            "doc_id", "doc_len", F.explode("tcounts").alias("term", "tf")
+            "doc_id", "doc_len", *(["flens"] if fields else []),
+            F.explode("tcounts").alias("term", "tf"),
         )
+    if fields:
+        # per-term dl = the term's FIELD length (field id = the term prefix);
+        # a narrow JVM map lookup, no extra shuffle
+        tf = tf.withColumn(
+            "doc_len", F.col("flens")[F.substring_index("term", FIELD_SEP, 1)]
+        ).drop("flens")
 
     # document frequency per term — combiner-friendly count, skew-safe.
     # Vocabulary is dictionary-bounded (newmm terms), so df_tbl is tiny
@@ -534,7 +695,9 @@ def build_index(
     posting_rows = tf.join(df_tbl, "term").withColumn(
         "bucket", (F.col("doc_id") / F.lit(bucket_span)).cast("long")
     )
-    postings = encode_postings(posting_rows, n_docs, avgdl, params, block_size, postings_partitions)
+    postings = encode_postings(
+        posting_rows, n_docs, avgdl, params, block_size, postings_partitions, field_params
+    )
 
     # final clustering by term: blocks are already compressed (cheap shuffle),
     # and term-contiguous files give parquet row-group pruning at query time
@@ -561,6 +724,10 @@ def build_index(
             else ""
         ),
         stopwords=sorted(stopset) if stopset else [],
+        fields=fields or [],
+        field_weights=[float(w) for w in field_weights] if fields else [],
+        field_avgdl=field_avgdl if fields else [],
+        stored_fields=stored,
     )
     pst = sink.read(spark, "postings")
     agg = pst.agg(

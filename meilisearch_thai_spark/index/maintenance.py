@@ -257,8 +257,37 @@ def compact_index(
     posting_rows = tf.join(df_tbl, "term").withColumn(
         "bucket", (F.col("doc_id") / F.lit(meta.bucket_span)).cast("long")
     )
+    field_params = None
+    field_avgdl: list[float] = []
+    if getattr(meta, "fields", None):
+        # per-field avgdl of the SURVIVING corpus, recovered from the decoded
+        # tf rows: dl is constant per (doc, field), and fields with no
+        # postings for a doc contribute 0 — so sum(distinct dl)/n_docs is the
+        # zero-inclusive mean, matching build_index's flens-based stat
+        from .builder import FIELD_SEP
+
+        sums = {
+            r["fid"]: float(r["s"] or 0.0)
+            for r in tf.select(
+                F.substring_index("term", FIELD_SEP, 1).alias("fid"), "doc_id", "doc_len"
+            )
+            .distinct()
+            .groupBy("fid")
+            .agg(F.sum("doc_len").alias("s"))
+            .collect()
+        }
+        field_avgdl = [
+            max(sums.get(str(i), 0.0) / max(n_docs, 1), 1e-9)
+            for i in range(len(meta.fields))
+        ]
+        field_params = {
+            str(i): (float(meta.field_weights[i]), field_avgdl[i])
+            for i in range(len(meta.fields))
+        }
     parts = spark.sparkContext.defaultParallelism
-    postings = encode_postings(posting_rows, n_docs, avgdl, params, meta.block_size, parts)
+    postings = encode_postings(
+        posting_rows, n_docs, avgdl, params, meta.block_size, parts, field_params
+    )
     sink.write(
         postings.repartition(parts, "term").sortWithinPartitions("term", "bucket", "block_id"),
         "postings_compacting",
@@ -286,6 +315,8 @@ def compact_index(
     agg = pst.agg(F.countDistinct("term").alias("nt"), F.sum("n_docs").alias("np")).collect()[0]
     meta.k1, meta.b = params.k1, params.b  # must match the block_max encoding
     meta.n_docs, meta.avgdl = n_docs, avgdl
+    if field_avgdl:
+        meta.field_avgdl = field_avgdl  # must match the re-encoded block_max
     meta.n_terms, meta.n_postings = int(agg["nt"]), int(agg["np"])
     with open(os.path.join(index_dir, "meta.json"), "w") as fh:
         json.dump(asdict(meta), fh, indent=1)

@@ -77,6 +77,71 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.asc("doc_key")).limit(k)
 
 
+def bm25f_topk_sql_oracle(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    title_tokens: int = 4,
+    weights: tuple[float, float] = (2.0, 1.0),
+    token_regex: str = "[a-z]+",
+) -> str:
+    """DuckDB SQL for FIELDED BM25 (BM25F) over a deterministic two-field
+    split of ``{text_col}``: field 0 (title) = the first ``title_tokens``
+    tokens, field 1 (content) = the rest — the same split the driver entry
+    feeds ``build_index(fields=[title, content])``.
+
+    Mirrors the engine's multi-attribute semantics exactly (builder.py
+    field-prefixed term spaces): per-(field, term) document frequency,
+    per-field doc length and ZERO-INCLUSIVE per-field avgdl
+    (SUM(dl)/n_docs — docs with an empty field count as length 0), weighted
+    per-field scores summed per doc, matched-word count DISTINCT over base
+    terms (a word hitting both fields is one match).
+    """
+    terms = list(dict.fromkeys(query_terms))
+    terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    w0, w1 = float(weights[0]), float(weights[1])
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_key, regexp_extract_all({text_col}, '{token_regex}') AS ts
+  FROM {table}
+),
+ft AS (
+  SELECT doc_key, 0 AS fid, unnest(ts[1:{title_tokens}]) AS term FROM toks
+  UNION ALL
+  SELECT doc_key, 1 AS fid, unnest(ts[{title_tokens + 1}:]) AS term FROM toks
+),
+tf AS (
+  SELECT doc_key, fid, term, COUNT(*)::DOUBLE AS tf FROM ft GROUP BY 1, 2, 3
+),
+dl AS (
+  SELECT doc_key, fid, SUM(tf) AS dl FROM tf GROUP BY 1, 2
+),
+n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM toks),
+avgdl AS (
+  SELECT fid, SUM(dl) / (SELECT n_docs FROM n) AS avgdl FROM dl GROUP BY 1
+),
+df_t AS (
+  SELECT fid, term, COUNT(*)::DOUBLE AS df FROM tf WHERE term IN ({terms_sql}) GROUP BY 1, 2
+),
+w(fid, wt) AS (VALUES (0, {w0}), (1, {w1}))
+SELECT tf.doc_key AS doc_key,
+       ROUND(SUM( w.wt * ln(1.0 + ((SELECT n_docs FROM n) - df_t.df + 0.5) / (df_t.df + 0.5))
+                 * (tf.tf * {K1 + 1.0})
+                 / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / avgdl.avgdl)) ), {SCORE_DECIMALS}) AS score,
+       COUNT(DISTINCT tf.term) AS terms_matched
+FROM tf
+JOIN df_t ON tf.fid = df_t.fid AND tf.term = df_t.term
+JOIN dl ON tf.doc_key = dl.doc_key AND tf.fid = dl.fid
+JOIN avgdl ON tf.fid = avgdl.fid
+JOIN w ON tf.fid = w.fid
+GROUP BY tf.doc_key
+ORDER BY score DESC, doc_key ASC
+LIMIT {k}
+"""
+
+
 def bm25_topk_sql_oracle(
     table: str,
     id_col: str,

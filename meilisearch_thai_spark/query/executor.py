@@ -25,8 +25,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..index.builder import IndexMeta, load_meta
+from ..index.builder import FIELD_SEP, IndexMeta, load_meta
 from ..index.codec import varbyte_decode
+
+
+def _row_field(term: str, field_params, avgdl: float) -> tuple[float, float, str]:
+    """(weight, avgdl, base_term) for one posting row — identity on
+    unfielded indexes; on fielded indexes resolves the term's field prefix
+    to its index-setting weight and per-field avgdl (builder.FIELD_SEP)."""
+    if field_params:
+        pre, sep, base = term.partition(FIELD_SEP)
+        if sep:
+            w, adl = field_params.get(pre, (1.0, avgdl))
+            return w, adl, base
+    return 1.0, avgdl, term
 
 _SCORED_SCHEMA = T.StructType(
     [
@@ -46,7 +58,7 @@ class QueryTerm:
     term: str
 
 
-def _make_decoder(k1: float, b: float, avgdl: float, n_docs: int):
+def _make_decoder(k1: float, b: float, avgdl: float, n_docs: int, field_params=None):
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
@@ -57,12 +69,16 @@ def _make_decoder(k1: float, b: float, avgdl: float, n_docs: int):
                 ids = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
                 tfs = varbyte_decode(row.tf_bytes).astype(np.float64)
                 dls = varbyte_decode(row.dl_bytes).astype(np.float64)
+                w, adl, base = _row_field(row.term, field_params, avgdl)
                 term_idf = np.log(1.0 + (n_docs - row.df + 0.5) / (row.df + 0.5))
-                scores = term_idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+                scores = w * term_idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / adl))
                 n = len(ids)
                 out_vid.append(np.full(n, row.variant_id, dtype=np.int32))
                 out_doc.append(ids)
-                out_term.append(np.full(n, row.term, dtype=object))
+                # base term, not the field-prefixed one: downstream
+                # terms_matched counts DISTINCT QUERY WORDS matched (a word
+                # hitting both title and content is one match)
+                out_term.append(np.full(n, base, dtype=object))
                 out_score.append(scores)
             if not out_doc:
                 continue
@@ -164,6 +180,57 @@ def _phrase_docs(g, ordered_terms: list[str]) -> set[int]:
     return ok
 
 
+def _phrase_docs_any_field(g, terms: list[str], prefixes: list[str]) -> set[int]:
+    """Fielded phrase check: positions restart per attribute, so a phrase
+    must chain within ONE field — union over fields of the per-field chain."""
+    if not prefixes:
+        return _phrase_docs(g, terms)
+    ok: set[int] = set()
+    for pre in prefixes:
+        ok |= _phrase_docs(g, [pre + t for t in terms])
+    return ok
+
+
+def _score_block_rows(
+    vg, k1: float, b: float, avgdl: float, n_docs: int, field_params
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one (variant[, bucket]) group of posting blocks into flat
+    (doc_ids, scores, base_term_ids) arrays.
+
+    ``base_term_ids`` number the DISTINCT BASE terms (field prefix stripped)
+    so callers can count matched query words per doc: on a fielded index the
+    same word matching in two attributes is still ONE matched word."""
+    ids_l, score_l, tid_l = [], [], []
+    tids: dict[str, int] = {}
+    for row in vg.itertuples(index=False):
+        deltas = varbyte_decode(row.doc_bytes)
+        ids = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
+        tfs = varbyte_decode(row.tf_bytes).astype(np.float64)
+        dls = varbyte_decode(row.dl_bytes).astype(np.float64)
+        w, adl, base = _row_field(row.term, field_params, avgdl)
+        idf = np.log(1.0 + (n_docs - row.df + 0.5) / (row.df + 0.5))
+        score_l.append(w * idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / adl)))
+        ids_l.append(ids)
+        tid_l.append(np.full(len(ids), tids.setdefault(base, len(tids)), dtype=np.int64))
+    return np.concatenate(ids_l), np.concatenate(score_l), np.concatenate(tid_l)
+
+
+def _agg_doc_scores(
+    ids: np.ndarray, scores: np.ndarray, tids: np.ndarray, fielded: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(per-row doc, score, base-term id) → per-doc (uids, score sums,
+    distinct-base-term counts).  Unfielded indexes keep the cheap bincount
+    (each (term, doc) row is unique there)."""
+    uids, inv = np.unique(ids, return_inverse=True)
+    sums = np.bincount(inv, weights=scores)
+    if not fielded:
+        return uids, sums, np.bincount(inv)
+    ntid = int(tids.max()) + 1 if len(tids) else 1
+    upair = np.unique(inv * ntid + tids)
+    cnts = np.bincount(upair // ntid, minlength=len(uids))
+    return uids, sums, cnts
+
+
 def _make_bucket_topk(
     k1: float,
     b: float,
@@ -173,6 +240,8 @@ def _make_bucket_topk(
     required_terms: dict[int, int],
     phrase_terms: dict[int, list[str]] | None = None,
     excluded: np.ndarray | None = None,
+    field_params=None,
+    field_prefixes: list[str] | None = None,
 ):
     """Block-max pruned per-partition top-k (R11 block-max WAND, SURVEY §7.4).
 
@@ -208,20 +277,8 @@ def _make_bucket_topk(
                     # (strict <: an equal-bound bucket could still win a
                     # doc_id tie-break at exactly the k-th score)
                 g = grouped[bucket]
-                ids_l, score_l = [], []
-                for row in g.itertuples(index=False):
-                    deltas = varbyte_decode(row.doc_bytes)
-                    ids = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
-                    tfs = varbyte_decode(row.tf_bytes).astype(np.float64)
-                    dls = varbyte_decode(row.dl_bytes).astype(np.float64)
-                    idf = np.log(1.0 + (n_docs - row.df + 0.5) / (row.df + 0.5))
-                    score_l.append(idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl)))
-                    ids_l.append(ids)
-                ids = np.concatenate(ids_l)
-                scores = np.concatenate(score_l)
-                uids, inv = np.unique(ids, return_inverse=True)
-                sums = np.bincount(inv, weights=scores)
-                cnts = np.bincount(inv)  # each (term, doc) appears exactly once
+                ids, scores, tids = _score_block_rows(g, k1, b, avgdl, n_docs, field_params)
+                uids, sums, cnts = _agg_doc_scores(ids, scores, tids, bool(field_params))
                 if excluded is not None and len(uids):
                     # tombstones excluded INSIDE the heap so pages stay full
                     keep = ~np.isin(uids, excluded)
@@ -230,7 +287,7 @@ def _make_bucket_topk(
                     keep = cnts == need
                     uids, sums, cnts = uids[keep], sums[keep], cnts[keep]
                 if phrase_terms and int(vid) in phrase_terms and len(uids):
-                    ok = _phrase_docs(g, phrase_terms[int(vid)])
+                    ok = _phrase_docs_any_field(g, phrase_terms[int(vid)], field_prefixes or [])
                     keep = np.fromiter((int(d) in ok for d in uids), dtype=bool, count=len(uids))
                     uids, sums, cnts = uids[keep], sums[keep], cnts[keep]
                 for d, s, c in zip(uids, sums, cnts):
@@ -277,6 +334,8 @@ def _make_filtered_bucket_topk(
     required_terms: dict[int, int],
     phrase_terms: dict[int, list[str]] | None = None,
     excluded: np.ndarray | None = None,
+    field_params=None,
+    field_prefixes: list[str] | None = None,
 ):
     """Per-bucket top-k restricted to an allowed-doc set (P4 filtered search).
 
@@ -299,29 +358,17 @@ def _make_filtered_bucket_topk(
         out_vid, out_doc, out_score, out_cnt = [], [], [], []
         for vid, vg in blocks_pdf.groupby("variant_id", sort=False):
             need = required_terms.get(int(vid))
-            ids_l, score_l = [], []
-            for row in vg.itertuples(index=False):
-                deltas = varbyte_decode(row.doc_bytes)
-                ids = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
-                tfs = varbyte_decode(row.tf_bytes).astype(np.float64)
-                dls = varbyte_decode(row.dl_bytes).astype(np.float64)
-                idf = np.log(1.0 + (n_docs - row.df + 0.5) / (row.df + 0.5))
-                score_l.append(idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl)))
-                ids_l.append(ids)
-            ids = np.concatenate(ids_l)
-            scores = np.concatenate(score_l)
+            ids, scores, tids = _score_block_rows(vg, k1, b, avgdl, n_docs, field_params)
             keep = np.isin(ids, allowed, assume_unique=False)
-            ids, scores = ids[keep], scores[keep]
+            ids, scores, tids = ids[keep], scores[keep], tids[keep]
             if not len(ids):
                 continue
-            uids, inv = np.unique(ids, return_inverse=True)
-            sums = np.bincount(inv, weights=scores)
-            cnts = np.bincount(inv)
+            uids, sums, cnts = _agg_doc_scores(ids, scores, tids, bool(field_params))
             if need is not None:
                 keep = cnts == need
                 uids, sums, cnts = uids[keep], sums[keep], cnts[keep]
             if phrase_terms and int(vid) in phrase_terms and len(uids):
-                ok = _phrase_docs(vg, phrase_terms[int(vid)])
+                ok = _phrase_docs_any_field(vg, phrase_terms[int(vid)], field_prefixes or [])
                 keep = np.fromiter((int(d) in ok for d in uids), dtype=bool, count=len(uids))
                 uids, sums, cnts = uids[keep], sums[keep], cnts[keep]
             if not len(uids):
@@ -439,6 +486,47 @@ def _make_warm_exploder():
     return explode
 
 
+_WARM_FIELDED_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("s", T.DoubleType(), False),
+    ]
+)
+
+
+def _make_warm_fielded_exploder(k1: float, b: float, avgdl: float, n_docs: int, field_params):
+    """Fielded twin of :func:`_make_warm_exploder`: per posting row the
+    weighted per-field BM25 term score is FINAL at warm-build time (w, idf,
+    per-field avgdl are all index settings), so the tier stores
+    (base term, doc_id, score) directly — the caller merges multi-field rows
+    into one row per (word, doc), keeping the serving plan's
+    count(*) == matched-word-count property."""
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms_l, ids_l, s_l = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids = np.cumsum(varbyte_decode(row.doc_bytes), dtype=np.uint64).astype(np.int64)
+                tfs = varbyte_decode(row.tf_bytes).astype(np.float64)
+                dls = varbyte_decode(row.dl_bytes).astype(np.float64)
+                w, adl, base = _row_field(row.term, field_params, avgdl)
+                idf = np.log(1.0 + (n_docs - row.df + 0.5) / (row.df + 0.5))
+                s_l.append(w * idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / adl)))
+                terms_l.append(np.full(len(ids), base, dtype=object))
+                ids_l.append(ids)
+            if ids_l:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms_l),
+                        "doc_id": np.concatenate(ids_l),
+                        "s": np.concatenate(s_l),
+                    }
+                )
+
+    return explode
+
+
 class SearchEngine:
     """Query-side handle on a built index directory."""
 
@@ -476,6 +564,13 @@ class SearchEngine:
         # they must leave query term sets too (else 'all'/'last'/'frequency'
         # require df=0 terms and match nothing)
         self._stopwords = frozenset(getattr(self.meta, "stopwords", []) or [])
+        # multi-field (attribute) index: postings carry field-prefixed terms
+        # ("i\x1f<term>"); queries fan each word out across all searchable
+        # attributes and scores weight per field (builder.field_params)
+        self._fp = self.meta.field_params()
+        self._fprefixes = (
+            [f"{i}{FIELD_SEP}" for i in range(len(self.meta.fields))] if self._fp else []
+        )
         # deleted docs (index/maintenance.py delete_docs): excluded exactly
         # in every scoring path; compact_index() resets the set — keep it
         # compacted before it grows unbounded (Lucene-style deletes).
@@ -530,9 +625,26 @@ class SearchEngine:
         if self._warm is None:
             rows = max(self.meta.n_postings, 1)
             P = max(1, min(self.spark.sparkContext.defaultParallelism, rows * 32 // (64 << 20) + 1))
-            warm = self.postings.select(
-                "term", "df", "doc_bytes", "tf_bytes", "dl_bytes"
-            ).mapInPandas(_make_warm_exploder(), _WARM_SCHEMA)
+            if self._fp:
+                # fielded: scores are final at warm time (weights/avgdl are
+                # index settings); merge per (word, doc) across fields ONCE
+                # here so every query keeps count(*) == matched-word-count
+                warm = (
+                    self.postings.select("term", "df", "doc_bytes", "tf_bytes", "dl_bytes")
+                    .mapInPandas(
+                        _make_warm_fielded_exploder(
+                            self.meta.k1, self.meta.b, self.meta.avgdl,
+                            self.meta.n_docs, self._fp,
+                        ),
+                        _WARM_FIELDED_SCHEMA,
+                    )
+                    .groupBy("term", "doc_id")
+                    .agg(F.sum("s").alias("s"))
+                )
+            else:
+                warm = self.postings.select(
+                    "term", "df", "doc_bytes", "tf_bytes", "dl_bytes"
+                ).mapInPandas(_make_warm_exploder(), _WARM_SCHEMA)
             # deleted docs never enter the serving tier — zero per-query
             # cost for deletes on the warm path
             warm = self._exclude_deleted(warm)
@@ -595,10 +707,12 @@ class SearchEngine:
             base = w.filter(F.col("term").isin(terms)).withColumn(
                 "variant_id", F.explode(vmap[F.col("term")])
             )
-        scored = (
-            base.withColumn("s", self._bm25_expr())
-            .groupBy("variant_id", "doc_id")
-            .agg(F.sum("s").alias("score"), F.count("*").alias("terms_matched"))
+        if not self._fp:
+            base = base.withColumn("s", self._bm25_expr())
+        # fielded tiers precompute "s" (and pre-merge fields), so count(*)
+        # is the matched-word count on both tier layouts
+        scored = base.groupBy("variant_id", "doc_id").agg(
+            F.sum("s").alias("score"), F.count("*").alias("terms_matched")
         )
         if required:
             needmap = F.create_map(
@@ -624,7 +738,8 @@ class SearchEngine:
         if not hasattr(self, "_vocab"):
             cap = self.vocab_cap
             rows = (
-                self.postings.groupBy("term")
+                self._base_terms_df()
+                .groupBy("term")
                 .agg(F.max("df").alias("df"))
                 .orderBy(F.desc("df"), F.asc("term"))
                 .limit(cap + 1)
@@ -640,6 +755,19 @@ class SearchEngine:
                 by_len.setdefault(len(t), []).append(t)
             self._vocab_by_len = by_len
         return self._vocab
+
+    def _base_terms_df(self) -> DataFrame:
+        """(term, df) with field prefixes stripped — the WORD-level view of
+        the postings table (expansion/typo/df consumers think in words, not
+        per-attribute term spaces).  On a fielded index a word's df is the
+        max across its field variants (its best-case selectivity); prefix
+        pushdown is lost there, but these are bounded offline/driver scans,
+        not the serving path."""
+        if not self._fprefixes:
+            return self.postings.select("term", "df")
+        return self.postings.select(
+            F.substring_index("term", FIELD_SEP, -1).alias("term"), "df"
+        )
 
     def _vocab_set(self) -> set[str]:
         if not hasattr(self, "_vocabset"):
@@ -687,7 +815,7 @@ class SearchEngine:
             F.col("term").startswith(token) if token.isascii() else F.col("term").contains(token)
         )
         rows = (
-            self.postings.select("term", "df")
+            self._base_terms_df()
             .filter(cond & (F.col("term") != token))
             .groupBy("term")
             .agg(F.max("df").alias("df"))
@@ -721,6 +849,22 @@ class SearchEngine:
                         return out
         return out
 
+    def _index_term_map(self, qterms: list[QueryTerm]) -> dict[str, list[int]]:
+        """query (variant, word) pairs → index-term → variant ids.
+
+        On a fielded index each query word fans out to one lookup term per
+        searchable attribute (the reference's searchableAttributes: a word
+        matches in ANY field, settings_manager.py:72-95) — the fan-out is a
+        LOOKUP-set expansion only, scoring stays per (field, term) row."""
+        by_term: dict[str, list[int]] = {}
+        for q in qterms:
+            if self._fprefixes:
+                for pre in self._fprefixes:
+                    by_term.setdefault(pre + q.term, []).append(q.variant_id)
+            else:
+                by_term.setdefault(q.term, []).append(q.variant_id)
+        return by_term
+
     def candidate_blocks(self, qterms: list[QueryTerm]) -> DataFrame:
         """Term lookup (X2): scan filter + literal term→variants expansion.
 
@@ -730,9 +874,7 @@ class SearchEngine:
         filter pushes to the scan so parquet row-group min/max stats on the
         term-sorted files prune untouched groups.
         """
-        by_term: dict[str, list[int]] = {}
-        for q in qterms:
-            by_term.setdefault(q.term, []).append(q.variant_id)
+        by_term = self._index_term_map(qterms)
         terms = sorted(by_term)
         if not terms:
             return self.postings.filter(F.lit(False)).withColumn("variant_id", F.lit(0))
@@ -814,11 +956,21 @@ class SearchEngine:
         blocks = self.candidate_blocks(qterms)
         if prune_threshold is not None:
             blocks = blocks.filter(F.col("block_max_score") >= F.lit(prune_threshold))
-        decode = _make_decoder(self.meta.k1, self.meta.b, self.meta.avgdl, self.meta.n_docs)
+        decode = _make_decoder(
+            self.meta.k1, self.meta.b, self.meta.avgdl, self.meta.n_docs, self._fp
+        )
         scored = blocks.select(
             "variant_id", "term", "df", "doc_bytes", "tf_bytes", "dl_bytes"
         ).mapInPandas(decode, _SCORED_SCHEMA)
         scored = self._exclude_deleted(scored)
+        if self._fp:
+            # fielded: the decoder emits BASE terms, and a doc matching the
+            # same word in two attributes yields two rows — matched-word
+            # count must be distinct over base terms
+            return scored.groupBy("variant_id", "doc_id").agg(
+                F.sum("score").alias("score"),
+                F.countDistinct("term").alias("terms_matched"),
+            )
         # count(*) == countDistinct(term): a doc appears in exactly one bucket
         # per term, so each (variant, doc, term) row is unique
         return scored.groupBy("variant_id", "doc_id").agg(
@@ -861,6 +1013,7 @@ class SearchEngine:
         run = _make_bucket_topk(
             self.meta.k1, self.meta.b, self.meta.avgdl, self.meta.n_docs, k,
             required_terms or {}, phrase_terms, self._excluded_array(),
+            self._fp, self._fprefixes,
         )
         return blocks.mapInPandas(run, _TOPK_SCHEMA)
 
@@ -873,12 +1026,15 @@ class SearchEngine:
         which keeps unknown terms from silently relaxing)."""
         missing = sorted({t for t in terms if t not in self._df_cache})
         if missing:
-            rows = (
-                self.postings.filter(F.col("term").isin(missing))
-                .groupBy("term")
-                .agg(F.max("df").alias("df"))
-                .collect()
-            )
+            if self._fprefixes:
+                # prefixed-term filter pushes to the scan; strip AFTER so a
+                # word's df = max over its per-attribute variants
+                src = self.postings.filter(
+                    F.col("term").isin([p + t for t in missing for p in self._fprefixes])
+                ).select(F.substring_index("term", FIELD_SEP, -1).alias("term"), "df")
+            else:
+                src = self.postings.filter(F.col("term").isin(missing)).select("term", "df")
+            rows = src.groupBy("term").agg(F.max("df").alias("df")).collect()
             for r in rows:
                 self._df_cache[r["term"]] = int(r["df"])
             for t in missing:
@@ -945,6 +1101,7 @@ class SearchEngine:
         run = _make_filtered_bucket_topk(
             self.meta.k1, self.meta.b, self.meta.avgdl, self.meta.n_docs, k,
             required_terms or {}, phrase_terms, self._excluded_array(),
+            self._fp, self._fprefixes,
         )
         return (
             blocks.groupby("bucket")
@@ -979,7 +1136,22 @@ class SearchEngine:
             self._pads = pads.dataset(os.path.join(self.index_dir, "doc_stats"))
         return self._pads
 
-    def _resolve_meta(self, rows: list) -> list[dict]:
+    def _check_attrs(self, attributes: list[str] | None) -> list[str]:
+        """Validate an attributesToRetrieve list against the stored doc
+        metadata (reference search_executor.py:721-723): unknown fields are
+        a request error (MeiliSearch 400s), ``_``-prefixed fields are never
+        returned (hit stripping, :363-367)."""
+        if not attributes:
+            return []
+        bad = sorted(a for a in set(attributes) if a not in self.doc_stats.columns)
+        if bad:
+            raise ValueError(
+                f"attributes_to_retrieve {bad} not in stored doc fields "
+                f"{sorted(self.doc_stats.columns)}"
+            )
+        return [a for a in dict.fromkeys(attributes) if not a.startswith("_")]
+
+    def _resolve_meta(self, rows: list, attributes: list[str] | None = None) -> list[dict]:
         """k-bounded doc-metadata lookup + driver-side merge.
 
         Serving engines resolve stored fields for the k winners with a DIRECT
@@ -992,8 +1164,13 @@ class SearchEngine:
         if not rows:
             return []
         ids = [int(r["doc_id"]) for r in rows]
-        cols = ["doc_id", "url"] + (
-            ["text_crop"] if "text_crop" in self.doc_stats.columns else []
+        attrs = self._check_attrs(attributes)
+        cols = list(
+            dict.fromkeys(
+                ["doc_id", "url"]
+                + (["text_crop"] if "text_crop" in self.doc_stats.columns else [])
+                + attrs
+            )
         )
         try:
             import pyarrow.dataset as pads
@@ -1014,6 +1191,8 @@ class SearchEngine:
             d["url"] = m["url"]
             if "text_crop" in cols:
                 d["text_crop"] = m["text_crop"]
+            for a in attrs:
+                d[a] = m[a]
             out.append(d)
         return out
 
@@ -1024,6 +1203,7 @@ class SearchEngine:
         matching: str = "best",
         filters: dict | None = None,
         sort: list[str] | None = None,
+        attributes_to_retrieve: list[str] | None = None,
     ) -> list[dict]:
         """The SERVING call: top-k hits as plain rows (eager, k-bounded).
 
@@ -1037,7 +1217,10 @@ class SearchEngine:
         if filters or sort or not self._warm_enabled:
             return [
                 r.asDict()
-                for r in self.search(query, k=k, matching=matching, filters=filters, sort=sort).collect()
+                for r in self.search(
+                    query, k=k, matching=matching, filters=filters, sort=sort,
+                    attributes_to_retrieve=attributes_to_retrieve,
+                ).collect()
             ]
         terms = extract_index_terms(tokenize_for_index(query))
         if not terms:
@@ -1049,12 +1232,23 @@ class SearchEngine:
         else:
             scored = scored.drop("variant_id")
         rows = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-        return self._resolve_meta(rows)
+        return self._resolve_meta(rows, attributes_to_retrieve)
 
-    def _finalize_hits(self, topk: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
-        """Resolve urls (and stored text) for the ≤ k winning rows."""
-        out_cols = ["url", "doc_id", "score", "terms_matched"] + (extra_cols or []) + (
-            ["text_crop"] if "text_crop" in self.doc_stats.columns else []
+    def _finalize_hits(
+        self,
+        topk: DataFrame,
+        extra_cols: list[str] | None = None,
+        attributes: list[str] | None = None,
+    ) -> DataFrame:
+        """Resolve urls (and stored text + requested attributes) for the
+        ≤ k winning rows."""
+        out_cols = list(
+            dict.fromkeys(
+                ["url", "doc_id", "score", "terms_matched"]
+                + (extra_cols or [])
+                + (["text_crop"] if "text_crop" in self.doc_stats.columns else [])
+                + self._check_attrs(attributes)
+            )
         )
         return (
             self.doc_stats.join(F.broadcast(topk), "doc_id")
@@ -1069,6 +1263,7 @@ class SearchEngine:
         matching: str = "best",
         filters: dict | None = None,
         sort: list[str] | None = None,
+        attributes_to_retrieve: list[str] | None = None,
     ) -> DataFrame:
         """Single-variant BM25 top-k (the walking-skeleton API).
 
@@ -1098,8 +1293,12 @@ class SearchEngine:
                 if len(prefixes) > 1
                 else scored.drop("variant_id")
             )
-            out_cols = ["url", "doc_id", "score", "terms_matched"] + (
-                ["text_crop"] if "text_crop" in self.doc_stats.columns else []
+            out_cols = list(
+                dict.fromkeys(
+                    ["url", "doc_id", "score", "terms_matched"]
+                    + (["text_crop"] if "text_crop" in self.doc_stats.columns else [])
+                    + self._check_attrs(attributes_to_retrieve)
+                )
             )
             return (
                 self.doc_stats.join(scored, "doc_id")
@@ -1123,7 +1322,7 @@ class SearchEngine:
             .limit(k)
             .select("doc_id", "score", "terms_matched")
         )
-        return self._finalize_hits(topk)
+        return self._finalize_hits(topk, attributes=attributes_to_retrieve)
 
     def search_phrase(self, terms: list[str], k: int = 10) -> DataFrame:
         """Exact-adjacency phrase search (MeiliSearch quoted-phrase
@@ -1196,22 +1395,31 @@ class SearchEngine:
         positions in Python per block, merge driver-side (len(doc_ids) ≈ k)."""
         buckets = sorted({d // self.meta.bucket_span for d in doc_ids})
         want_docs = set(doc_ids)
+        lookup = (
+            [p + t for t in terms for p in self._fprefixes] if self._fprefixes else terms
+        )
         rows = (
-            self.postings.filter(F.col("term").isin(terms))
+            self.postings.filter(F.col("term").isin(lookup))
             .filter(F.col("bucket").isin([int(b) for b in buckets]))
             .select("term", "doc_bytes", "tf_bytes", "pos_bytes")
             .collect()
         )
-        perdoc: dict[int, dict[str, np.ndarray]] = {}
+        # positions restart per attribute, so proximity windows are a
+        # WITHIN-FIELD property: group by (doc, field), window each group,
+        # keep the doc's best field
+        perdoc: dict[tuple[int, str], dict[str, np.ndarray]] = {}
         for row in rows:
             ids = np.cumsum(varbyte_decode(row["doc_bytes"]), dtype=np.uint64).astype(np.int64)
             tfs = varbyte_decode(row["tf_bytes"])
             posmap = _decode_doc_positions(ids, tfs, row["pos_bytes"])
+            fid, sep, base = row["term"].partition(FIELD_SEP)
+            if not sep:
+                fid, base = "", row["term"]
             for d, pos in posmap.items():
                 if d in want_docs:
-                    perdoc.setdefault(d, {})[row["term"]] = pos
+                    perdoc.setdefault((d, fid), {})[base] = pos
         out: dict[int, int] = {}
-        for d, tp in perdoc.items():
+        for (d, _fid), tp in perdoc.items():
             if len(tp) < len(terms):
                 continue
             # classic min-window over sorted (position, term) events
@@ -1231,7 +1439,7 @@ class SearchEngine:
                         del have[lt]
                     lo += 1
             if best is not None:
-                out[d] = int(best)
+                out[d] = min(out.get(d, int(best)), int(best))
         return out
 
     def search(
@@ -1241,12 +1449,16 @@ class SearchEngine:
         matching: str = "best",
         filters: dict | None = None,
         sort: list[str] | None = None,
+        attributes_to_retrieve: list[str] | None = None,
     ) -> DataFrame:
         """Tokenize ``query`` with the SAME pinned tokenizer and score."""
         from ..tokenizer import extract_index_terms, tokenize_for_index
 
         terms = extract_index_terms(tokenize_for_index(query))
-        return self.search_terms(terms, k=k, matching=matching, filters=filters, sort=sort)
+        return self.search_terms(
+            terms, k=k, matching=matching, filters=filters, sort=sort,
+            attributes_to_retrieve=attributes_to_retrieve,
+        )
 
     def multi_variant_search(
         self,
@@ -1256,6 +1468,7 @@ class SearchEngine:
         normalize: bool = False,
         filters: dict | None = None,
         sort: list[str] | None = None,
+        attributes_to_retrieve: list[str] | None = None,
     ) -> DataFrame:
         """Full search-proxy semantics in ONE Spark job (SURVEY §3.3 / X1).
 
@@ -1289,8 +1502,12 @@ class SearchEngine:
                 ]
             )
             return self.spark.createDataFrame([], empty)
-        out_cols = ["url", "doc_id", "score", "variant_type", "terms_matched"] + (
-            ["text_crop"] if "text_crop" in self.doc_stats.columns else []
+        out_cols = list(
+            dict.fromkeys(
+                ["url", "doc_id", "score", "variant_type", "terms_matched"]
+                + (["text_crop"] if "text_crop" in self.doc_stats.columns else [])
+                + self._check_attrs(attributes_to_retrieve)
+            )
         )
         if sort_cols:
             # sort fields first, relevance as tie-break; limit AFTER the
@@ -1316,6 +1533,7 @@ class SearchEngine:
         normalize: bool = False,
         filters: dict | None = None,
         sort: list[str] | None = None,
+        attributes_to_retrieve: list[str] | None = None,
     ) -> list[dict]:
         """Eager serving twin of :meth:`multi_variant_search`: two k-bounded
         pure-JVM jobs on a warm engine (scored top-k collect + metadata point
@@ -1326,13 +1544,14 @@ class SearchEngine:
                 for r in self.multi_variant_search(
                     query, k=k, min_score_threshold=min_score_threshold,
                     normalize=normalize, filters=filters, sort=sort,
+                    attributes_to_retrieve=attributes_to_retrieve,
                 ).collect()
             ]
         dedup, _ = self._multi_variant_dedup(query, k, min_score_threshold, normalize, None, None)
         if dedup is None:
             return []
         rows = dedup.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-        return self._resolve_meta(rows)
+        return self._resolve_meta(rows, attributes_to_retrieve)
 
     def batch_multi_variant_page(
         self,

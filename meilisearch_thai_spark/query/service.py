@@ -44,6 +44,10 @@ class Hit:
     highlights: list[str] = field(default_factory=list)
     relevance: dict = field(default_factory=dict)
     formatted: str = ""  # the reference's _formatted: cropped text with <em> marks
+    # attributesToRetrieve payload: requested stored doc fields, verbatim
+    # (reference hits return the document minus _-fields,
+    # search_executor.py:363-367, 721-723)
+    attributes: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -80,6 +84,7 @@ class SearchService:
         sort: list[str] | None = None,
         crop_length: int = 200,
         include_tokenization_info: bool = False,
+        attributes_to_retrieve: list[str] | None = None,
     ) -> SearchResponse:
         req = validate_request(
             SearchRequest(
@@ -121,6 +126,7 @@ class SearchService:
                 normalize=config.normalize,
                 filters=req.filters,
                 sort=req.sort or None,
+                attributes_to_retrieve=attributes_to_retrieve,
             )
         except Exception:
             # S6: execution failures ARE recorded (success=False) before the
@@ -133,17 +139,20 @@ class SearchService:
         return self._postprocess(
             req, pq, rows, algorithm, config, session_id, sort, t0, t_tok, t_search,
             include_tokenization_info=include_tokenization_info,
+            attributes_to_retrieve=attributes_to_retrieve,
         )
 
     def _postprocess(
         self, req, pq, rows, algorithm, config, session_id, sort, t0, t_tok, t_search,
         include_tokenization_info: bool = False,
+        attributes_to_retrieve: list[str] | None = None,
     ) -> SearchResponse:
         """Driver-side page finishing shared by search and batch_search:
         X7 content-dedup, pagination, E1 highlight generation, E3-E6
         enhancement, R3/R7 boosts, S6 metric+event records."""
         # when the index stores content (build_index(store_text_crop=N)),
         # the E-ops and X7 run on real text; otherwise they key on url
+        attrs = [a for a in (attributes_to_retrieve or []) if not a.startswith("_")]
         hits = [
             {
                 "url": r["url"],
@@ -152,6 +161,7 @@ class SearchService:
                 "variant_type": r["variant_type"],
                 "terms_matched": int(r["terms_matched"]),
                 "text": r.get("text_crop") or r["url"],
+                "attributes": {a: r[a] for a in attrs if a in r},
             }
             for r in rows
         ]
@@ -193,7 +203,7 @@ class SearchService:
             out_hits.append(
                 Hit(
                     h["url"], h["doc_id"], score, h["variant_type"], h["terms_matched"],
-                    highlights, rel, formatted,
+                    highlights, rel, formatted, h.get("attributes", {}),
                 )
             )
         if not sort:
