@@ -552,7 +552,7 @@ class SearchEngine:
         spark, index_dir = self.spark, self.index_dir
         self._vocab_truncated = False
         self._df_cache: dict[str, int] = {}  # term -> document frequency
-        for attr in ("_vocab", "_vocab_by_len", "_vocabset", "_pads"):
+        for attr in ("_vocab", "_vocab_by_len", "_vocab_rev", "_vocabset", "_pads"):
             if hasattr(self, attr):
                 delattr(self, attr)
         self.meta: IndexMeta = load_meta(index_dir)
@@ -806,6 +806,48 @@ class SearchEngine:
             out = self.expand_terms_spark(token, max_expansions)
         return out
 
+    def expand_terms_suffix(self, token: str, max_expansions: int = 10) -> list[str]:
+        """Q10 suffix completion: index terms ENDING with ``token`` — the
+        reference's ``*tok`` wildcard variants
+        (tokenizer/query_processor.py:328-471), which prefix expansion
+        misses ('book' → 'notebook'/'cookbook').  Latin only: Thai tokens
+        already get full containment in :meth:`expand_terms`.
+
+        Bisect range scan over a REVERSED-term sorted copy of the bounded
+        vocab (suffix of t == prefix of t[::-1]); built lazily once per
+        engine.  Tail fallback for truncated vocabs goes through an
+        ``endswith`` scan (no pushdown — suffix predicates never prune a
+        lexicographic sort; bounded-k collect keeps it safe)."""
+        if not token or len(token) < 2 or not token.isascii():
+            return []
+        import bisect
+
+        vocab = self.vocabulary()
+        if not hasattr(self, "_vocab_rev"):
+            self._vocab_rev = sorted(t[::-1] for t in vocab)
+        rtok = token[::-1]
+        i = bisect.bisect_left(self._vocab_rev, rtok)
+        out: list[str] = []
+        while i < len(self._vocab_rev) and self._vocab_rev[i].startswith(rtok):
+            t = self._vocab_rev[i][::-1]
+            if t != token:
+                out.append(t)
+                if len(out) >= max_expansions:
+                    break
+            i += 1
+        if not out and self._vocab_truncated:
+            rows = (
+                self._base_terms_df()
+                .filter(F.col("term").endswith(token) & (F.col("term") != token))
+                .groupBy("term")
+                .agg(F.max("df").alias("df"))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(max_expansions)
+                .collect()
+            )
+            out = [r["term"] for r in rows]
+        return out
+
     def expand_terms_spark(self, token: str, max_expansions: int = 10) -> list[str]:
         """Distributed Q10 expansion for tokens outside the bounded driver
         vocab: prefix (Latin — StartsWith pushes to the term-sorted parquet
@@ -829,19 +871,24 @@ class SearchEngine:
         """Typo tolerance against the vocabulary — MeiliSearch's typo ranking
         rule (1 edit for words ≥5 chars, 2 for ≥9; the rule the reference
         configures via rankingRules=[...,typo,...],
-        settings_manager.py:72-79).  Latin tokens only, like MeiliSearch's
-        word-level typo matching.  Scans only the ±budget LENGTH BANDS of the
-        bounded vocab (edit distance > budget is impossible outside them), so
-        per-token cost is a small slice of the dictionary, not the corpus
-        vocabulary."""
-        if len(token) < 5 or not token.isascii():
+        settings_manager.py:72-79).  Script-agnostic like MeiliSearch's
+        word-level typo rule: Thai tokens match Thai vocabulary, Latin
+        matches Latin (cross-script neighbors are never real typos — a
+        1-edit hop between scripts is an encoding accident, not a typo).
+        Thai lengths count codepoints, so the ≥5 threshold means most
+        single newmm words qualify at budget 1.  Scans only the ±budget
+        LENGTH BANDS of the bounded vocab (edit distance > budget is
+        impossible outside them), so per-token cost is a small slice of the
+        dictionary, not the corpus vocabulary."""
+        if len(token) < 5:
             return []
         budget = 2 if len(token) >= 9 else 1
         self.vocabulary()
+        ascii_tok = token.isascii()
         out: list[str] = []
         for length in range(len(token) - budget, len(token) + budget + 1):
             for t in self._vocab_by_len.get(length, ()):
-                if t == token or not t.isascii():
+                if t == token or t.isascii() != ascii_tok:
                     continue
                 if _edit_distance_within(token, t, budget):
                     out.append(t)
@@ -1689,6 +1736,12 @@ class SearchEngine:
         fuzzy: list[str] = []
         for tok in dict.fromkeys(tokens):
             for e in self.expand_terms(tok):
+                if e not in seen_terms and e not in expansions:
+                    expansions.append(e)
+            # suffix completions ride the same fallback variant (reference
+            # *tok wildcard, query_processor.py:328-471): 'book' also pulls
+            # 'notebook'/'cookbook', which prefix expansion cannot see
+            for e in self.expand_terms_suffix(tok):
                 if e not in seen_terms and e not in expansions:
                     expansions.append(e)
             # typo rule fires only when the token itself misses the index
