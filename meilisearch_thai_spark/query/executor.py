@@ -150,6 +150,26 @@ def _decode_doc_positions(doc_ids, tfs, pos_bytes) -> dict[int, np.ndarray]:
     return {int(d): seg for d, seg in zip(doc_ids, per_doc) if len(seg)}
 
 
+def _min_window_span(term_positions: dict[str, np.ndarray], need: int) -> int | None:
+    """Classic minimal-window sweep over sorted (position, term) events:
+    smallest span containing ≥1 occurrence of each of the ``need`` terms."""
+    events = sorted((int(p), t) for t, ps in term_positions.items() for p in ps)
+    have: dict[str, int] = {}
+    lo = 0
+    best = None
+    for p, t in events:
+        have[t] = have.get(t, 0) + 1
+        while len(have) == need:
+            span = p - events[lo][0]
+            best = span if best is None else min(best, span)
+            lt = events[lo][1]
+            have[lt] -= 1
+            if not have[lt]:
+                del have[lt]
+            lo += 1
+    return None if best is None else int(best)
+
+
 def _phrase_docs(g, ordered_terms: list[str]) -> set[int]:
     """Docs in this (variant, bucket) group containing the exact phrase:
     a position chain p, p+1, ... across ``ordered_terms``."""
@@ -1435,59 +1455,68 @@ class SearchEngine:
             rescored[:k], "url string, doc_id long, score double, terms_matched long"
         )
 
-    def _min_windows(self, terms: list[str], doc_ids: list[int]) -> dict[int, int]:
-        """Minimal span covering one occurrence of every term, per doc.
+    def _min_windows_df(self, terms: list[str], doc_ids: list[int]) -> DataFrame:
+        """Minimal span covering one occurrence of every term, per doc — as a
+        DataFrame of ``(doc_id, min_window)``.
 
-        One small job: candidate docs' buckets only (bucket pushdown), decode
-        positions in Python per block, merge driver-side (len(doc_ids) ≈ k)."""
-        buckets = sorted({d // self.meta.bucket_span for d in doc_ids})
-        want_docs = set(doc_ids)
+        One small job: candidate docs' buckets only (bucket + term pushdown
+        into the parquet scan), positions decoded and windowed INSIDE a
+        per-bucket ``applyInPandas``.  A doc never spans buckets
+        (bucket = doc_id // span), so each group is self-contained; only
+        ``(doc_id, min_window)`` pairs (≤ len(doc_ids) rows) cross the
+        executor→driver boundary — raw ``doc_bytes``/``pos_bytes`` stay
+        executor-side no matter how hot the terms are at 100×."""
+        buckets = [int(b) for b in sorted({d // self.meta.bucket_span for d in doc_ids})]
+        want_docs = {int(d) for d in doc_ids}
         lookup = (
-            [p + t for t in terms for p in self._fprefixes] if self._fprefixes else terms
+            [p + t for t in terms for p in self._fprefixes] if self._fprefixes else list(terms)
         )
-        rows = (
+        need = len(terms)
+
+        def run(g: pd.DataFrame) -> pd.DataFrame:
+            # positions restart per attribute, so proximity windows are a
+            # WITHIN-FIELD property: group by (doc, field), window each
+            # group, keep the doc's best field
+            perdoc: dict[tuple[int, str], dict[str, np.ndarray]] = {}
+            for row in g.itertuples(index=False):
+                ids = np.cumsum(varbyte_decode(row.doc_bytes), dtype=np.uint64).astype(np.int64)
+                tfs = varbyte_decode(row.tf_bytes)
+                posmap = _decode_doc_positions(ids, tfs, row.pos_bytes)
+                fid, sep, base = row.term.partition(FIELD_SEP)
+                if not sep:
+                    fid, base = "", row.term
+                for d, pos in posmap.items():
+                    if d in want_docs:
+                        perdoc.setdefault((d, fid), {})[base] = pos
+            best_per_doc: dict[int, int] = {}
+            for (d, _fid), tp in perdoc.items():
+                if len(tp) < need:
+                    continue
+                best = _min_window_span(tp, need)
+                if best is not None:
+                    best_per_doc[d] = min(best_per_doc.get(d, best), best)
+            return pd.DataFrame(
+                {
+                    "doc_id": np.fromiter(best_per_doc.keys(), dtype=np.int64),
+                    "min_window": np.fromiter(best_per_doc.values(), dtype=np.int64),
+                }
+            )
+
+        return (
             self.postings.filter(F.col("term").isin(lookup))
-            .filter(F.col("bucket").isin([int(b) for b in buckets]))
-            .select("term", "doc_bytes", "tf_bytes", "pos_bytes")
-            .collect()
+            .filter(F.col("bucket").isin(buckets))
+            .select("bucket", "term", "doc_bytes", "tf_bytes", "pos_bytes")
+            .groupBy("bucket")
+            .applyInPandas(run, "doc_id long, min_window long")
         )
-        # positions restart per attribute, so proximity windows are a
-        # WITHIN-FIELD property: group by (doc, field), window each group,
-        # keep the doc's best field
-        perdoc: dict[tuple[int, str], dict[str, np.ndarray]] = {}
-        for row in rows:
-            ids = np.cumsum(varbyte_decode(row["doc_bytes"]), dtype=np.uint64).astype(np.int64)
-            tfs = varbyte_decode(row["tf_bytes"])
-            posmap = _decode_doc_positions(ids, tfs, row["pos_bytes"])
-            fid, sep, base = row["term"].partition(FIELD_SEP)
-            if not sep:
-                fid, base = "", row["term"]
-            for d, pos in posmap.items():
-                if d in want_docs:
-                    perdoc.setdefault((d, fid), {})[base] = pos
-        out: dict[int, int] = {}
-        for (d, _fid), tp in perdoc.items():
-            if len(tp) < len(terms):
-                continue
-            # classic min-window over sorted (position, term) events
-            events = sorted((int(p), t) for t, ps in tp.items() for p in ps)
-            need = len(terms)
-            have: dict[str, int] = {}
-            lo = 0
-            best = None
-            for hi, (p, t) in enumerate(events):
-                have[t] = have.get(t, 0) + 1
-                while len(have) == need:
-                    span = p - events[lo][0]
-                    best = span if best is None else min(best, span)
-                    lt = events[lo][1]
-                    have[lt] -= 1
-                    if not have[lt]:
-                        del have[lt]
-                    lo += 1
-            if best is not None:
-                out[d] = min(out.get(d, int(best)), int(best))
-        return out
+
+    def _min_windows(self, terms: list[str], doc_ids: list[int]) -> dict[int, int]:
+        """Collect of :meth:`_min_windows_df` — k-bounded (doc_id, window)
+        pairs only."""
+        return {
+            int(r["doc_id"]): int(r["min_window"])
+            for r in self._min_windows_df(terms, doc_ids).collect()
+        }
 
     def search(
         self,
