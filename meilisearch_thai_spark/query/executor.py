@@ -551,6 +551,11 @@ class SearchEngine:
     """Query-side handle on a built index directory."""
 
     VOCAB_CAP = 200_000  # driver-side vocabulary bound (head terms by df)
+    # decoded warm row ≈ term (dict-encoded, ~10 B amortized) + 3×8 B
+    # numerics + columnar-cache overhead; the REAL number for a built tier
+    # comes from warm_memory_report() — this constant only sizes the
+    # head-term selection before the tier exists
+    WARM_BYTES_PER_POSTING = 48
 
     def __init__(
         self,
@@ -558,12 +563,14 @@ class SearchEngine:
         index_dir: str,
         cache_postings: bool = True,
         vocab_cap: int | None = None,
+        warm_budget_bytes: int | None = None,
     ):
         self.spark = spark
         self.index_dir = index_dir
         self.vocab_cap = vocab_cap or self.VOCAB_CAP
         self._warm_enabled = cache_postings
         self._warm: DataFrame | None = None  # decoded serving tier (lazy)
+        self._warm_budget = warm_budget_bytes  # None = warm everything
         self._doomed_df: DataFrame | None = None  # lazy anti-join side (>cap)
         self._load_index()
 
@@ -571,6 +578,7 @@ class SearchEngine:
         """(Re)bind all index state: tables, meta, caches, tombstones."""
         spark, index_dir = self.spark, self.index_dir
         self._vocab_truncated = False
+        self._warm_terms: frozenset[str] | None = None  # None = full tier warm
         self._df_cache: dict[str, int] = {}  # term -> document frequency
         for attr in ("_vocab", "_vocab_by_len", "_vocab_rev", "_vocabset", "_pads"):
             if hasattr(self, attr):
@@ -641,8 +649,49 @@ class SearchEngine:
         this is the classic in-memory hot tier over the compressed
         source-of-truth layout, per serving shard at scale.  Disable with
         ``cache_postings=False`` (batch/analytics jobs keep the compressed
-        block-max path; so do filtered/phrase queries)."""
+        block-max path; so do filtered/phrase queries).
+
+        With ``warm_budget_bytes`` set, only the HEAD TERMS BY POSTING COUNT
+        that fit the budget (at WARM_BYTES_PER_POSTING estimated decoded
+        bytes/row) are warmed — the guardrail for the 4× decode multiplier
+        at 100×: head terms carry most of the postings AND most of the query
+        traffic, so a small term set buys most of the latency win, and
+        queries touching any cold term transparently fall back to the
+        compressed block-max path (:meth:`_warm_covers` routes per query;
+        results are identical, tested)."""
         if self._warm is None:
+            src = self.postings
+            if self._warm_budget is not None:
+                budget_rows = max(0, int(self._warm_budget) // self.WARM_BYTES_PER_POSTING)
+                tdf = src.select("term", "df").distinct()
+                if self._fprefixes:
+                    tdf = tdf.select(
+                        F.substring_index("term", FIELD_SEP, -1).alias("term"), "df"
+                    )
+                # decoded rows for a word == sum of its per-field dfs;
+                # running-total window over the df-desc order picks the
+                # largest prefix of head terms inside the budget.  The
+                # window runs over the TERM table (metadata-sized, one-off
+                # at warm time), never the postings; at extreme vocab sizes
+                # swap the exact cumsum for an approxQuantile df threshold.
+                trows = tdf.groupBy("term").agg(F.sum("df").alias("rows"))
+                wspec = (
+                    Window.orderBy(F.desc("rows"), F.asc("term"))
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                sel = (
+                    trows.withColumn("cum", F.sum("rows").over(wspec))
+                    .filter(F.col("cum") <= F.lit(budget_rows))
+                    .select("term")
+                    .limit(self.vocab_cap)  # driver membership set stays bounded
+                )
+                self._warm_terms = frozenset(r["term"] for r in sel.collect())
+                key = (
+                    F.substring_index("term", FIELD_SEP, -1)
+                    if self._fprefixes
+                    else F.col("term")
+                )
+                src = src.filter(key.isin(*self._warm_terms)) if self._warm_terms else src.filter(F.lit(False))
             rows = max(self.meta.n_postings, 1)
             P = max(1, min(self.spark.sparkContext.defaultParallelism, rows * 32 // (64 << 20) + 1))
             if self._fp:
@@ -650,7 +699,7 @@ class SearchEngine:
                 # index settings); merge per (word, doc) across fields ONCE
                 # here so every query keeps count(*) == matched-word-count
                 warm = (
-                    self.postings.select("term", "df", "doc_bytes", "tf_bytes", "dl_bytes")
+                    src.select("term", "df", "doc_bytes", "tf_bytes", "dl_bytes")
                     .mapInPandas(
                         _make_warm_fielded_exploder(
                             self.meta.k1, self.meta.b, self.meta.avgdl,
@@ -662,7 +711,7 @@ class SearchEngine:
                     .agg(F.sum("s").alias("s"))
                 )
             else:
-                warm = self.postings.select(
+                warm = src.select(
                     "term", "df", "doc_bytes", "tf_bytes", "dl_bytes"
                 ).mapInPandas(_make_warm_exploder(), _WARM_SCHEMA)
             # deleted docs never enter the serving tier — zero per-query
@@ -683,6 +732,49 @@ class SearchEngine:
             )
             self._warm.count()
         return self._warm
+
+    def _warm_covers(self, qterms: list[QueryTerm]) -> bool:
+        """True iff every query term is resident in the warm tier.
+
+        On a budget-truncated tier a cold term would be silently ABSENT from
+        the decoded rows (wrong scores, not slow scores), so any cold term
+        routes the whole query to the compressed block-max path.  A term the
+        index has never seen is also routed cold: the compressed path
+        resolves it identically (zero postings), and treating unknown as
+        cold keeps this check a pure frozenset lookup with no vocab scan."""
+        if not self._warm_enabled:
+            return False
+        if self._warm_budget is None:
+            return True
+        if self._warm_terms is None:  # budget set but tier not built yet
+            self.warm_postings()
+        return all(q.term in self._warm_terms for q in qterms)
+
+    def warm_memory_report(self) -> dict:
+        """Memory accounting for the decoded serving tier (VERDICT r2 #8).
+
+        Returns actual cached bytes (Spark block-manager storage info — the
+        whole truth, including the compressed postings/doc_stats caches),
+        the warm tier's row count and estimated decoded bytes, the JVM's max
+        heap, and the est. heap fraction — the number an operator watches
+        before raising ``warm_budget_bytes`` on a serving shard."""
+        w = self.warm_postings()
+        warm_rows = w.count()
+        jsc = self.spark.sparkContext._jsc.sc()
+        cached = sum(i.memSize() for i in jsc.getRDDStorageInfo())
+        heap = int(self.spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        est = warm_rows * self.WARM_BYTES_PER_POSTING
+        return {
+            "warm_rows": int(warm_rows),
+            "total_postings": int(self.meta.n_postings),
+            "est_warm_bytes": int(est),
+            "cached_bytes_actual": int(cached),
+            "jvm_max_heap_bytes": heap,
+            "est_heap_fraction": est / heap if heap else None,
+            "budget_bytes": self._warm_budget,
+            "truncated": self._warm_terms is not None,
+            "warm_term_count": len(self._warm_terms) if self._warm_terms is not None else None,
+        }
 
     def _bm25_expr(self):
         k1, b = self.meta.k1, self.meta.b
@@ -1293,6 +1385,16 @@ class SearchEngine:
         if not terms:
             return []
         _uniq, prefixes, qterms, required = self._expand_matching(terms, matching)
+        if not self._warm_covers(qterms):
+            # budget-truncated tier + a cold term: identical results via the
+            # compressed block-max path (the lazy API routes it)
+            return [
+                r.asDict()
+                for r in self.search(
+                    query, k=k, matching=matching,
+                    attributes_to_retrieve=attributes_to_retrieve,
+                ).collect()
+            ]
         scored = self._warm_score_variants(qterms, required)
         if len(prefixes) > 1:
             scored = self._dedup_best_per_doc(scored)
@@ -1377,7 +1479,7 @@ class SearchEngine:
             scored = self.score_variants_topk_filtered(
                 qterms, k=k, allowed=self.allowed_docs(filters), required_terms=required
             )
-        elif self._warm_enabled:
+        elif self._warm_covers(qterms):
             # point-query serving: pure-JVM plan over the decoded warm tier
             scored = self._warm_score_variants(qterms, required)
         else:
@@ -1704,7 +1806,7 @@ class SearchEngine:
         required = {
             vid: n for vid, _qi, _t, _w, n, m in vmeta_rows if m in ("all", "phrase")
         }
-        if self._warm_enabled:
+        if self._warm_covers(qterms):
             scored = self._warm_score_variants(qterms, required)
         else:
             scored = self.score_variants_topk(qterms, k=k, required_terms=required)
@@ -1881,7 +1983,7 @@ class SearchEngine:
                 qterms, k=k, allowed=self.allowed_docs(filters),
                 required_terms=required, phrase_terms=phrase_specs or None,
             )
-        elif self._warm_enabled and not phrase_specs:
+        elif not phrase_specs and self._warm_covers(qterms):
             # point-query serving: pure-JVM plan over the decoded warm tier
             # (phrase variants need positional decode — python path below)
             scored = self._warm_score_variants(qterms, required)
