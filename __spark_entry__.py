@@ -450,6 +450,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pattern", "frequency", "zero_result_count", "language"
         )
 
+    def s6_popular_searches(spark, sf):
+        # /analytics/popular-searches (api/endpoints/analytics.py:194-250):
+        # top patterns page with quality metrics; ints + round-4 rate
+        from meilisearch_thai_spark.query import analytics as an
+
+        return an.popular_searches(_s6_events(spark, sf), limit=3).select(
+            "pattern", "frequency", "success_rate"
+        )
+
+    def s6_trending(spark, sf):
+        # trending detector (analytics.py:523-541): recent + frequent
+        # patterns scored frequency/hours-since-first-seen, anchored at the
+        # log's max ts for determinism
+        from meilisearch_thai_spark.query import analytics as an
+
+        return an.trending_queries(_s6_events(spark, sf))
+
     def agg_partial_q1(spark, sf):
         li = _t(spark, sf, "lineitem")
         return (
@@ -498,6 +515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_langid": stats_langid,
         "s6_session_stats": s6_session_stats,
         "s6_query_patterns": s6_query_patterns,
+        "s6_popular_searches": s6_popular_searches,
+        "s6_trending": s6_trending,
         "agg_partial_q1": agg_partial_q1,
         "e1_highlight_extract": e1_highlight_extract,
         "e1_highlight_generate": e1_highlight_generate,
@@ -668,6 +687,26 @@ SELECT lower(event_type) AS pattern,
        CAST(SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT) AS zero_result_count,
        'en' AS language
 FROM events GROUP BY 1
+""",
+        "s6_popular_searches": """
+SELECT lower(event_type) AS pattern,
+       COUNT(*) AS frequency,
+       ROUND(AVG(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END), 4) AS success_rate
+FROM events GROUP BY 1
+ORDER BY frequency DESC, pattern ASC LIMIT 3
+""",
+        "s6_trending": """
+WITH pats AS (
+  SELECT lower(event_type) AS pattern, COUNT(*) AS frequency,
+         MIN(ts) AS first_seen, MAX(ts) AS last_seen
+  FROM events GROUP BY 1
+), mx AS (SELECT MAX(ts) AS now FROM events)
+SELECT pattern, frequency,
+       ROUND(frequency / GREATEST(1.0, (epoch(now) - epoch(first_seen)) / 3600.0), 4)
+         AS trend_score
+FROM pats, mx
+WHERE frequency > 5 AND last_seen > now - INTERVAL 1 HOUR
+ORDER BY trend_score DESC, pattern ASC LIMIT 10
 """,
         "agg_partial_q1": """
 SELECT l_returnflag, l_linestatus,

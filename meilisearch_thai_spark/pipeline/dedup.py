@@ -206,7 +206,16 @@ def ngram_jaccard_pairs(
             F.col("_df") <= max_shingle_df
         )
         sh = sh.join(rare.select("sh"), "sh")
-    sizes = sh.groupBy("doc_key").agg(F.count("*").alias("sz"))
+        # capped shingle sets are per-doc subsets: sizes must count the
+        # SURVIVING shingles, so aggregate the joined stream
+        sizes = sh.groupBy("doc_key").agg(F.count("*").alias("sz"))
+    else:
+        # |shingle set| falls out of the array before any explode — a narrow
+        # projection instead of a groupBy SHUFFLE over every exploded row
+        sizes = docs.select(
+            F.col(id_col).alias("doc_key"),
+            F.size(_shingles(text_col, n)).alias("sz"),
+        )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

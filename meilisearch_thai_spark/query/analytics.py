@@ -107,6 +107,137 @@ def query_analytics(events: DataFrame, top_n: int = 20) -> dict:
     }
 
 
+def popular_searches(
+    events: DataFrame, limit: int = 50, language: str | None = None
+) -> DataFrame:
+    """The /analytics/popular-searches endpoint (api/endpoints/analytics.py:
+    194-250): top query patterns by frequency with their quality metrics,
+    optionally filtered to one language, capped at ``limit`` (reference
+    bounds 1-200).  Ordering is total (frequency desc, pattern asc) so the
+    page is deterministic."""
+    pats = query_patterns(events)
+    if language is not None:
+        pats = pats.filter(F.lower(F.col("language")) == language.lower())
+    return (
+        pats.orderBy(F.desc("frequency"), F.asc("pattern"))
+        .limit(max(1, min(int(limit), 200)))
+        .select(
+            "pattern", "frequency", "avg_response_time_ms", "success_rate", "language"
+        )
+    )
+
+
+def trending_queries(
+    events: DataFrame,
+    now=None,
+    recent: str = "1 hour",
+    min_frequency: int = 5,
+    top: int = 10,
+) -> DataFrame:
+    """The reference's trending detector (analytics.py:523-541): patterns
+    with frequency > ``min_frequency`` seen within the last ``recent``
+    window, scored frequency / max(1, hours since first seen), top 10.
+
+    ``now`` anchors the window; default is the LOG'S max timestamp (a batch
+    job over a historical log has no meaningful wall-clock "now", and a
+    deterministic anchor keeps the job reproducible).  The anchor rides in
+    as a broadcast one-row cross join, not a driver collect, so the whole
+    computation stays one lazy plan."""
+    pats = events.groupBy(_norm_query(F.col("query")).alias("pattern")).agg(
+        F.count("*").alias("frequency"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+    if now is None:
+        anchor = events.agg(F.max("ts").alias("_now"))
+        pats = pats.crossJoin(F.broadcast(anchor))
+    else:
+        pats = pats.withColumn("_now", F.lit(now).cast("timestamp"))
+    def _epoch(c):  # NTZ timestamps reject a direct double cast in Spark 4
+        return F.col(c).cast("timestamp_ltz").cast("double")
+
+    hours = (_epoch("_now") - _epoch("first_seen")) / F.lit(3600.0)
+    return (
+        pats.filter(
+            (F.col("frequency") > F.lit(int(min_frequency)))
+            & (F.col("last_seen") > F.col("_now") - F.expr(f"INTERVAL {recent}"))
+        )
+        .select(
+            "pattern",
+            "frequency",
+            F.round(F.col("frequency") / F.greatest(F.lit(1.0), hours), 4).alias(
+                "trend_score"
+            ),
+        )
+        .orderBy(F.desc("trend_score"), F.asc("pattern"))
+        .limit(top)
+    )
+
+
+def quality_report(events: DataFrame, top: int = 10) -> dict:
+    """The /analytics/quality endpoint (analytics.py:334-385
+    get_search_quality_report): zero-result / slow / failed blocks with
+    top offending patterns and rates, plus threshold-rule recommendations.
+
+    Departure from the reference: the event contract carries no error
+    taxonomy (failures here are ``success=false`` rows), so the failed
+    block reports its top PATTERNS where the reference reports exception
+    class names — same triage purpose, log-derivable signal."""
+    volume = events.count()
+
+    def _block(cond, extra_aggs=()):
+        sub = events.filter(cond)
+        tops = [
+            (r["pattern"], int(r["n"]))
+            for r in sub.groupBy(_norm_query(F.col("query")).alias("pattern"))
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pattern"))
+            .limit(top)
+            .collect()
+        ]
+        total = sum(n for _p, n in tops) if len(tops) < top else sub.count()
+        return sub, tops, int(total)
+
+    zero_sub, zero_top, zero_n = _block(F.col("n_hits") == 0)
+    slow_sub, slow_top, slow_n = _block(F.col("response_time_ms") > SLOW_MS)
+    fail_sub, fail_top, fail_n = _block(~F.col("success"))
+    slow_avg = slow_sub.agg(F.round(F.avg("response_time_ms"), 2).alias("a")).collect()[0]["a"]
+    zero_pct = round(zero_n / volume * 100, 2) if volume else 0.0
+    fail_pct = round(fail_n / volume * 100, 2) if volume else 0.0
+    recs: list[str] = []
+    # analytics.py:564+ _generate_quality_recommendations threshold rules
+    if zero_pct > 10:
+        recs.append(
+            "High zero-result rate: review tokenization of top zero-result "
+            "patterns and consider synonym/compound dictionary entries"
+        )
+    if slow_n > 0:
+        recs.append(
+            "Slow queries present: check variant fan-out width and warm-tier "
+            "coverage for the top slow patterns"
+        )
+    if fail_pct > 5:
+        recs.append("Elevated failure rate: inspect error logs for the top failed patterns")
+    return {
+        "zero_result_queries": {
+            "total_count": zero_n,
+            "top_queries": zero_top,
+            "percentage_of_total": zero_pct,
+        },
+        "slow_queries": {
+            "total_count": slow_n,
+            "top_queries": slow_top,
+            "avg_response_time_ms": float(slow_avg) if slow_avg is not None else 0.0,
+        },
+        "failed_queries": {
+            "total_count": fail_n,
+            "top_patterns": fail_top,
+            "failure_rate": fail_pct,
+        },
+        "recommendations": recs,
+    }
+
+
 def session_stats(events: DataFrame) -> DataFrame:
     """Per-session aggregates (analytics.py:56-80 SearchSession): duration,
     search count, success count — the substrate for session analytics."""

@@ -380,5 +380,27 @@ class SearchService:
             "session_analytics": session_analytics(ev),
         }
 
+    def popular_searches(
+        self, spark: SparkSession, limit: int = 50, language: str | None = None
+    ) -> list[dict]:
+        """The /analytics/popular-searches endpoint
+        (api/endpoints/analytics.py:194-250)."""
+        from .analytics import popular_searches
+
+        return [r.asDict() for r in popular_searches(self.events_df(spark), limit, language).collect()]
+
+    def trending_searches(self, spark: SparkSession, top: int = 10) -> list[dict]:
+        """The /analytics/trending endpoint (api/endpoints/analytics.py:
+        253-289; detector analytics.py:523-541)."""
+        from .analytics import trending_queries
+
+        return [r.asDict() for r in trending_queries(self.events_df(spark), top=top).collect()]
+
+    def quality_report(self, spark: SparkSession) -> dict:
+        """The /analytics/quality endpoint (analytics.py:334-385)."""
+        from .analytics import quality_report
+
+        return quality_report(self.events_df(spark))
+
     def response_dict(self, resp: SearchResponse) -> dict:
         return asdict(resp)

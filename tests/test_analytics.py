@@ -172,3 +172,60 @@ def test_service_records_and_reports(spark, tmp_path_factory):
 
     with open(p) as fh:
         assert "query_analytics" in json.load(fh)
+
+
+def test_popular_searches(events):
+    rows = an.popular_searches(events, limit=2).collect()
+    # top by frequency, deterministic tie-break on pattern
+    assert [r["pattern"] for r in rows] == ["street food", "อาหารไทย"]
+    assert rows[0]["frequency"] == 2 and rows[1]["success_rate"] == 1.0
+    # language filter (endpoint's ?language=)
+    en = an.popular_searches(events, language="ENGLISH").collect()
+    assert {r["pattern"] for r in en} == {"street food", "xyzzy"}
+
+
+def test_trending_queries(events, spark):
+    # build a log where 'hot' surges near the anchor and 'old' is ancient:
+    # hot: 8 hits in the last hour; old: 8 hits starting 100 h earlier;
+    # sparse: below the frequency floor
+    recs = []
+    for i in range(8):
+        recs.append({"query": "hot", "session_id": None,
+                     "ts": T0 + timedelta(minutes=50 + i), "response_time_ms": 10.0,
+                     "n_hits": 1, "success": True, "language": "english"})
+        recs.append({"query": "old", "session_id": None,
+                     "ts": T0 - timedelta(hours=100) + timedelta(minutes=i * 60 * 13),
+                     "response_time_ms": 10.0, "n_hits": 1, "success": True,
+                     "language": "english"})
+    # one recent 'old' hit keeps it inside the recency window (the detector
+    # needs last_seen within the hour), but its 100 h age crushes the score
+    recs.append({"query": "old", "session_id": None, "ts": T0 + timedelta(minutes=30),
+                 "response_time_ms": 10.0, "n_hits": 1, "success": True,
+                 "language": "english"})
+    recs.append({"query": "sparse", "session_id": None, "ts": T0 + timedelta(minutes=55),
+                 "response_time_ms": 10.0, "n_hits": 1, "success": True,
+                 "language": "english"})
+    ev = an.events_frame(spark, recs)
+    rows = an.trending_queries(ev, min_frequency=5).collect()
+    got = {r["pattern"]: r for r in rows}
+    # 'sparse' under the frequency floor; both others recent enough, but
+    # 'hot' (8 hits in <1 h -> score 8/1.0-ish) far outscores 'old'
+    # (8 hits over ~100 h)
+    assert "sparse" not in got
+    assert rows[0]["pattern"] == "hot"
+    assert got["hot"]["trend_score"] > got["old"]["trend_score"] * 10
+    # explicit anchor excludes everything older than the window
+    future = an.trending_queries(ev, now=T0 + timedelta(days=30), min_frequency=5).collect()
+    assert future == []
+
+
+def test_quality_report(events):
+    qr = an.quality_report(events)
+    assert qr["zero_result_queries"]["total_count"] == 1
+    assert qr["zero_result_queries"]["top_queries"] == [("xyzzy", 1)]
+    assert qr["zero_result_queries"]["percentage_of_total"] == 20.0
+    assert qr["slow_queries"]["total_count"] == 1
+    assert qr["slow_queries"]["avg_response_time_ms"] == 1500.0
+    assert qr["failed_queries"]["total_count"] == 1
+    assert qr["failed_queries"]["failure_rate"] == 20.0
+    assert any("zero-result" in r.lower() for r in qr["recommendations"])
