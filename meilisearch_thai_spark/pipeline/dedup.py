@@ -14,6 +14,18 @@ N_MINHASH = 16  # permutations
 LSH_BANDS = 4  # 4 rows/band
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Raise scan parallelism to the cluster's when the input arrives in
+    fewer partitions (a small parquet file plans as ONE split, serializing
+    the expensive shingle/tokenize expressions onto one core — measured 6x
+    on the sf0.1 bench).  At corpus scale the input already has >= cluster
+    partitions and this is a no-op — no shuffle is ever added there."""
+    want = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want:
+        return docs.repartition(want)
+    return docs
+
+
 def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup by content hash: one row per distinct text with the
     representative (min id) and duplicate count.  Pure hash groupBy —
@@ -55,7 +67,9 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str, n_hashes: in
     alternative, n_hashes array-transform expressions over the shingle array,
     generates pathological codegen and recomputes the shingle split per hash.)
     """
-    sh = docs.select(F.col(id_col).alias("doc_key"), F.explode(_shingles(text_col)).alias("sh"))
+    sh = _spread(docs).select(
+        F.col(id_col).alias("doc_key"), F.explode(_shingles(text_col)).alias("sh")
+    )
     aggs = [
         F.min(F.substring(F.md5(F.concat(F.lit(str(i) + "|"), F.col("sh"))), 1, 16)).alias(f"mh{i}")
         for i in range(n_hashes)
@@ -139,7 +153,7 @@ def simhash64(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     For each token t, bits = first 64 bits of md5(t); each bit votes ±1 and
     the sign of the per-bit sum forms the fingerprint.  Expressed as 64
     aggregates over the exploded token table — all JVM-side."""
-    toks = docs.select(
+    toks = _spread(docs).select(
         F.col(id_col).alias("doc_key"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")  # 60 bits
@@ -200,6 +214,7 @@ def ngram_jaccard_pairs(
     runs with the cap off for exactness).  The fully-exact alternative at
     scale is PPJoin-style prefix filtering; the LSH path
     (:func:`minhash_lsh_candidates`) is the default recommendation there."""
+    docs = _spread(docs)
     sh = docs.select(F.col(id_col).alias("doc_key"), F.explode(_shingles(text_col, n)).alias("sh"))
     if max_shingle_df is not None:
         rare = sh.groupBy("sh").agg(F.count("*").alias("_df")).filter(
