@@ -10,20 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread as _spread
+
 N_MINHASH = 16  # permutations
 LSH_BANDS = 4  # 4 rows/band
-
-
-def _spread(docs: DataFrame) -> DataFrame:
-    """Raise scan parallelism to the cluster's when the input arrives in
-    fewer partitions (a small parquet file plans as ONE split, serializing
-    the expensive shingle/tokenize expressions onto one core — measured 6x
-    on the sf0.1 bench).  At corpus scale the input already has >= cluster
-    partitions and this is a no-op — no shuffle is ever added there."""
-    want = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < want:
-        return docs.repartition(want)
-    return docs
 
 
 def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

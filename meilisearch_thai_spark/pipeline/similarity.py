@@ -14,6 +14,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread as _spread
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -59,7 +61,7 @@ def cosine_topk_to_query(
     The query vector never leaves the cluster: a 1-row broadcast crossJoin.
     """
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col).alias("vec_key"), vec_d.alias("v"))
+    base = _spread(emb).select(F.col(id_col).alias("vec_key"), vec_d.alias("v"))
     q = base.filter(F.col("vec_key") == query_id).select(
         F.col("v").alias("qv"), F.col("vec_key").alias("qid")
     )
@@ -107,7 +109,7 @@ def hyperplane_lsh_buckets(
     scored: the IVF-style scale path."""
     planes = md5_planes(dim, n_planes, seed)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    out = emb.select(F.col(id_col).alias("vec_key"), vec_d.alias("v"))
+    out = _spread(emb).select(F.col(id_col).alias("vec_key"), vec_d.alias("v"))
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
         plane = F.array(*[F.lit(float(x)) for x in planes[i]])
@@ -166,6 +168,7 @@ def lsh_cosine_topk(
     near a hyperplane land on either side, so flipping one sign bit recovers
     most misses).  Scans (n_planes+1)/2**n_planes of the corpus — ~11% at the
     default 6 planes — while the broadcast keeps it one shuffle-free pass."""
+    emb = _spread(emb)
     bucketed = hyperplane_lsh_buckets(emb, id_col, vec_col, dim, n_planes)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col).alias("vec_key"), vec_d.alias("v")).join(bucketed, "vec_key")
@@ -375,7 +378,7 @@ def embedding_near_dup_pairs(
     products.  Quadratic in corpus size — use the LSH variant below at scale.
     """
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col).alias("k"), vec_d.alias("v"))
+    base = _spread(emb).select(F.col(id_col).alias("k"), vec_d.alias("v"))
     a = base.select(F.col("k").alias("left_key"), F.col("v").alias("va"))
     b = base.select(F.col("k").alias("right_key"), F.col("v").alias("vb"))
     return (
