@@ -89,6 +89,13 @@ class IndexMeta:
     field_avgdl: list[float] = field(default_factory=list)
     # metadata columns carried into doc_stats for attributesToRetrieve
     stored_fields: list[str] = field(default_factory=list)
+    # S5 synonyms setting (reference settings_manager.py:226-249 add_synonyms,
+    # pushed in the settings payload :171): one-way canonical -> alternates,
+    # applied QUERY-SIDE as synonym variants (MeiliSearch applies synonyms at
+    # search time; the index itself is unchanged).  Stored + fingerprinted in
+    # meta so query config rides with the index like stopwords do.
+    synonyms: dict = field(default_factory=dict)
+    synonyms_fingerprint: str = ""
 
     def field_params(self) -> dict[str, tuple[float, float]] | None:
         """prefix-id → (weight, per-field avgdl), or None when unfielded."""
@@ -570,6 +577,7 @@ def build_index(
     fields: list[str] | None = None,
     field_weights: list[float] | None = None,
     stored_fields: list[str] | None = None,
+    synonyms: dict[str, list[str]] | None = None,
     sink=None,
 ) -> IndexMeta:
     """Build the full inverted index under ``out_dir``.
@@ -603,6 +611,12 @@ def build_index(
     doc_stats — the attributesToRetrieve payload (search_executor.py:721-723);
     they are retrievable per hit and usable as filter/sort fields.
 
+    ``synonyms`` (S5; reference settings_manager.py:226-249 add_synonyms)
+    stores the one-way canonical->alternates map in meta.json with a
+    fingerprint.  Synonyms are a QUERY-TIME setting (MeiliSearch applies
+    them at search time): the posting stream is untouched, and the engine
+    generates synonym variants for queries containing a canonical form.
+
     ``sink`` (default :class:`~.sinks.ParquetSink` rooted at ``out_dir``) is
     the storage seam: every final index table write/read goes through it, so
     an Iceberg deployment is ``sink=IcebergSink("cat.db.idx")`` — one
@@ -621,6 +635,12 @@ def build_index(
     if fields and len(field_weights) != len(fields):
         raise ValueError("field_weights must match fields one-to-one")
     stored = [c for c in (stored_fields or []) if c not in ("url", "lang")]
+    syn = {
+        str(k).strip(): sorted({str(v).strip() for v in vs if str(v).strip()})
+        for k, vs in (synonyms or {}).items()
+        if str(k).strip()
+    }
+    syn = {k: vs for k, vs in syn.items() if vs}
 
     # id assignment + tokenization + byte-identity hash fused into one pass
     # (column pruning first: html/warc_ts never enter a shuffle or Python)
@@ -728,6 +748,14 @@ def build_index(
         field_weights=[float(w) for w in field_weights] if fields else [],
         field_avgdl=field_avgdl if fields else [],
         stored_fields=stored,
+        synonyms=syn,
+        synonyms_fingerprint=(
+            _hashlib.sha256(
+                "\n".join(f"{k}\t{'|'.join(vs)}" for k, vs in sorted(syn.items())).encode("utf-8")
+            ).hexdigest()
+            if syn
+            else ""
+        ),
     )
     pst = sink.read(spark, "postings")
     agg = pst.agg(

@@ -592,6 +592,10 @@ class SearchEngine:
         # they must leave query term sets too (else 'all'/'last'/'frequency'
         # require df=0 terms and match nothing)
         self._stopwords = frozenset(getattr(self.meta, "stopwords", []) or [])
+        # S5 synonyms ride with the index settings (builder.IndexMeta); the
+        # engine feeds them into variant generation — MeiliSearch applies
+        # synonyms at search time, the posting data is untouched
+        self._synonyms: dict[str, list[str]] = dict(getattr(self.meta, "synonyms", {}) or {})
         # multi-field (attribute) index: postings carry field-prefixed terms
         # ("i\x1f<term>"); queries fan each word out across all searchable
         # attributes and scores weight per field (builder.field_params)
@@ -1758,7 +1762,7 @@ class SearchEngine:
         qterms: list[QueryTerm] = []
         vmeta_rows: list[tuple[int, int, str, float, int, str]] = []
         if pqs is None:  # caller (SearchService) usually already processed them
-            pqs = [process_query(q) for q in queries]
+            pqs = [process_query(q, synonyms=self._synonyms or None) for q in queries]
         # ONE df lookup covering every query's 'frequency' terms — per-query
         # term_dfs calls would serialize up to 50 driver-blocking scans before
         # the single scoring job (memoized, so only uncached terms cost)
@@ -1906,7 +1910,7 @@ class SearchEngine:
         from .pipeline import process_query
         from .ranker import MIN_SCORE_THRESHOLD, variant_boost_expr  # noqa: F401
 
-        pq = process_query(query)
+        pq = process_query(query, synonyms=self._synonyms or None)
         if not pq.variants:
             return None, None
 

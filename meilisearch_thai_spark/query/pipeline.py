@@ -37,6 +37,11 @@ BASE_WEIGHTS = {
     "fallback": 0.6,
     "mixed_language": 0.85,
     "phrase": 1.0,  # quoted PHRASE variant (query_processor.py:436-702)
+    # S5 synonyms (settings_manager.py:226-249): MeiliSearch treats synonym
+    # matches as equal words; the substituted variant sits at the
+    # compound_split tier so the literal tokenization still wins ties and
+    # R3's exactness boost keeps original-text hits on top
+    "synonym": 0.9,
 }
 
 # Per-variant matching strategy (query_processor.py:954-981 +
@@ -52,6 +57,7 @@ MATCHING_STRATEGY = {
     "fallback": "frequency",
     "mixed_language": "last",
     "phrase": "phrase",  # exact adjacency on a positional index
+    "synonym": "last",  # substituted query behaves like its tokenized twin
 }
 
 _ENGLISH_WORD_RE = re.compile(r"[A-Za-z]+")
@@ -214,8 +220,14 @@ def _tokenization_quality_multiplier(confidence: float, variant_type: str) -> fl
     return 0.8
 
 
-def generate_variants(q: str, analysis: QueryAnalysis, preserve_original: bool = True) -> list[QueryVariant]:
-    """Q4: emit ORIGINAL / TOKENIZED / COMPOUND_SPLIT / MIXED / FALLBACK,
+def generate_variants(
+    q: str,
+    analysis: QueryAnalysis,
+    preserve_original: bool = True,
+    synonyms: dict[str, list[str]] | None = None,
+) -> list[QueryVariant]:
+    """Q4: emit ORIGINAL / TOKENIZED / COMPOUND_SPLIT / MIXED / FALLBACK
+    (+ SYNONYM substitutions when the index settings carry a synonym map),
     dedup by lowercased text, cap at MAX_QUERY_VARIANTS keeping highest
     weight (query_processor.py:436-702)."""
     length_m = _length_multiplier(analysis)
@@ -265,6 +277,20 @@ def generate_variants(q: str, analysis: QueryAnalysis, preserve_original: bool =
     if analysis.primary_language == "mixed":
         add("mixed_language", primary, {"mixed": True})
 
+    # S5 synonyms: one-way canonical -> alternates (settings_manager.py:
+    # 226-249; MeiliSearch applies them at search time).  Each occurrence of
+    # a canonical form in the primary tokenization emits one substituted
+    # variant per alternate; an alternate may itself be multi-word.
+    if synonyms:
+        base_terms = extract_index_terms(primary)
+        for i, t in enumerate(base_terms):
+            for alt in synonyms.get(t, []):
+                alt_terms = extract_index_terms(tokenize_for_index(alt))
+                if not alt_terms or alt_terms == [t]:
+                    continue
+                sub = base_terms[:i] + alt_terms + base_terms[i + 1 :]
+                add("synonym", sub, {"synonym_of": t, "alternate": alt})
+
     fallback = _char_fallback_tokens(q)
     if fallback and extract_index_terms(fallback) != extract_index_terms(primary):
         add("fallback", fallback, {"engine": "char_fallback"})
@@ -285,13 +311,17 @@ def generate_variants(q: str, analysis: QueryAnalysis, preserve_original: bool =
     return strong[:MAX_QUERY_VARIANTS]
 
 
-def process_query(q: str, preserve_original: bool = True) -> ProcessedQuery:
+def process_query(
+    q: str,
+    preserve_original: bool = True,
+    synonyms: dict[str, list[str]] | None = None,
+) -> ProcessedQuery:
     """Full driver-side pipeline: normalize → analyze → variants (Q1-Q8)."""
     nq = normalize_query(q)
     analysis = analyze_query(nq)
     if not nq:
         return ProcessedQuery(original_query=q, analysis=analysis, variants=[])
-    variants = generate_variants(nq, analysis, preserve_original)
+    variants = generate_variants(nq, analysis, preserve_original, synonyms=synonyms)
     fallback_used = any(v.variant_type == "fallback" for v in variants)
     return ProcessedQuery(
         original_query=q, analysis=analysis, variants=variants, fallback_used=fallback_used

@@ -19,6 +19,7 @@ VARIANT_BOOSTS = {
     "fallback": 0.8,
     "mixed_language": 1.0,
     "phrase": 1.5,  # exact adjacency dominates loose-token matches (quoted intent)
+    "synonym": 1.0,  # equal-word semantics; exactness boost separates originals
 }
 ENGINE_BOOST_NEWMM = 1.1
 EXACT_MATCH_BOOST = 2.0  # result_ranker.py:1286-1303, config settings.py:61

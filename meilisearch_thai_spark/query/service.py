@@ -107,7 +107,7 @@ class SearchService:
         config: RankingConfig = ALGORITHMS[algorithm]
 
         t0 = time.time()
-        pq = process_query(req.query)
+        pq = process_query(req.query, synonyms=self.engine._synonyms or None)
         t_tok = time.time()
 
         # need offset+limit rows, +headroom when content-dedup may drop some
@@ -327,7 +327,7 @@ class SearchService:
             )
             for q in queries
         ]
-        pqs = [process_query(r.query) for r in reqs]
+        pqs = [process_query(r.query, synonyms=self.engine._synonyms or None) for r in reqs]
         t_tok = time.time()
         k = offset + limit
         fetch_k = k * 2 if config.content_dedup else k
