@@ -635,12 +635,20 @@ def build_index(
     if fields and len(field_weights) != len(fields):
         raise ValueError("field_weights must match fields one-to-one")
     stored = [c for c in (stored_fields or []) if c not in ("url", "lang")]
-    syn = {
-        str(k).strip(): sorted({str(v).strip() for v in vs if str(v).strip()})
-        for k, vs in (synonyms or {}).items()
-        if str(k).strip()
-    }
-    syn = {k: vs for k, vs in syn.items() if vs}
+    # canonical keys are normalized through the SAME pinned tokenizer the
+    # query side uses, so "Laptop" or a Thai compound matches the query's
+    # base terms; multi-word canonicals become space-joined term keys which
+    # generate_variants matches as contiguous term windows
+    from ..tokenizer import extract_index_terms as _eit
+    from ..tokenizer import tokenize_for_index as _tfi
+
+    syn: dict[str, list[str]] = {}
+    for k, vs in (synonyms or {}).items():
+        key = " ".join(_eit(_tfi(str(k))))
+        alts = sorted({str(v).strip() for v in vs if str(v).strip()})
+        if key and alts:
+            syn.setdefault(key, [])
+            syn[key] = sorted(set(syn[key]) | set(alts))
 
     # id assignment + tokenization + byte-identity hash fused into one pass
     # (column pruning first: html/warc_ts never enter a shuffle or Python)

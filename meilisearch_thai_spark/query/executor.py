@@ -580,7 +580,7 @@ class SearchEngine:
         self._vocab_truncated = False
         self._warm_terms: frozenset[str] | None = None  # None = full tier warm
         self._df_cache: dict[str, int] = {}  # term -> document frequency
-        for attr in ("_vocab", "_vocab_by_len", "_vocab_rev", "_vocabset", "_pads"):
+        for attr in ("_vocab", "_vocab_by_len", "_vocab_rev", "_vocabset", "_pads", "_suffix_memo"):
             if hasattr(self, attr):
                 delattr(self, attr)
         self.meta: IndexMeta = load_meta(index_dir)
@@ -951,7 +951,16 @@ class SearchEngine:
                 if len(out) >= max_expansions:
                     break
             i += 1
-        if not out and self._vocab_truncated:
+        if not out and self._vocab_truncated and token not in self._vocab_set():
+            # distributed tail fallback ONLY for tokens outside the head
+            # vocab (an in-vocab word with no head completions is the common
+            # case and must not trigger a scan: unlike the prefix fallback,
+            # endswith prunes nothing on the term-sorted layout).  Memoized
+            # per engine so repeated queries pay the scan once.
+            if not hasattr(self, "_suffix_memo"):
+                self._suffix_memo: dict[str, list[str]] = {}
+            if token in self._suffix_memo:
+                return list(self._suffix_memo[token])
             rows = (
                 self._base_terms_df()
                 .filter(F.col("term").endswith(token) & (F.col("term") != token))
@@ -962,6 +971,7 @@ class SearchEngine:
                 .collect()
             )
             out = [r["term"] for r in rows]
+            self._suffix_memo[token] = list(out)
         return out
 
     def expand_terms_spark(self, token: str, max_expansions: int = 10) -> list[str]:

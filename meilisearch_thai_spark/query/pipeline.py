@@ -278,18 +278,26 @@ def generate_variants(
         add("mixed_language", primary, {"mixed": True})
 
     # S5 synonyms: one-way canonical -> alternates (settings_manager.py:
-    # 226-249; MeiliSearch applies them at search time).  Each occurrence of
-    # a canonical form in the primary tokenization emits one substituted
-    # variant per alternate; an alternate may itself be multi-word.
+    # 226-249; MeiliSearch applies them at search time).  Canonical keys are
+    # tokenizer-normalized space-joined term sequences (builder normalizes
+    # at build time), so a multi-word canonical matches as a contiguous
+    # window of the query's base terms; each match emits one substituted
+    # variant per alternate (alternates may themselves be multi-word).
     if synonyms:
         base_terms = extract_index_terms(primary)
-        for i, t in enumerate(base_terms):
-            for alt in synonyms.get(t, []):
-                alt_terms = extract_index_terms(tokenize_for_index(alt))
-                if not alt_terms or alt_terms == [t]:
+        key_lens = sorted({len(k.split()) for k in synonyms})
+        for i in range(len(base_terms)):
+            for L in key_lens:
+                if i + L > len(base_terms):
                     continue
-                sub = base_terms[:i] + alt_terms + base_terms[i + 1 :]
-                add("synonym", sub, {"synonym_of": t, "alternate": alt})
+                window = base_terms[i : i + L]
+                key = " ".join(window)
+                for alt in synonyms.get(key, []):
+                    alt_terms = extract_index_terms(tokenize_for_index(alt))
+                    if not alt_terms or alt_terms == window:
+                        continue
+                    sub = base_terms[:i] + alt_terms + base_terms[i + L :]
+                    add("synonym", sub, {"synonym_of": key, "alternate": alt})
 
     fallback = _char_fallback_tokens(q)
     if fallback and extract_index_terms(fallback) != extract_index_terms(primary):

@@ -69,6 +69,44 @@ def test_synonym_variant_generation():
     assert not [v for v in pq2.variants if v.variant_type == "synonym"]
 
 
+def test_canonical_keys_are_normalized_and_multiword():
+    # canonical keys pass through the same tokenizer normalization as query
+    # terms: "Laptop" matches the query's lowercased base term, and a
+    # multi-word canonical matches as a contiguous window of base terms
+    syn = {"Laptop": ["notebook"], "hard disk": ["hdd", "disk drive"]}
+    pq = process_query("laptop case", synonyms=_norm_syn(syn))
+    got = {tuple(v.terms) for v in pq.variants if v.variant_type == "synonym"}
+    assert ("notebook", "case") in got
+
+    pq2 = process_query("hard disk failure", synonyms=_norm_syn(syn))
+    got2 = {tuple(v.terms) for v in pq2.variants if v.variant_type == "synonym"}
+    assert ("hdd", "failure") in got2
+    assert ("disk", "drive", "failure") in got2
+
+
+def _norm_syn(raw):
+    """Round-trip raw synonyms through build_index's normalization by
+    building a tiny index, mirroring how meta.synonyms reach the query side."""
+    from meilisearch_thai_spark.tokenizer import extract_index_terms, tokenize_for_index
+
+    out: dict[str, list[str]] = {}
+    for k, vs in raw.items():
+        key = " ".join(extract_index_terms(tokenize_for_index(k)))
+        if key:
+            out[key] = sorted(set(out.get(key, [])) | {v.strip() for v in vs if v.strip()})
+    return out
+
+
+def test_build_normalizes_canonical_keys(spark, tmp_path_factory):
+    rows = [(u, _TS, b"", t, "en") for u, t in DOCS]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    out = str(tmp_path_factory.mktemp("idx_syn_norm"))
+    meta = build_index(
+        spark, pages, out, synonyms={"Laptop": ["portable"], "hard disk": ["hdd"]}
+    )
+    assert meta.synonyms == {"laptop": ["portable"], "hard disk": ["hdd"]}
+
+
 def test_search_finds_synonym_docs(spark, idx):
     eng = SearchEngine(spark, idx, cache_postings=False)
     urls = {r["url"] for r in eng.multi_variant_search("notebook battery", k=10).collect()}
