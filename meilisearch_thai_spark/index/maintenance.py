@@ -65,7 +65,14 @@ def delete_docs(spark: SparkSession, index_dir: str, urls: list[str]) -> int:
     a fresh delete from a repeat; MeiliSearch's delete-missing is a no-op).
 
     Append-only parquet of urls — repeated deletes accumulate and are
-    deduplicated at read time."""
+    deduplicated at read time.
+
+    Single-writer contract (same as :func:`compact_index`): the
+    newly-deleted count reads the prior tombstone set before this call's
+    append, so two CONCURRENT deletes of the same url can both report it as
+    new.  Serialize deletes per index directory; correctness of the
+    tombstone set itself is unaffected (appends are idempotent under read-
+    time dedup)."""
     if not urls:
         return 0
     uniq = sorted(set(urls))

@@ -761,7 +761,27 @@ class SearchEngine:
         whole truth, including the compressed postings/doc_stats caches),
         the warm tier's row count and estimated decoded bytes, the JVM's max
         heap, and the est. heap fraction — the number an operator watches
-        before raising ``warm_budget_bytes`` on a serving shard."""
+        before raising ``warm_budget_bytes`` on a serving shard.
+
+        On a ``cache_postings=False`` engine this is a pure estimate from
+        index metadata (``warm_rows`` is None): the probe must not itself
+        decode and persist a tier no query path will ever read."""
+        if not self._warm_enabled:
+            jsc = self.spark.sparkContext._jsc.sc()
+            cached = sum(i.memSize() for i in jsc.getRDDStorageInfo())
+            heap = int(self.spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+            est = self.meta.n_postings * self.WARM_BYTES_PER_POSTING
+            return {
+                "warm_rows": None,
+                "total_postings": int(self.meta.n_postings),
+                "est_warm_bytes": int(est),
+                "cached_bytes_actual": int(cached),
+                "jvm_max_heap_bytes": heap,
+                "est_heap_fraction": est / heap if heap else None,
+                "budget_bytes": self._warm_budget,
+                "truncated": None,
+                "warm_term_count": None,
+            }
         w = self.warm_postings()
         warm_rows = w.count()
         jsc = self.spark.sparkContext._jsc.sc()
@@ -1316,11 +1336,18 @@ class SearchEngine:
         returned (hit stripping, :363-367)."""
         if not attributes:
             return []
-        bad = sorted(a for a in set(attributes) if a not in self.doc_stats.columns)
+        # public surface only: the document fields (url/lang/text_crop when
+        # present) plus the build's declared stored_fields — NOT the internal
+        # index columns (doc_id, doc_len, norm_hash), which the reference
+        # never exposes as retrievable attributes
+        public = set(self.meta.stored_fields) | {
+            c for c in ("url", "lang", "text_crop") if c in self.doc_stats.columns
+        }
+        bad = sorted(a for a in set(attributes) if a not in public)
         if bad:
             raise ValueError(
                 f"attributes_to_retrieve {bad} not in stored doc fields "
-                f"{sorted(self.doc_stats.columns)}"
+                f"{sorted(public)}"
             )
         return [a for a in dict.fromkeys(attributes) if not a.startswith("_")]
 
@@ -1680,20 +1707,9 @@ class SearchEngine:
 
         Returns (url, doc_id, score, variant_type, terms_matched).
         """
-        dedup, sort_cols = self._multi_variant_dedup(
-            query, k, min_score_threshold, normalize, filters, sort
-        )
-        if dedup is None:
-            empty = T.StructType(
-                [
-                    T.StructField("url", T.StringType()),
-                    T.StructField("doc_id", T.LongType()),
-                    T.StructField("score", T.DoubleType()),
-                    T.StructField("variant_type", T.StringType()),
-                    T.StructField("terms_matched", T.LongType()),
-                ]
-            )
-            return self.spark.createDataFrame([], empty)
+        # attrs validate (400-style ValueError) and shape the output schema
+        # BEFORE the empty-variant early exit, so a no-variant query returns
+        # the same columns as a matching one and still rejects unknown names
         out_cols = list(
             dict.fromkeys(
                 ["url", "doc_id", "score", "variant_type", "terms_matched"]
@@ -1701,6 +1717,20 @@ class SearchEngine:
                 + self._check_attrs(attributes_to_retrieve)
             )
         )
+        dedup, sort_cols = self._multi_variant_dedup(
+            query, k, min_score_threshold, normalize, filters, sort
+        )
+        if dedup is None:
+            score_types = {
+                "score": T.DoubleType(),
+                "variant_type": T.StringType(),
+                "terms_matched": T.LongType(),
+            }
+            ds_types = {f.name: f.dataType for f in self.doc_stats.schema.fields}
+            empty = T.StructType(
+                [T.StructField(c, score_types.get(c) or ds_types[c]) for c in out_cols]
+            )
+            return self.spark.createDataFrame([], empty)
         if sort_cols:
             # sort fields first, relevance as tie-break; limit AFTER the
             # metadata join (TakeOrderedAndProject — no full sort materializes)

@@ -181,6 +181,26 @@ def test_stored_fields_roundtrip(cold):
         cold.search_page("zebra", k=2, attributes_to_retrieve=["nope"])
 
 
+def test_internal_columns_not_retrievable(cold):
+    # doc_id/doc_len/norm_hash are index internals, never stored document
+    # fields (reference 400s unknown attributes; hit stripping :363-367)
+    for col in ("doc_id", "doc_len", "norm_hash"):
+        with pytest.raises(ValueError, match="attributes_to_retrieve"):
+            cold.search_page("zebra", k=2, attributes_to_retrieve=[col])
+
+
+def test_empty_variant_query_keeps_attr_schema(cold):
+    # a query that yields no variants must return the SAME columns as a
+    # matching one (union-safe) and still reject unknown attribute names
+    df = cold.multi_variant_search("!!!", k=5, attributes_to_retrieve=["title"])
+    assert df.count() == 0
+    assert "title" in df.columns
+    matching = cold.multi_variant_search("zebra", k=5, attributes_to_retrieve=["title"])
+    assert df.columns == matching.columns
+    with pytest.raises(ValueError, match="attributes_to_retrieve"):
+        cold.multi_variant_search("!!!", k=5, attributes_to_retrieve=["nope"])
+
+
 def test_service_attributes_and_underscore_stripping(spark, tmp_path, corpus):
     from meilisearch_thai_spark.query.service import SearchService
 

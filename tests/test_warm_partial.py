@@ -111,6 +111,17 @@ def test_warm_term_query_uses_warm_tier(engines):
     assert capped._warm is not None and capped._warm.count() == 150
 
 
+def test_memory_report_disabled_engine_is_estimate_only(engines):
+    # the memory-safety probe must not itself decode+persist a tier that a
+    # cache_postings=False engine will never read
+    _, cold, _ = engines
+    rep = cold.warm_memory_report()
+    assert cold._warm is None  # nothing was built
+    assert rep["warm_rows"] is None and rep["truncated"] is None
+    assert rep["est_warm_bytes"] == rep["total_postings"] * SearchEngine.WARM_BYTES_PER_POSTING
+    assert rep["jvm_max_heap_bytes"] > 0
+
+
 def test_memory_report_full_tier(engines):
     _, _, full = engines
     rep = full.warm_memory_report()
