@@ -77,6 +77,68 @@ def _tf_rows(
     return ex.groupBy("shard", "batch_id", "url", "term").agg(*aggs)
 
 
+def _commit_pages_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    n_shards: int,
+    positional: bool,
+    kind: str = "stream",
+) -> None:
+    """Tokenize one batch of pages into shard+batch tf partitions + lineage.
+
+    Shared by the streaming foreachBatch sink and the batch
+    :func:`add_documents` API — both commit the identical layout, so a
+    stream and ad-hoc additions can interleave on the same staging area."""
+    t0 = time.time()
+    # WITHIN-batch re-crawls: keep one row per url (latest warc_ts,
+    # content-hash tie-break) BEFORE tokenization — otherwise the
+    # groupBy(url, term) below would sum tf across the duplicate rows
+    # and corrupt doc_len/BM25 stats.  Cross-batch re-crawls are handled
+    # by latest-batch-wins at finalize; this makes the rule uniform:
+    # last crawl of a url wins at every granularity.
+    batch_df = (
+        batch_df.groupBy("url")
+        .agg(
+            F.max_by(
+                F.struct("warc_ts", "html", "text", "lang"),
+                F.struct(F.col("warc_ts"), F.xxhash64("text")),
+            ).alias("_r")
+        )
+        .select("url", "_r.*")
+    )
+    tf = _tf_rows(batch_df, n_shards, batch_id, positional=positional)
+    (
+        tf.write.mode("overwrite")
+        .partitionBy("shard", "batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(out_dir, "tf"))
+    )
+    stats = (
+        spark.read.parquet(os.path.join(out_dir, "tf"))
+        .filter(F.col("batch_id") == batch_id)
+        .agg(
+            F.countDistinct("url").alias("n_docs"),
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_postings"),
+        )
+        .collect()[0]
+    )
+    with open(os.path.join(out_dir, "lineage", f"{kind}-batch-{batch_id}.json"), "w") as fh:
+        json.dump(
+            {
+                "batch_id": int(batch_id),
+                "batch_n_docs": int(stats["n_docs"] or 0),
+                "batch_n_tokens": int(stats["n_tokens"] or 0),
+                "batch_n_postings": int(stats["n_postings"] or 0),
+                "wall_sec": round(time.time() - t0, 3),
+                "ts": time.time(),
+            },
+            fh,
+        )
+
+
 def start_ingest_stream(
     spark: SparkSession,
     input_dir: str,
@@ -97,52 +159,7 @@ def start_ingest_stream(
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_stream_checkpoint")
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        t0 = time.time()
-        # WITHIN-batch re-crawls: keep one row per url (latest warc_ts,
-        # content-hash tie-break) BEFORE tokenization — otherwise the
-        # groupBy(url, term) below would sum tf across the duplicate rows
-        # and corrupt doc_len/BM25 stats.  Cross-batch re-crawls are handled
-        # by latest-batch-wins at finalize; this makes the rule uniform:
-        # last crawl of a url wins at every granularity.
-        batch_df = (
-            batch_df.groupBy("url")
-            .agg(
-                F.max_by(
-                    F.struct("warc_ts", "html", "text", "lang"),
-                    F.struct(F.col("warc_ts"), F.xxhash64("text")),
-                ).alias("_r")
-            )
-            .select("url", "_r.*")
-        )
-        tf = _tf_rows(batch_df, n_shards, batch_id, positional=positional)
-        (
-            tf.write.mode("overwrite")
-            .partitionBy("shard", "batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(os.path.join(out_dir, "tf"))
-        )
-        stats = (
-            spark.read.parquet(os.path.join(out_dir, "tf"))
-            .filter(F.col("batch_id") == batch_id)
-            .agg(
-                F.countDistinct("url").alias("n_docs"),
-                F.sum("tf").alias("n_tokens"),
-                F.count("*").alias("n_postings"),
-            )
-            .collect()[0]
-        )
-        with open(os.path.join(out_dir, "lineage", f"stream-batch-{batch_id}.json"), "w") as fh:
-            json.dump(
-                {
-                    "batch_id": int(batch_id),
-                    "batch_n_docs": int(stats["n_docs"] or 0),
-                    "batch_n_tokens": int(stats["n_tokens"] or 0),
-                    "batch_n_postings": int(stats["n_postings"] or 0),
-                    "wall_sec": round(time.time() - t0, 3),
-                    "ts": time.time(),
-                },
-                fh,
-            )
+        _commit_pages_batch(spark, batch_df, int(batch_id), out_dir, n_shards, positional)
 
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
@@ -155,6 +172,84 @@ def start_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# adhoc (batch add_documents) commits use a disjoint high batch-id range so
+# a stream checkpoint resuming later can never clobber an adhoc partition,
+# and uniform latest-batch-wins makes an explicit API add take precedence
+# over any earlier OR later stream crawl of the same url
+ADHOC_BATCH_BASE = 1_000_000_000
+
+
+def _next_adhoc_batch_id(out_dir: str) -> int:
+    ldir = os.path.join(out_dir, "lineage")
+    last = ADHOC_BATCH_BASE - 1
+    if os.path.isdir(ldir):
+        for fn in os.listdir(ldir):
+            if fn.startswith("adhoc-batch-") and fn.endswith(".json"):
+                last = max(last, int(fn[len("adhoc-batch-") : -len(".json")]))
+    return last + 1
+
+
+def add_documents(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    n_shards: int = N_SHARDS_DEFAULT,
+    positional: bool | None = None,
+    finalize: bool = True,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    bucket_span: int = DEFAULT_BUCKET_SPAN,
+    params: BM25Params = BM25Params(),
+) -> IndexMeta | None:
+    """Incrementally add (or overwrite) documents in a shard-staged index —
+    the reference's add/update-documents semantics
+    (src/meilisearch_integration/client.py:104-123: index by primary key,
+    re-adding a key overwrites the document).
+
+    Only the NEW pages are tokenized (the expensive phase); the existing
+    corpus's tf shards are reused as-is, and the shared finalize re-encodes
+    postings over the union with uniform latest-batch-wins per url.  Doc ids
+    stay deterministic (assigned from the sorted surviving url set), so the
+    result is byte-identical to a fresh build over the merged corpus.
+
+    On an EMPTY ``out_dir`` this is the initial build (batch staging created
+    here) — the same call shape covers bootstrap and every later delta.
+    ``finalize=False`` stages the tokenization only (cheap trickle adds);
+    run :func:`finalize_streamed_index` when the batch of batches is in.
+
+    Single-writer contract: do not run concurrently with a live ingest
+    stream or another add on the same directory.  Adhoc batches take a
+    disjoint id range above any stream batch id, so an explicit API add of
+    a url permanently outranks stream crawls of that url (intended: a
+    manual correction should not be silently undone by the next crawl);
+    delete the url first to hand it back to the stream.
+
+    Returns the new :class:`IndexMeta` (or None with ``finalize=False``)."""
+    tf_dir = os.path.join(out_dir, "tf")
+    if os.path.isdir(tf_dir):
+        existing = spark.read.parquet(tf_dir)
+        if "batch_id" not in existing.columns:
+            raise ValueError(
+                "add_documents needs the batched staging layout "
+                "(streaming ingest / add_documents builds); this index's tf "
+                "shards are from build_index_resumable — rebuild with "
+                "add_documents or migrate the shards with a batch_id=0 rewrite"
+            )
+        if positional is None:
+            positional = "positions" in existing.columns
+        elif positional != ("positions" in existing.columns):
+            raise ValueError("positional flag must match the existing staging layout")
+    elif positional is None:
+        positional = False
+    os.makedirs(os.path.join(out_dir, "lineage"), exist_ok=True)
+    batch_id = _next_adhoc_batch_id(out_dir)
+    _commit_pages_batch(spark, pages, batch_id, out_dir, n_shards, positional, kind="adhoc")
+    if not finalize:
+        return None
+    return finalize_streamed_index(
+        spark, out_dir, block_size=block_size, bucket_span=bucket_span, params=params
+    )
 
 
 def finalize_streamed_index(
