@@ -96,6 +96,12 @@ class IndexMeta:
     # meta so query config rides with the index like stopwords do.
     synonyms: dict = field(default_factory=dict)
     synonyms_fingerprint: str = ""
+    # the stop-word list the POSTINGS were built with (settings.py
+    # update_stop_words may extend the query-side list after build, but a
+    # build-time word's postings are physically gone — un-stopping one
+    # requires a rebuild, and this records which ones those are).
+    # None (old metas) means "same as stopwords".
+    stopwords_build: list[str] | None = None
 
     def field_params(self) -> dict[str, tuple[float, float]] | None:
         """prefix-id → (weight, per-field avgdl), or None when unfielded."""
@@ -635,20 +641,9 @@ def build_index(
     if fields and len(field_weights) != len(fields):
         raise ValueError("field_weights must match fields one-to-one")
     stored = [c for c in (stored_fields or []) if c not in ("url", "lang")]
-    # canonical keys are normalized through the SAME pinned tokenizer the
-    # query side uses, so "Laptop" or a Thai compound matches the query's
-    # base terms; multi-word canonicals become space-joined term keys which
-    # generate_variants matches as contiguous term windows
-    from ..tokenizer import extract_index_terms as _eit
-    from ..tokenizer import tokenize_for_index as _tfi
+    from . import settings as _settings
 
-    syn: dict[str, list[str]] = {}
-    for k, vs in (synonyms or {}).items():
-        key = " ".join(_eit(_tfi(str(k))))
-        alts = sorted({str(v).strip() for v in vs if str(v).strip()})
-        if key and alts:
-            syn.setdefault(key, [])
-            syn[key] = sorted(set(syn[key]) | set(alts))
+    syn = _settings.normalize_synonyms(synonyms)
 
     # id assignment + tokenization + byte-identity hash fused into one pass
     # (column pruning first: html/warc_ts never enter a shuffle or Python)
@@ -735,8 +730,6 @@ def build_index(
         "postings",
     )
 
-    import hashlib as _hashlib
-
     meta = IndexMeta(
         n_docs=n_docs,
         avgdl=avgdl,
@@ -746,24 +739,15 @@ def build_index(
         b=params.b,
         dictionary_fingerprint=dictionary_fingerprint(),
         positional=positional,
-        stopwords_fingerprint=(
-            _hashlib.sha256("\n".join(sorted(stopset)).encode("utf-8")).hexdigest()
-            if stopset
-            else ""
-        ),
+        stopwords_fingerprint=_settings.stopwords_fingerprint(stopset),
         stopwords=sorted(stopset) if stopset else [],
+        stopwords_build=sorted(stopset) if stopset else [],
         fields=fields or [],
         field_weights=[float(w) for w in field_weights] if fields else [],
         field_avgdl=field_avgdl if fields else [],
         stored_fields=stored,
         synonyms=syn,
-        synonyms_fingerprint=(
-            _hashlib.sha256(
-                "\n".join(f"{k}\t{'|'.join(vs)}" for k, vs in sorted(syn.items())).encode("utf-8")
-            ).hexdigest()
-            if syn
-            else ""
-        ),
+        synonyms_fingerprint=_settings.synonyms_fingerprint(syn),
     )
     pst = sink.read(spark, "postings")
     agg = pst.agg(

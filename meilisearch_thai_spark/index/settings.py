@@ -1,0 +1,139 @@
+"""Index-settings updates without a rebuild — the reference's settings
+manager surface (src/meilisearch_integration/settings_manager.py:
+``add_synonyms`` :226-249, ``update_stop_words`` :274-283,
+``export_config`` :334-350) re-expressed over the on-disk ``meta.json``.
+
+Synonyms and stop-words are QUERY-TIME settings here (MeiliSearch applies
+both at search time for queries; our build additionally drops build-time
+stop-words from the posting stream).  That split decides what is updatable
+in place:
+
+- **synonyms**: pure query config — merge/replace freely; live engines pick
+  the change up on :meth:`SearchEngine.refresh_index`.
+- **stop-words**: ADDING words is a query-side drop (their postings remain
+  until the next compaction, Lucene-style stats-until-rebuild);
+  REMOVING a *build-time* stop-word is impossible without re-tokenizing
+  (those postings were never written) and raises.
+- **fields / field_weights**: index settings baked into ``block_max_score``
+  at build (the pruning bound must stay exact) — not updatable here by
+  design; rebuild instead.
+
+All meta rewrites are atomic (tmp + ``os.replace``) and single-writer, the
+same contract as ``maintenance.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import asdict
+
+from .builder import IndexMeta, load_meta
+
+
+def normalize_synonyms(raw: dict | None) -> dict[str, list[str]]:
+    """Canonical keys normalized through the SAME pinned tokenizer the query
+    side uses, so "Laptop" or a Thai compound matches the query's base
+    terms; multi-word canonicals become space-joined term keys which
+    ``generate_variants`` matches as contiguous term windows."""
+    from ..tokenizer import extract_index_terms, tokenize_for_index
+
+    syn: dict[str, list[str]] = {}
+    for k, vs in (raw or {}).items():
+        key = " ".join(extract_index_terms(tokenize_for_index(str(k))))
+        alts = sorted({str(v).strip() for v in vs if str(v).strip()})
+        if key and alts:
+            syn.setdefault(key, [])
+            syn[key] = sorted(set(syn[key]) | set(alts))
+    return syn
+
+
+def synonyms_fingerprint(syn: dict[str, list[str]]) -> str:
+    if not syn:
+        return ""
+    return hashlib.sha256(
+        "\n".join(f"{k}\t{'|'.join(vs)}" for k, vs in sorted(syn.items())).encode("utf-8")
+    ).hexdigest()
+
+
+def stopwords_fingerprint(words) -> str:
+    if not words:
+        return ""
+    return hashlib.sha256("\n".join(sorted(words)).encode("utf-8")).hexdigest()
+
+
+def _write_meta(index_dir: str, meta: IndexMeta) -> None:
+    path = os.path.join(index_dir, "meta.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(asdict(meta), fh, indent=1)
+    os.replace(tmp, path)
+
+
+def update_synonyms(
+    index_dir: str, synonym_map: dict[str, list[str]], merge: bool = True
+) -> IndexMeta:
+    """Merge (reference add_synonyms semantics: alternates union per
+    canonical) or replace (``merge=False``; ``{}`` resets) the index's
+    synonym setting.  Pure metadata — no posting data changes; call
+    :meth:`SearchEngine.refresh_index` on live engines."""
+    meta = load_meta(index_dir)
+    incoming = normalize_synonyms(synonym_map)
+    if merge:
+        merged = dict(meta.synonyms or {})
+        for k, vs in incoming.items():
+            merged[k] = sorted(set(merged.get(k, [])) | set(vs))
+        meta.synonyms = merged
+    else:
+        meta.synonyms = incoming
+    meta.synonyms_fingerprint = synonyms_fingerprint(meta.synonyms)
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def update_stop_words(index_dir: str, stop_words: list[str]) -> IndexMeta:
+    """Replace the query-effective stop-word list.
+
+    Words present at BUILD time have no postings (the build dropped them
+    from the posting stream); removing one of those from the list would
+    make its queries silently return nothing, so that raises with rebuild
+    guidance.  Newly added words are dropped query-side immediately; their
+    postings linger until the next compaction/rebuild (documented
+    stats-until-rebuild semantics, same as deletes)."""
+    meta = load_meta(index_dir)
+    new = sorted({str(w).strip() for w in stop_words if str(w).strip()})
+    build = meta.stopwords_build if meta.stopwords_build is not None else list(meta.stopwords)
+    unstoppable = sorted(set(build) - set(new))
+    if unstoppable:
+        raise ValueError(
+            f"cannot un-stop build-time stop-words {unstoppable}: their "
+            "postings were dropped at build — rebuild the index without them"
+        )
+    meta.stopwords_build = list(build)
+    meta.stopwords = new
+    meta.stopwords_fingerprint = stopwords_fingerprint(new)
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def export_settings(index_dir: str) -> dict:
+    """The reference's ``export_config`` (:334-350): the full settings view
+    of an index, for diffing/migration tooling."""
+    meta = load_meta(index_dir)
+    return {
+        "k1": meta.k1,
+        "b": meta.b,
+        "stop_words": list(meta.stopwords),
+        "stop_words_build": list(
+            meta.stopwords_build if meta.stopwords_build is not None else meta.stopwords
+        ),
+        "synonyms": {k: list(v) for k, v in (meta.synonyms or {}).items()},
+        "fields": list(meta.fields),
+        "field_weights": list(meta.field_weights),
+        "stored_fields": list(meta.stored_fields),
+        "positional": meta.positional,
+        "dictionary_fingerprint": meta.dictionary_fingerprint,
+        "stopwords_fingerprint": meta.stopwords_fingerprint,
+        "synonyms_fingerprint": meta.synonyms_fingerprint,
+    }

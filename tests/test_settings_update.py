@@ -1,0 +1,88 @@
+"""Settings updates without rebuild (reference settings_manager.py:
+add_synonyms :226-249, update_stop_words :274-283, export_config :334-350):
+meta.json is the settings store; live engines pick changes up on
+refresh_index()."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from meilisearch_thai_spark.index.builder import build_index, load_meta
+from meilisearch_thai_spark.index.settings import (
+    export_settings,
+    update_stop_words,
+    update_synonyms,
+)
+from meilisearch_thai_spark.query.executor import SearchEngine
+from meilisearch_thai_spark.sources.pages import PAGES_SCHEMA
+
+_TS = datetime.datetime(2024, 1, 1)
+
+DOCS = [
+    ("u/laptop", "cheap laptop with long battery"),
+    ("u/notebook", "paper notebook for sketching"),
+    ("u/the", "the filler document about batteries"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    pages = spark.createDataFrame([(u, _TS, b"", t, "en") for u, t in DOCS], PAGES_SCHEMA)
+    out = str(tmp_path_factory.mktemp("idx_settings"))
+    build_index(spark, pages, out, stopwords=["the"], synonyms={"notebook": ["laptop"]})
+    return out
+
+
+def test_add_synonyms_merges(idx):
+    meta = update_synonyms(idx, {"Notebook": ["ultrabook"], "pc": ["computer"]})
+    assert meta.synonyms["notebook"] == ["laptop", "ultrabook"]  # union, normalized key
+    assert meta.synonyms["pc"] == ["computer"]
+    assert load_meta(idx).synonyms == meta.synonyms  # persisted
+    assert meta.synonyms_fingerprint != ""
+
+
+def test_replace_and_reset_synonyms(idx):
+    meta = update_synonyms(idx, {"pc": ["desktop"]}, merge=False)
+    assert meta.synonyms == {"pc": ["desktop"]}
+    meta = update_synonyms(idx, {}, merge=False)
+    assert meta.synonyms == {} and meta.synonyms_fingerprint == ""
+    # restore for later tests
+    update_synonyms(idx, {"notebook": ["laptop"]})
+
+
+def test_live_engine_picks_up_synonyms_on_refresh(spark, idx):
+    eng = SearchEngine(spark, idx, cache_postings=False)
+    update_synonyms(idx, {"sketchpad": ["notebook"]})
+    assert "sketchpad" not in eng._synonyms  # snapshot semantics
+    eng.refresh_index()
+    assert eng._synonyms["sketchpad"] == ["notebook"]
+    urls = {r["url"] for r in eng.multi_variant_search("sketchpad", k=5).collect()}
+    assert "u/notebook" in urls
+
+
+def test_add_stop_words_applies_query_side(spark, idx):
+    meta = update_stop_words(idx, ["the", "paper"])
+    assert meta.stopwords == ["paper", "the"]
+    assert meta.stopwords_build == ["the"]
+    eng = SearchEngine(spark, idx, cache_postings=False)
+    # 'paper' is now ignored: conjunctive 'paper notebook' must still hit
+    # u/notebook through the surviving term alone
+    urls = [r["url"] for r in eng.search("paper notebook", k=5).collect()]
+    assert urls and urls[0] == "u/notebook"
+    # shrinking back to the build list is fine
+    update_stop_words(idx, ["the"])
+
+
+def test_cannot_unstop_build_time_word(idx):
+    with pytest.raises(ValueError, match="rebuild"):
+        update_stop_words(idx, [])
+
+
+def test_export_settings(idx):
+    cfg = export_settings(idx)
+    assert cfg["stop_words_build"] == ["the"]
+    assert cfg["k1"] == 1.2 and cfg["b"] == 0.75
+    assert "notebook" in cfg["synonyms"]
+    assert cfg["dictionary_fingerprint"]
