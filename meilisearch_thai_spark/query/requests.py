@@ -26,6 +26,11 @@ class SearchRequest:
     sort: list[str] = field(default_factory=list)
     filters: dict | None = None
     min_score_threshold: float = 0.0
+    # reference models/requests.py:16-20: highlight toggle, per-attribute
+    # highlighting, and the crop marker string
+    highlight: bool = True
+    attributes_to_highlight: list[str] = field(default_factory=list)
+    crop_marker: str = "..."
 
 
 def validate_request(req: SearchRequest) -> SearchRequest:
@@ -48,6 +53,11 @@ def validate_request(req: SearchRequest) -> SearchRequest:
             raise ValueError(f"sort entries must be 'field:asc|desc', got {s!r}")
     if not (0.0 <= req.min_score_threshold <= 1.0):
         raise ValueError(f"min_score_threshold must be in [0, 1], got {req.min_score_threshold}")
+    if not isinstance(req.crop_marker, str):
+        raise ValueError("crop_marker must be a string")
+    for a in req.attributes_to_highlight:
+        if not isinstance(a, str) or not a:
+            raise ValueError(f"attributes_to_highlight entries must be non-empty strings, got {a!r}")
     return req
 
 

@@ -48,6 +48,9 @@ class Hit:
     # (reference hits return the document minus _-fields,
     # search_executor.py:363-367, 721-723)
     attributes: dict = field(default_factory=dict)
+    # attributesToHighlight payload (reference responses.py:16 `highlight`):
+    # attr -> cropped text with <em> marks, string-valued stored fields only
+    highlight: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -85,6 +88,9 @@ class SearchService:
         crop_length: int = 200,
         include_tokenization_info: bool = False,
         attributes_to_retrieve: list[str] | None = None,
+        highlight: bool = True,
+        attributes_to_highlight: list[str] | None = None,
+        crop_marker: str = "...",
     ) -> SearchResponse:
         req = validate_request(
             SearchRequest(
@@ -95,6 +101,9 @@ class SearchService:
                 filters=filters,
                 sort=list(sort or []),
                 crop_length=crop_length,
+                highlight=highlight,
+                attributes_to_highlight=list(attributes_to_highlight or []),
+                crop_marker=crop_marker,
             )
         )
 
@@ -118,6 +127,9 @@ class SearchService:
         # page end, or deep offsets would truncate to an empty page
         if pq.fallback_used:
             fetch_k = min(fetch_k * 2, max(100, fetch_k))
+        # fetch the union of retrieve + highlight attrs in the one metadata
+        # lookup; _postprocess keeps only the retrieve list on Hit.attributes
+        fetch_attrs = list(dict.fromkeys((attributes_to_retrieve or []) + req.attributes_to_highlight))
         try:
             rows = self.engine.multi_variant_page(
                 req.query,
@@ -126,7 +138,7 @@ class SearchService:
                 normalize=config.normalize,
                 filters=req.filters,
                 sort=req.sort or None,
-                attributes_to_retrieve=attributes_to_retrieve,
+                attributes_to_retrieve=fetch_attrs or None,
             )
         except Exception:
             # S6: execution failures ARE recorded (success=False) before the
@@ -153,6 +165,7 @@ class SearchService:
         # when the index stores content (build_index(store_text_crop=N)),
         # the E-ops and X7 run on real text; otherwise they key on url
         attrs = [a for a in (attributes_to_retrieve or []) if not a.startswith("_")]
+        hl_attrs = [a for a in req.attributes_to_highlight if not a.startswith("_")]
         hits = [
             {
                 "url": r["url"],
@@ -162,6 +175,7 @@ class SearchService:
                 "terms_matched": int(r["terms_matched"]),
                 "text": r.get("text_crop") or r["url"],
                 "attributes": {a: r[a] for a in attrs if a in r},
+                "hl_values": {a: r[a] for a in hl_attrs if a in r and isinstance(r[a], str)},
             }
             for r in rows
         ]
@@ -178,13 +192,25 @@ class SearchService:
         for h in page:
             text = str(h.get("text", ""))
             has_content = bool(text) and text != h["url"]
-            if has_content:
+            if has_content and req.highlight:
                 # E1 generation: the reference's _formatted hit view
                 # (search_executor.py:705-723; Thai crop-doubling :874-878)
-                formatted, gen_hl = crop_and_highlight(text, hl_terms, req.crop_length)
+                formatted, gen_hl = crop_and_highlight(
+                    text, hl_terms, req.crop_length, marker=req.crop_marker
+                )
             else:
                 formatted, gen_hl = "", []
-            highlights = gen_hl or extract_highlights(text)
+            highlights = (gen_hl or extract_highlights(text)) if req.highlight else []
+            # attributesToHighlight (reference requests.py:18, responses.py:16):
+            # each requested string attribute gets its own cropped+marked view
+            attr_highlight = (
+                {
+                    a: crop_and_highlight(v, hl_terms, req.crop_length, marker=req.crop_marker)[0]
+                    for a, v in h.get("hl_values", {}).items()
+                }
+                if req.highlight
+                else {}
+            )
             conf = fuzzy_partial_confidence(q_lower, text.lower())
             rel = relevance_factors(text, highlights, 0, h["terms_matched"], [conf] if conf else [])
             # R3/E5 on stored content: exact substring containment boosts 2.0
@@ -203,7 +229,7 @@ class SearchService:
             out_hits.append(
                 Hit(
                     h["url"], h["doc_id"], score, h["variant_type"], h["terms_matched"],
-                    highlights, rel, formatted, h.get("attributes", {}),
+                    highlights, rel, formatted, h.get("attributes", {}), attr_highlight,
                 )
             )
         if not sort:

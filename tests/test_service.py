@@ -97,3 +97,49 @@ def test_include_tokenization_info(service):
     # absent unless requested (reference default False)
     r2 = service.search("สาหร่ายวากาเมะ", limit=3)
     assert "tokenization_info" not in r2.query_info
+
+
+def test_highlight_toggle_and_crop_marker(spark, tmp_path_factory):
+    """Reference models/requests.py:16-20: highlight=False suppresses all
+    highlighting work; crop_marker replaces the '...' ellipsis."""
+    out = str(tmp_path_factory.mktemp("svc_idx_hl"))
+    build_index(spark, generate_pages(spark, 400, seed=17), out, store_text_crop=500)
+    svc = SearchService(spark, out, cache_postings=False)
+    on = svc.search("ปัญญาประดิษฐ์", limit=3)
+    assert on.hits and any(h.formatted for h in on.hits)
+    off = svc.search("ปัญญาประดิษฐ์", limit=3, highlight=False)
+    assert all(h.formatted == "" and h.highlights == [] and h.highlight == {} for h in off.hits)
+    # same ranking either way — highlighting is presentation only
+    assert [h.doc_id for h in off.hits] == [h.doc_id for h in on.hits]
+    marked = svc.search("ปัญญาประดิษฐ์", limit=3, crop_marker="[…]")
+    joined = "".join(h.formatted for h in marked.hits)
+    assert "[…]" in joined or all(len(h.formatted) < 500 for h in marked.hits)
+
+
+def test_attributes_to_highlight(spark, tmp_path_factory):
+    import datetime
+
+    out = str(tmp_path_factory.mktemp("svc_idx_attr_hl"))
+    rows = [
+        ("u/1", "zebra story", "a zebra walks far", "en"),
+        ("u/2", "plain title", "nothing zebra here too", "en"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, t, c, lang) for u, t, c, lang in rows],
+        "url string, title string, content string, lang string",
+    )
+    build_index(
+        spark, pages, out, fields=["title", "content"], stored_fields=["title"]
+    )
+    svc = SearchService(spark, out, cache_postings=False)
+    r = svc.search("zebra", limit=5, attributes_to_highlight=["title"])
+    assert r.hits
+    by_url = {h.url: h for h in r.hits}
+    assert "<em>zebra</em>" in by_url["u/1"].highlight["title"]
+    # attr requested only for highlight does NOT leak into attributes
+    assert by_url["u/1"].attributes == {}
+    # unknown attribute names 400 exactly like attributes_to_retrieve
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="attributes_to_retrieve"):
+        svc.search("zebra", limit=5, attributes_to_highlight=["nope"])
