@@ -1688,6 +1688,7 @@ class SearchEngine:
         filters: dict | None = None,
         sort: list[str] | None = None,
         attributes_to_retrieve: list[str] | None = None,
+        pq=None,
     ) -> DataFrame:
         """Full search-proxy semantics in ONE Spark job (SURVEY §3.3 / X1).
 
@@ -1718,7 +1719,7 @@ class SearchEngine:
             )
         )
         dedup, sort_cols = self._multi_variant_dedup(
-            query, k, min_score_threshold, normalize, filters, sort
+            query, k, min_score_threshold, normalize, filters, sort, pq=pq
         )
         if dedup is None:
             score_types = {
@@ -1756,6 +1757,7 @@ class SearchEngine:
         filters: dict | None = None,
         sort: list[str] | None = None,
         attributes_to_retrieve: list[str] | None = None,
+        pq=None,
     ) -> list[dict]:
         """Eager serving twin of :meth:`multi_variant_search`: two k-bounded
         pure-JVM jobs on a warm engine (scored top-k collect + metadata point
@@ -1766,10 +1768,10 @@ class SearchEngine:
                 for r in self.multi_variant_search(
                     query, k=k, min_score_threshold=min_score_threshold,
                     normalize=normalize, filters=filters, sort=sort,
-                    attributes_to_retrieve=attributes_to_retrieve,
+                    attributes_to_retrieve=attributes_to_retrieve, pq=pq,
                 ).collect()
             ]
-        dedup, _ = self._multi_variant_dedup(query, k, min_score_threshold, normalize, None, None)
+        dedup, _ = self._multi_variant_dedup(query, k, min_score_threshold, normalize, None, None, pq=pq)
         if dedup is None:
             return []
         rows = dedup.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
@@ -1941,16 +1943,20 @@ class SearchEngine:
         normalize: bool,
         filters: dict | None,
         sort: list[str] | None,
+        pq=None,
     ):
         """Variant pipeline + scoring + weighting + per-doc dedup + threshold.
 
         Returns ``(dedup DataFrame | None, sort_cols | None)`` — the part of
         the search shared by the lazy DataFrame API and the eager page API.
-        """
+        ``pq`` lets a caller (SearchService) supply an already-processed
+        query carrying request-level overrides (matching_strategy,
+        max_query_variants) without a second pipeline pass."""
         from .pipeline import process_query
         from .ranker import MIN_SCORE_THRESHOLD, variant_boost_expr  # noqa: F401
 
-        pq = process_query(query, synonyms=self._synonyms or None)
+        if pq is None:
+            pq = process_query(query, synonyms=self._synonyms or None)
         if not pq.variants:
             return None, None
 

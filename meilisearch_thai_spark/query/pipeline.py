@@ -225,11 +225,13 @@ def generate_variants(
     analysis: QueryAnalysis,
     preserve_original: bool = True,
     synonyms: dict[str, list[str]] | None = None,
+    max_variants: int = MAX_QUERY_VARIANTS,
 ) -> list[QueryVariant]:
     """Q4: emit ORIGINAL / TOKENIZED / COMPOUND_SPLIT / MIXED / FALLBACK
     (+ SYNONYM substitutions when the index settings carry a synonym map),
-    dedup by lowercased text, cap at MAX_QUERY_VARIANTS keeping highest
-    weight (query_processor.py:436-702)."""
+    dedup by lowercased text, cap at ``max_variants`` keeping highest
+    weight (query_processor.py:436-702; the cap is the reference's
+    ``max_query_variants`` option, models/requests.py:32, default 5)."""
     length_m = _length_multiplier(analysis)
     candidates: list[QueryVariant] = []
     primary = tokenize_for_index(q)
@@ -316,20 +318,36 @@ def generate_variants(
     strong = [v for v in out if v.weight >= MIN_VARIANT_WEIGHT]
     if not strong and out:
         strong = out[:1]  # emergency variant (query_processor.py:764-769)
-    return strong[:MAX_QUERY_VARIANTS]
+    return strong[:max_variants]
 
 
 def process_query(
     q: str,
     preserve_original: bool = True,
     synonyms: dict[str, list[str]] | None = None,
+    max_variants: int = MAX_QUERY_VARIANTS,
+    matching_strategy: str = "best",
 ) -> ProcessedQuery:
-    """Full driver-side pipeline: normalize → analyze → variants (Q1-Q8)."""
+    """Full driver-side pipeline: normalize → analyze → variants (Q1-Q8).
+
+    ``matching_strategy`` other than ``"best"`` forces that strategy onto
+    every variant (the request-level MeiliSearch matchingStrategy override,
+    reference models/requests.py:22) — except explicit phrase variants,
+    whose adjacency semantics the strategy never relaxes."""
     nq = normalize_query(q)
     analysis = analyze_query(nq)
     if not nq:
         return ProcessedQuery(original_query=q, analysis=analysis, variants=[])
-    variants = generate_variants(nq, analysis, preserve_original, synonyms=synonyms)
+    variants = generate_variants(
+        nq, analysis, preserve_original, synonyms=synonyms, max_variants=max_variants
+    )
+    if matching_strategy != "best":
+        from dataclasses import replace as _replace
+
+        variants = [
+            v if v.matching == "phrase" else _replace(v, matching=matching_strategy)
+            for v in variants
+        ]
     fallback_used = any(v.variant_type == "fallback" for v in variants)
     return ProcessedQuery(
         original_query=q, analysis=analysis, variants=variants, fallback_used=fallback_used

@@ -31,6 +31,9 @@ class SearchRequest:
     highlight: bool = True
     attributes_to_highlight: list[str] = field(default_factory=list)
     crop_marker: str = "..."
+    # reference models/requests.py:32 max_query_variants (ge=1, le=10);
+    # None = the pipeline default (5)
+    max_query_variants: int | None = None
 
 
 def validate_request(req: SearchRequest) -> SearchRequest:
@@ -58,6 +61,8 @@ def validate_request(req: SearchRequest) -> SearchRequest:
     for a in req.attributes_to_highlight:
         if not isinstance(a, str) or not a:
             raise ValueError(f"attributes_to_highlight entries must be non-empty strings, got {a!r}")
+    if req.max_query_variants is not None and not (1 <= req.max_query_variants <= 10):
+        raise ValueError(f"max_query_variants must be in [1, 10], got {req.max_query_variants}")
     return req
 
 

@@ -91,6 +91,8 @@ class SearchService:
         highlight: bool = True,
         attributes_to_highlight: list[str] | None = None,
         crop_marker: str = "...",
+        matching_strategy: str = "best",
+        max_query_variants: int | None = None,
     ) -> SearchResponse:
         req = validate_request(
             SearchRequest(
@@ -104,6 +106,8 @@ class SearchService:
                 highlight=highlight,
                 attributes_to_highlight=list(attributes_to_highlight or []),
                 crop_marker=crop_marker,
+                matching_strategy=matching_strategy,
+                max_query_variants=max_query_variants,
             )
         )
 
@@ -116,7 +120,13 @@ class SearchService:
         config: RankingConfig = ALGORITHMS[algorithm]
 
         t0 = time.time()
-        pq = process_query(req.query, synonyms=self.engine._synonyms or None)
+        pq_kwargs = {}
+        if req.max_query_variants is not None:
+            pq_kwargs["max_variants"] = req.max_query_variants
+        pq = process_query(
+            req.query, synonyms=self.engine._synonyms or None,
+            matching_strategy=req.matching_strategy, **pq_kwargs,
+        )
         t_tok = time.time()
 
         # need offset+limit rows, +headroom when content-dedup may drop some
@@ -139,6 +149,8 @@ class SearchService:
                 filters=req.filters,
                 sort=req.sort or None,
                 attributes_to_retrieve=fetch_attrs or None,
+                pq=pq,  # carries matching_strategy/max_query_variants; also
+                # saves the engine a second Q1-Q8 pipeline pass
             )
         except Exception:
             # S6: execution failures ARE recorded (success=False) before the

@@ -143,3 +143,44 @@ def test_attributes_to_highlight(spark, tmp_path_factory):
 
     with _pytest.raises(ValueError, match="attributes_to_retrieve"):
         svc.search("zebra", limit=5, attributes_to_highlight=["nope"])
+
+
+def test_matching_strategy_override_and_variant_cap(spark, tmp_path_factory):
+    """Reference SearchOptions matching_strategy (:22) and
+    max_query_variants (:32): request-level overrides reach the variant
+    pipeline through the service's precomputed ProcessedQuery."""
+    from meilisearch_thai_spark.query.pipeline import process_query
+
+    # strategy override: every non-phrase variant forced to 'all'
+    pq = process_query("อาหารไทย ราคาถูก", matching_strategy="all")
+    assert pq.variants and all(v.matching == "all" for v in pq.variants if v.matching != "phrase")
+    # variant cap: 1 keeps only the strongest variant
+    pq1 = process_query("อาหารไทย ราคาถูก", max_variants=1)
+    assert len(pq1.variants) == 1
+
+    import datetime
+
+    out = str(tmp_path_factory.mktemp("svc_idx_ms"))
+    docs = [
+        ("u/both", "อาหารไทย ราคาถูก ครบเครื่อง"),
+        ("u/one", "อาหารไทย จานเด็ดประจำร้าน"),
+        ("u/none", "เทคโนโลยีสมัยใหม่"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, datetime.datetime(2024, 1, 1), b"", t, "th") for u, t in docs],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    build_index(spark, pages, out)
+    svc = SearchService(spark, out, cache_postings=False)
+    # 'all' = conjunctive across every query term: only u/both qualifies;
+    # 'last' relaxes trailing terms, so the partial match surfaces too
+    strict = svc.search("อาหารไทย ราคาถูก", limit=20, matching_strategy="all")
+    assert {h.url for h in strict.hits} == {"u/both"}
+    loose = svc.search("อาหารไทย ราคาถูก", limit=20, matching_strategy="last")
+    assert {"u/both", "u/one"} <= {h.url for h in loose.hits}
+    one = svc.search("อาหารไทย ราคาถูก", limit=20, max_query_variants=1)
+    assert one.query_info["variant_count"] == 1
+    with pytest.raises(ValueError, match="max_query_variants"):
+        svc.search("x", max_query_variants=0)
+    with pytest.raises(ValueError, match="matching_strategy"):
+        svc.search("x", matching_strategy="nope")
