@@ -24,11 +24,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from meilisearch_thai_spark.pipeline import dedup as dd
 from meilisearch_thai_spark.pipeline import similarity as sim
 from meilisearch_thai_spark.pipeline import textstats as ts
+from meilisearch_thai_spark.pipeline import webtext as wtx
 from meilisearch_thai_spark.query import adhoc
 from meilisearch_thai_spark.query import ranker as rk
 
 _BM25_QUERY = ["merge", "join", "table", "scan"]
 _BM25_CONJ = ["key", "value", "hash"]
+
+# injected boilerplate lines for the webtext_* entries (identical strings in
+# the DuckDB oracle)
+_WT_HEADER = "accept cookies to continue"
+_WT_FOOTER = "copyright example corp all rights reserved"
+
+# DuckDB twin of queries()._ml_docs: gid = doc_id % 50, lines ordered by
+# doc_id, '- ' bullets on doc_id%5==0, header on every group, footer on even
+_WT_ML_SQL = f"""
+ml AS (
+  SELECT gid,
+         '{_WT_HEADER}' || chr(10)
+         || string_agg(line, chr(10) ORDER BY doc_id)
+         || CASE WHEN gid % 2 = 0 THEN chr(10) || '{_WT_FOOTER}' ELSE '' END AS text
+  FROM (
+    SELECT doc_id, CAST(doc_id % 50 AS BIGINT) AS gid,
+           CASE WHEN doc_id % 5 = 0 THEN '- ' || text ELSE text END AS line
+    FROM documents
+  ) GROUP BY gid
+)
+"""
 
 # one documents-corpus index (with lang metadata) shared by the indexed
 # search entries — built once per sf_dir per process
@@ -467,6 +489,110 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return an.trending_queries(_s6_events(spark, sf))
 
+    # --- web-text hygiene (C4/Gopher; pipeline/webtext.py). The sf corpus is
+    # single-line word soup, so the entries synthesize multi-line documents
+    # deterministically (gid = doc_id % 50, lines ordered by doc_id) and
+    # inject a boilerplate header on every group + a footer on even groups —
+    # identical construction in the DuckDB oracle, no external data.
+    def _ml_docs(spark, sf):
+        docs = _t(spark, sf, "documents")
+        body = F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("doc_id"),
+                            F.when(
+                                F.col("doc_id") % 5 == 0,
+                                F.concat(F.lit("- "), F.col("text")),
+                            )
+                            .otherwise(F.col("text"))
+                            .alias("line"),
+                        )
+                    )
+                ),
+                lambda s: s.line,
+            ),
+            "\n",
+        )
+        return (
+            docs.withColumn("gid", (F.col("doc_id") % 50).cast("long"))
+            .groupBy("gid")
+            .agg(
+                F.concat(
+                    F.lit(_WT_HEADER + "\n"),
+                    body,
+                    F.when(F.col("gid") % 2 == 0, F.lit("\n" + _WT_FOOTER)).otherwise(
+                        F.lit("")
+                    ),
+                ).alias("text")
+            )
+        )
+
+    def webtext_boilerplate(spark, sf):
+        # C4-style boilerplate-line removal (Raffel et al. 2020 §2.2):
+        # cross-document line df >= 3 → strip, order preserved
+        from meilisearch_thai_spark.pipeline import webtext as wt
+
+        out = wt.remove_boilerplate(_ml_docs(spark, sf), "gid", "text", min_df=3)
+        return out.select(
+            "doc_key",
+            F.md5("clean_text").alias("clean_md5"),
+            "n_kept",
+            "n_removed",
+        )
+
+    def webtext_gopher_quality(spark, sf):
+        # Gopher quality rules (Rae et al. 2021 Table A1) as integer basis
+        # points + pass flag; zero-shuffle Column expressions
+        from meilisearch_thai_spark.pipeline import webtext as wt
+
+        return wt.gopher_quality(_ml_docs(spark, sf), "gid", "text")
+
+    def webtext_pii_mask(spark, sf):
+        # regex PII masking (emails/IPv4/phones injected deterministically
+        # into the corpus on both sides)
+        from meilisearch_thai_spark.pipeline import webtext as wt
+
+        docs = _t(spark, sf, "documents").withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(
+                        F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(
+                        F.lit(" ip 10.0."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".17"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(
+                        F.lit(" tel +66 2 "),
+                        (F.col("doc_id") % 1000).cast("string"),
+                        F.lit(" 4567"),
+                    ),
+                ).otherwise(F.lit("")),
+            ),
+        )
+        out = wt.mask_pii(docs, "doc_id", "text")
+        return out.select(
+            "doc_key",
+            F.md5("masked_text").alias("masked_md5"),
+            "n_email",
+            "n_ipv4",
+            "n_phone",
+        )
+
     def agg_partial_q1(spark, sf):
         li = _t(spark, sf, "lineitem")
         return (
@@ -518,6 +644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_popular_searches": s6_popular_searches,
         "s6_trending": s6_trending,
         "agg_partial_q1": agg_partial_q1,
+        "webtext_boilerplate": webtext_boilerplate,
+        "webtext_gopher_quality": webtext_gopher_quality,
+        "webtext_pii_mask": webtext_pii_mask,
         "e1_highlight_extract": e1_highlight_extract,
         "e1_highlight_generate": e1_highlight_generate,
         "r7_rank_algorithm": r7_rank_algorithm,
@@ -717,6 +846,28 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= DATE '2001-09-01'
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "webtext_boilerplate": f"""
+WITH {_WT_ML_SQL},
+q AS ({wtx.remove_boilerplate_sql('ml', 'gid', 'text', min_df=3)})
+SELECT doc_key, md5(clean_text) AS clean_md5, n_kept, n_removed FROM q
+""",
+        "webtext_gopher_quality": f"""
+WITH {_WT_ML_SQL},
+q AS ({wtx.gopher_quality_sql('ml', 'gid', 'text')})
+SELECT * FROM q
+""",
+        "webtext_pii_mask": f"""
+WITH pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.' || (doc_id % 256) || '.17' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' tel +66 2 ' || (doc_id % 1000) || ' 4567' ELSE '' END AS text
+  FROM documents
+),
+q AS ({wtx.mask_pii_sql('pii', 'doc_id', 'text')})
+SELECT doc_key, md5(masked_text) AS masked_md5, n_email, n_ipv4, n_phone FROM q
 """,
         # ANN approximate paths under the exact gate: LSH planes are
         # md5-derived pure constants and IVF centroids are md5-seeded medoids

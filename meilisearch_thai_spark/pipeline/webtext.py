@@ -1,0 +1,340 @@
+"""Web-text corpus hygiene operators (C4 / Gopher style) for training-data
+pipelines.
+
+The reference engine (certogo-tech/meilisearch-thai) ingests crawled pages
+as-is (src/meilisearch_integration/document_processor.py builds documents
+straight from raw text); a 100 TB web-text pipeline needs a cleaning stage
+in front of the index build.  These operators implement the standard public
+heuristics:
+
+- **Boilerplate line removal** — C4 (Raffel et al. 2020, §2.2) drops lines
+  that recur across documents (nav bars, cookie banners, footers).
+  Implemented as line document-frequency: flag lines appearing in >=
+  ``min_df`` distinct documents, then strip them order-preservingly.
+- **Quality signals** — Gopher rules (Rae et al. 2021, Table A1): word
+  count band, mean word length band, alphabetic-word fraction, bullet /
+  ellipsis line fractions, duplicate-line fraction, top-bigram repetition
+  fraction.
+- **PII masking** — regex masking of emails / IPv4 / phone numbers with
+  per-doc match counts (patterns restricted to constructs with identical
+  semantics in Java regex and RE2 so the DuckDB oracle is exact).
+
+Determinism: every fraction is emitted as integer basis points
+(``(10000 * num) div den``) — pure integer arithmetic, bit-identical in any
+engine (same trick as textstats.quality_score; float ROUND at .5 diverges
+between Spark and DuckDB).
+
+Scale notes (100 TB): line-df is a groupBy on the line value with map-side
+combine — at full scale key on ``xxhash64(line)`` instead of the raw string
+to bound shuffle width; the flagged-line set is tiny relative to the corpus
+(boilerplate is by definition high-df), so the removal join broadcasts.
+Gopher signals and PII masking are pure per-row Column expressions (JVM
+codegen, zero shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Gopher-style acceptance thresholds (Rae et al. 2021, Table A1), expressed
+# in integer basis points against the emitted columns.
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len_bp": 30_000,   # mean word length >= 3
+    "max_mean_word_len_bp": 100_000,  # mean word length <= 10
+    "min_alpha_word_bp": 8_000,       # >= 80% words contain a letter
+    "max_bullet_line_bp": 9_000,      # <= 90% lines start with a bullet
+    "max_ellipsis_line_bp": 3_000,    # <= 30% lines end with an ellipsis
+    "max_dup_line_bp": 3_000,         # <= 30% duplicate lines
+    "max_top_bigram_bp": 1_800,       # top 2-gram <= 18% of all 2-grams
+}
+
+# One letter (Latin or Thai block) anywhere in the word. Literal char-class
+# ranges only — identical semantics in Java regex and RE2.
+_ALPHA_WORD_RE = "[A-Za-zก-๛]"
+
+# PII patterns — Java-regex / RE2 common subset (no lookaround, no \b edge
+# differences on unicode; \b over ASCII digits/letters is identical).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9][0-9 -]{6,}[0-9]"
+
+
+def split_lines(docs: DataFrame, id_col: str, text_col: str, delim: str = "\n") -> DataFrame:
+    """Explode documents into (doc_key, pos, line) — narrow, no shuffle."""
+    return docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame, id_col: str, text_col: str, min_df: int = 3, delim: str = "\n"
+) -> DataFrame:
+    """Lines occurring in >= min_df distinct documents → (line, line_df).
+
+    C4-style cross-document recurrence (Raffel et al. 2020 drop any line
+    seen more than once at web scale; min_df is the tunable analogue).
+    countDistinct shuffles once on the line value with partial aggregation.
+    """
+    lines = split_lines(docs, id_col, text_col, delim).select("doc_key", "line")
+    return (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_key").alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+    )
+
+
+def boilerplate_lines_sql(
+    table: str, id_col: str, text_col: str, min_df: int = 3
+) -> str:
+    return f"""
+WITH flat AS (
+  SELECT {id_col} AS doc_key, unnest(string_split({text_col}, chr(10))) AS line
+  FROM {table}
+)
+SELECT line, COUNT(DISTINCT doc_key) AS line_df
+FROM flat GROUP BY 1 HAVING COUNT(DISTINCT doc_key) >= {min_df}
+"""
+
+
+def remove_boilerplate(
+    docs: DataFrame, id_col: str, text_col: str, min_df: int = 3, delim: str = "\n"
+) -> DataFrame:
+    """Strip flagged lines, preserving within-doc order →
+    (doc_key, clean_text, n_kept, n_removed).
+
+    Documents whose every line is boilerplate survive with clean_text ''.
+    The flagged set is small (high-df lines only) so AQE broadcasts the
+    anti-join side; the rebuild is one groupBy on doc_key.
+    """
+    flagged = boilerplate_lines(docs, id_col, text_col, min_df, delim).select("line")
+    lines = split_lines(docs, id_col, text_col, delim)
+    kept = lines.join(F.broadcast(flagged.withColumn("_flag", F.lit(1))), "line", "left")
+    return (
+        kept.groupBy("doc_key")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_flag").isNull(), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+                delim,
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("_flag").isNull(), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("_flag").isNotNull(), 1).otherwise(0)).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def remove_boilerplate_sql(
+    table: str, id_col: str, text_col: str, min_df: int = 3
+) -> str:
+    return f"""
+WITH arrs AS (
+  SELECT {id_col} AS doc_key, string_split({text_col}, chr(10)) AS arr FROM {table}
+),
+flat AS (
+  SELECT doc_key, unnest(generate_series(1, len(arr))) AS pos, arr FROM arrs
+),
+lines AS (SELECT doc_key, pos, arr[pos] AS line FROM flat),
+df AS (
+  SELECT line FROM lines GROUP BY 1 HAVING COUNT(DISTINCT doc_key) >= {min_df}
+),
+tagged AS (
+  SELECT l.doc_key, l.pos, l.line, (d.line IS NOT NULL) AS flagged
+  FROM lines l LEFT JOIN df d ON l.line = d.line
+)
+SELECT doc_key,
+       COALESCE(string_agg(CASE WHEN NOT flagged THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+       CAST(SUM(CASE WHEN NOT flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM tagged GROUP BY doc_key
+"""
+
+
+def gopher_quality(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n",
+    word_split: str = " |\n",
+) -> DataFrame:
+    """Gopher-style per-document quality signals, all integer basis points.
+
+    Zero-shuffle: every signal — including the top-bigram repetition
+    fraction — is a Column expression over the word/line arrays (the bigram
+    mode is a fold over the *sorted* bigram array counting the longest equal
+    run, so no explode+groupBy is needed).
+
+    ``word_split`` is a regex; the default whitespace split matches the
+    published Gopher rules for space-delimited languages. For Thai, run the
+    tokenizer first and pass the ZWSP-joined ``processed_text`` with
+    ``word_split='[ \\u200b\\n]'`` so "words" are real segments.
+    """
+    out = docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.filter(F.split(F.col(text_col), word_split), lambda t: t != "").alias("ws"),
+        F.split(F.col(text_col), delim).alias("lines"),
+    )
+    out = out.select(
+        "doc_key",
+        "lines",
+        "ws",
+        F.size("ws").cast("long").alias("n_words"),
+        F.expr(
+            "zip_with(slice(ws, 1, greatest(size(ws)-1, 0)),"
+            "         slice(ws, 2, greatest(size(ws)-1, 0)),"
+            "         (a, b) -> concat(a, ' ', b))"
+        ).alias("bg"),
+    )
+    top_run = (
+        "aggregate(array_sort(bg),"
+        " named_struct('prev', cast('' as string), 'run', cast(0 as long), 'best', cast(0 as long)),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', if(x = acc.prev, acc.run + 1, cast(1 as long)),"
+        "   'best', greatest(acc.best, if(x = acc.prev, acc.run + 1, cast(1 as long)))),"
+        " acc -> acc.best)"
+    )
+    sum_len = "aggregate(ws, cast(0 as long), (acc, t) -> acc + length(t))"
+    alpha_words = f"cast(size(filter(ws, t -> t rlike '{_ALPHA_WORD_RE}')) as long)"
+    bullet_lines = (
+        "cast(size(filter(lines, l -> l like '- %' or l like '•%')) as long)"
+    )
+    ellipsis_lines = (
+        "cast(size(filter(lines, l -> l like '%...' or l like '%…')) as long)"
+    )
+    # All fractions via integer `div` — bit-identical to DuckDB's `//`.
+    sig = out.select(
+        "doc_key",
+        F.col("n_words"),
+        F.expr(f"(10000 * ({sum_len})) div greatest(n_words, 1)").alias("mean_word_len_bp"),
+        F.expr(f"(10000 * {alpha_words}) div greatest(n_words, 1)").alias("alpha_word_bp"),
+        F.expr(f"(10000 * {bullet_lines}) div greatest(cast(size(lines) as long), 1)").alias("bullet_line_bp"),
+        F.expr(f"(10000 * {ellipsis_lines}) div greatest(cast(size(lines) as long), 1)").alias("ellipsis_line_bp"),
+        F.expr(
+            "(10000 * cast(size(lines) - size(array_distinct(lines)) as long))"
+            " div greatest(cast(size(lines) as long), 1)"
+        ).alias("dup_line_bp"),
+        F.expr(f"(10000 * ({top_run})) div greatest(cast(size(bg) as long), 1)").alias("top_bigram_bp"),
+    )
+    t = GOPHER_THRESHOLDS
+    return sig.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= t["min_words"])
+        & (F.col("n_words") <= t["max_words"])
+        & (F.col("mean_word_len_bp") >= t["min_mean_word_len_bp"])
+        & (F.col("mean_word_len_bp") <= t["max_mean_word_len_bp"])
+        & (F.col("alpha_word_bp") >= t["min_alpha_word_bp"])
+        & (F.col("bullet_line_bp") <= t["max_bullet_line_bp"])
+        & (F.col("ellipsis_line_bp") <= t["max_ellipsis_line_bp"])
+        & (F.col("dup_line_bp") <= t["max_dup_line_bp"])
+        & (F.col("top_bigram_bp") <= t["max_top_bigram_bp"]),
+    )
+
+
+def gopher_quality_sql(
+    table: str, id_col: str, text_col: str, word_split_sql: str = "' |' || chr(10)"
+) -> str:
+    t = GOPHER_THRESHOLDS
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_key,
+         list_filter(regexp_split_to_array({text_col}, {word_split_sql}), x -> x <> '') AS ws,
+         string_split({text_col}, chr(10)) AS lines
+  FROM {table}
+),
+bgflat AS (
+  SELECT doc_key, unnest(generate_series(1, len(ws) - 1)) AS i, ws FROM base
+  WHERE len(ws) >= 2
+),
+bgcnt AS (
+  SELECT doc_key, ws[i] || ' ' || ws[i+1] AS bigram, COUNT(*) AS c
+  FROM bgflat GROUP BY 1, 2
+),
+bgtop AS (
+  SELECT doc_key, MAX(c)::BIGINT AS top_run, SUM(c)::BIGINT AS n_bg
+  FROM bgcnt GROUP BY 1
+),
+sig AS (
+  SELECT b.doc_key,
+         len(b.ws)::BIGINT AS n_words,
+         ((10000 * COALESCE(list_sum(list_transform(b.ws, x -> length(x)::BIGINT)), 0)::BIGINT)
+            // greatest(len(b.ws), 1))::BIGINT AS mean_word_len_bp,
+         ((10000 * len(list_filter(b.ws, x -> regexp_matches(x, '{_ALPHA_WORD_RE}'))))
+            // greatest(len(b.ws), 1))::BIGINT AS alpha_word_bp,
+         ((10000 * len(list_filter(b.lines, l -> l LIKE '- %' OR l LIKE chr(8226) || '%')))
+            // greatest(len(b.lines), 1))::BIGINT AS bullet_line_bp,
+         ((10000 * len(list_filter(b.lines, l -> l LIKE '%...' OR l LIKE '%' || chr(8230))))
+            // greatest(len(b.lines), 1))::BIGINT AS ellipsis_line_bp,
+         ((10000 * (len(b.lines) - len(list_distinct(b.lines))))
+            // greatest(len(b.lines), 1))::BIGINT AS dup_line_bp,
+         ((10000 * COALESCE(g.top_run, 0)) // greatest(COALESCE(g.n_bg, 0), 1))::BIGINT AS top_bigram_bp
+  FROM base b LEFT JOIN bgtop g USING (doc_key)
+)
+SELECT *,
+       (n_words >= {t['min_words']} AND n_words <= {t['max_words']}
+        AND mean_word_len_bp >= {t['min_mean_word_len_bp']}
+        AND mean_word_len_bp <= {t['max_mean_word_len_bp']}
+        AND alpha_word_bp >= {t['min_alpha_word_bp']}
+        AND bullet_line_bp <= {t['max_bullet_line_bp']}
+        AND ellipsis_line_bp <= {t['max_ellipsis_line_bp']}
+        AND dup_line_bp <= {t['max_dup_line_bp']}
+        AND top_bigram_bp <= {t['max_top_bigram_bp']}) AS gopher_pass
+FROM sig
+"""
+
+
+def mask_pii(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Mask emails / IPv4 / phone numbers →
+    (doc_key, masked_text, n_email, n_ipv4, n_phone).
+
+    Counts are taken on the original text; masking applies email → ipv4 →
+    phone in that order (the classes cannot overlap: phone chars exclude
+    dots and letters). Pure Column expressions, zero shuffle.
+    """
+    txt = F.col(text_col)
+    n_email = F.size(F.expr(f"regexp_extract_all({text_col}, '{PII_EMAIL_RE}', 0)")).cast("long")
+    n_ipv4 = F.size(
+        F.expr(f"regexp_extract_all({text_col}, r'{PII_IPV4_RE}', 0)")
+    ).cast("long")
+    n_phone = F.size(
+        F.expr(f"regexp_extract_all({text_col}, r'{PII_PHONE_RE}', 0)")
+    ).cast("long")
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_key"),
+        masked.alias("masked_text"),
+        n_email.alias("n_email"),
+        n_ipv4.alias("n_ipv4"),
+        n_phone.alias("n_phone"),
+    )
+
+
+def mask_pii_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+SELECT {id_col} AS doc_key,
+       regexp_replace(regexp_replace(regexp_replace({text_col},
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IPV4_RE}', '<IP>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g') AS masked_text,
+       len(regexp_extract_all({text_col}, '{PII_EMAIL_RE}'))::BIGINT AS n_email,
+       len(regexp_extract_all({text_col}, '{PII_IPV4_RE}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all({text_col}, '{PII_PHONE_RE}'))::BIGINT AS n_phone
+FROM {table}
+"""

@@ -1,0 +1,86 @@
+"""Web-text hygiene operators (pipeline/webtext.py): C4 boilerplate-line
+removal, Gopher quality signals, PII masking — semantics on handcrafted
+corpora (the driver entries check Spark-vs-DuckDB parity; these check the
+heuristics themselves)."""
+
+from __future__ import annotations
+
+import pytest
+
+from meilisearch_thai_spark.pipeline import webtext as wt
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+@pytest.fixture(scope="module")
+def boiler_corpus(spark):
+    header = "accept cookies to continue"
+    rows = [
+        (1, f"{header}\nunique first line\nsecond line one"),
+        (2, f"{header}\nanother unique line"),
+        (3, f"{header}\nthird body text\nmore third body"),
+        (4, header),  # boilerplate-only document
+        (5, "no header here\njust content"),
+    ]
+    return _docs(spark, rows)
+
+
+def test_boilerplate_lines_flags_high_df(spark, boiler_corpus):
+    flagged = wt.boilerplate_lines(boiler_corpus, "id", "text", min_df=3)
+    got = {r.line: r.line_df for r in flagged.collect()}
+    assert got == {"accept cookies to continue": 4}
+
+
+def test_remove_boilerplate_preserves_order(spark, boiler_corpus):
+    out = {r.doc_key: r for r in wt.remove_boilerplate(boiler_corpus, "id", "text", min_df=3).collect()}
+    assert out[1].clean_text == "unique first line\nsecond line one"
+    assert out[1].n_kept == 2 and out[1].n_removed == 1
+    # boilerplate-only doc survives with empty text, not a dropped row
+    assert out[4].clean_text == "" and out[4].n_kept == 0 and out[4].n_removed == 1
+    # untouched doc round-trips byte-identically
+    assert out[5].clean_text == "no header here\njust content"
+    assert out[5].n_removed == 0
+
+
+def test_gopher_pass_and_signals(spark):
+    good = " ".join(f"token{i}" for i in range(60))  # 60 distinct words, clean
+    short = "too short"
+    repeats = " ".join(["spam ham"] * 40)  # one bigram dominates
+    bullets = "\n".join(f"- item {i} in a long enough bullet list of words" for i in range(20))
+    rows = [(1, good), (2, short), (3, repeats), (4, bullets)]
+    out = {r.doc_key: r for r in wt.gopher_quality(_docs(spark, rows), "id", "text").collect()}
+
+    assert out[1].gopher_pass
+    assert out[2].n_words == 2 and not out[2].gopher_pass
+    # "ham spam" repeated ~39 times out of 79 bigrams -> ~49%
+    assert out[3].top_bigram_bp > wt.GOPHER_THRESHOLDS["max_top_bigram_bp"]
+    assert not out[3].gopher_pass
+    assert out[4].bullet_line_bp == 10000  # every line is a bullet
+    assert not out[4].gopher_pass  # > 90% bullet lines
+
+
+def test_gopher_empty_doc_zero_signals(spark):
+    out = wt.gopher_quality(_docs(spark, [(1, "")]), "id", "text").collect()[0]
+    assert out.n_words == 0 and out.mean_word_len_bp == 0 and out.top_bigram_bp == 0
+    assert not out.gopher_pass
+
+
+def test_mask_pii(spark):
+    rows = [
+        (1, "reach me at alice.smith+tag@sub.example.co.uk or bob@ex.io today"),
+        (2, "server 192.168.1.254 and backup 10.0.0.1 are up"),
+        (3, "call +66 2 123 4567 now"),
+        (4, "nothing sensitive here"),
+    ]
+    out = {r.doc_key: r for r in wt.mask_pii(_docs(spark, rows), "id", "text").collect()}
+    assert out[1].masked_text == "reach me at <EMAIL> or <EMAIL> today"
+    assert out[1].n_email == 2
+    assert out[2].masked_text == "server <IP> and backup <IP> are up"
+    assert out[2].n_ipv4 == 2
+    assert out[3].masked_text == "call <PHONE> now"
+    assert out[3].n_phone == 1
+    # clean text is a byte-identical no-op
+    assert out[4].masked_text == rows[3][1]
+    assert out[4].n_email == out[4].n_ipv4 == out[4].n_phone == 0
