@@ -289,7 +289,23 @@ def finalize_index(
     pst = sink.read(spark, "postings")
     agg = pst.agg(F.countDistinct("term").alias("nt"), F.sum("n_docs").alias("np")).collect()[0]
     meta.n_terms, meta.n_postings = int(agg["nt"]), int(agg["np"])
-    with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+    # adding/refreshing documents must NOT reset index settings (MeiliSearch
+    # add-documents semantics, reference client.py:104-123): carry the live
+    # settings surface (index/settings.py update_synonyms/update_stop_words)
+    # forward from the previous meta.json
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            prev = {}
+        meta.synonyms = prev.get("synonyms", meta.synonyms)
+        meta.synonyms_fingerprint = prev.get("synonyms_fingerprint", meta.synonyms_fingerprint)
+        meta.stopwords = prev.get("stopwords", meta.stopwords)
+        meta.stopwords_fingerprint = prev.get("stopwords_fingerprint", meta.stopwords_fingerprint)
+        meta.stopwords_build = prev.get("stopwords_build", meta.stopwords_build)
+    with open(meta_path, "w") as fh:
         json.dump(asdict(meta), fh, indent=1)
     # fresh finalize = new document set; stale tombstones must not dangle
     from .maintenance import clear_tombstones

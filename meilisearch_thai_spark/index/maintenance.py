@@ -87,6 +87,19 @@ def delete_docs(spark: SparkSession, index_dir: str, urls: list[str]) -> int:
         hit = hit.join(prior, "url", "left_anti")
     n_new = hit.count()
     doomed.coalesce(1).write.mode("append").parquet(os.path.join(index_dir, TOMBSTONES))
+    # batched staging layout (streaming ingest / add_documents): tombstones
+    # only cover the queryable index — also pin the deletion into the staged
+    # tf layer, or the next finalize would resurrect the url from staging.
+    # Fresh builds (build_index / build_index_resumable) intentionally do
+    # resurrect (a rebuild defines a new document set), so only the batched
+    # layout records here.
+    from ..streaming.ingest import ADHOC_BATCH_BASE, _batch_watermarks, record_staged_deletions
+
+    sw, aw = _batch_watermarks(index_dir)
+    if os.path.isdir(os.path.join(index_dir, "tf")) and (
+        sw >= 0 or aw >= ADHOC_BATCH_BASE
+    ):
+        record_staged_deletions(index_dir, uniq)
     return n_new
 
 

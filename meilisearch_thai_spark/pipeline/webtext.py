@@ -301,7 +301,9 @@ def mask_pii(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     dots and letters). Pure Column expressions, zero shuffle.
     """
     txt = F.col(text_col)
-    n_email = F.size(F.expr(f"regexp_extract_all({text_col}, '{PII_EMAIL_RE}', 0)")).cast("long")
+    n_email = F.size(
+        F.expr(f"regexp_extract_all({text_col}, r'{PII_EMAIL_RE}', 0)")
+    ).cast("long")
     n_ipv4 = F.size(
         F.expr(f"regexp_extract_all({text_col}, r'{PII_IPV4_RE}', 0)")
     ).cast("long")

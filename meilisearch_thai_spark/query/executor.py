@@ -1771,6 +1771,10 @@ class SearchEngine:
                     attributes_to_retrieve=attributes_to_retrieve, pq=pq,
                 ).collect()
             ]
+        # validate BEFORE any empty-result early return so a bad attribute
+        # raises regardless of whether the query matched (parity with the
+        # lazy path and multi_variant_search)
+        self._check_attrs(attributes_to_retrieve)
         dedup, _ = self._multi_variant_dedup(query, k, min_score_threshold, normalize, None, None, pq=pq)
         if dedup is None:
             return []

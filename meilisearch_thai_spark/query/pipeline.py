@@ -348,6 +348,18 @@ def process_query(
             v if v.matching == "phrase" else _replace(v, matching=matching_strategy)
             for v in variants
         ]
+        # the override can collapse distinct (text, matching) pairs into
+        # duplicates (e.g. original/all + tokenized/last with equal text);
+        # re-dedup keeping the first (= highest-weight) occurrence so the
+        # executor never scores the same posting set twice
+        seen: set[tuple[str, str]] = set()
+        uniq = []
+        for v in variants:
+            key = (v.query_text.lower(), v.matching)
+            if key not in seen:
+                seen.add(key)
+                uniq.append(v)
+        variants = uniq
     fallback_used = any(v.variant_type == "fallback" for v in variants)
     return ProcessedQuery(
         original_query=q, analysis=analysis, variants=variants, fallback_used=fallback_used

@@ -191,6 +191,58 @@ def _next_adhoc_batch_id(out_dir: str) -> int:
     return last + 1
 
 
+# staged-deletion registry: tombstones cover the QUERYABLE index, but the tf
+# STAGING rows of a deleted url would silently resurrect it at the next
+# finalize.  delete_docs pins each deletion here with the batch watermarks
+# current at delete time; finalize excludes the url's rows from batches at
+# or below those watermarks, so a LATER re-add (stream re-crawl or explicit
+# add_documents — both get higher batch ids) legitimately resurrects the url
+# while everything staged before the delete stays dead.  O(total deletes)
+# JSON, rewritten atomically; bounded by the same compaction discipline as
+# tombstones (TOMBSTONE_LITERAL_CAP).
+DELETED_REGISTRY = os.path.join("lineage", "deleted.json")
+
+
+def _batch_watermarks(out_dir: str) -> tuple[int, int]:
+    """(max committed stream batch id, max committed adhoc batch id);
+    (-1, ADHOC_BATCH_BASE - 1) when none — from the lineage file names, so
+    it is O(#batches) directory listing, no Spark job."""
+    ldir = os.path.join(out_dir, "lineage")
+    sw, aw = -1, ADHOC_BATCH_BASE - 1
+    if os.path.isdir(ldir):
+        for fn in os.listdir(ldir):
+            if fn.startswith("stream-batch-") and fn.endswith(".json"):
+                sw = max(sw, int(fn[len("stream-batch-") : -len(".json")]))
+            elif fn.startswith("adhoc-batch-") and fn.endswith(".json"):
+                aw = max(aw, int(fn[len("adhoc-batch-") : -len(".json")]))
+    return sw, aw
+
+
+def _load_deleted_registry(out_dir: str) -> list[dict]:
+    path = os.path.join(out_dir, DELETED_REGISTRY)
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def record_staged_deletions(out_dir: str, urls: list[str]) -> None:
+    """Pin deletions into the staging layer (called by ``delete_docs`` when
+    the index has a tf staging area).  Single-writer contract, same as every
+    other mutation on the directory; the rewrite is atomic (tmp + replace)."""
+    if not urls:
+        return
+    reg = _load_deleted_registry(out_dir)
+    sw, aw = _batch_watermarks(out_dir)
+    reg.extend({"url": u, "stream_wm": sw, "adhoc_wm": aw} for u in sorted(set(urls)))
+    path = os.path.join(out_dir, DELETED_REGISTRY)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(reg, fh)
+    os.replace(tmp, path)
+
+
 def add_documents(
     spark: SparkSession,
     pages: DataFrame,
@@ -198,9 +250,9 @@ def add_documents(
     n_shards: int = N_SHARDS_DEFAULT,
     positional: bool | None = None,
     finalize: bool = True,
-    block_size: int = DEFAULT_BLOCK_SIZE,
-    bucket_span: int = DEFAULT_BUCKET_SPAN,
-    params: BM25Params = BM25Params(),
+    block_size: int | None = None,
+    bucket_span: int | None = None,
+    params: BM25Params | None = None,
 ) -> IndexMeta | None:
     """Incrementally add (or overwrite) documents in a shard-staged index —
     the reference's add/update-documents semantics
@@ -225,8 +277,35 @@ def add_documents(
     manual correction should not be silently undone by the next crawl);
     delete the url first to hand it back to the stream.
 
+    ``block_size``/``bucket_span``/``params`` default to the EXISTING index's
+    values (meta.json) so a delta add never silently changes the layout or
+    BM25 constants; pass them explicitly only to override.
+
     Returns the new :class:`IndexMeta` (or None with ``finalize=False``)."""
     tf_dir = os.path.join(out_dir, "tf")
+    meta_path = os.path.join(out_dir, "meta.json")
+    if not os.path.isdir(tf_dir) and os.path.exists(meta_path):
+        raise ValueError(
+            "this index has meta.json but no tf/ staging area — it was built "
+            "with build_index, whose layout is not incrementally updatable; "
+            "add_documents here would rebuild the index from ONLY the new "
+            "pages and drop every existing document. Rebuild over the merged "
+            "corpus with build_index, or bootstrap a staged index by running "
+            "add_documents into a fresh directory"
+        )
+    prev_meta: dict = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            prev_meta = json.load(fh)
+    if block_size is None:
+        block_size = int(prev_meta.get("block_size", DEFAULT_BLOCK_SIZE))
+    if bucket_span is None:
+        bucket_span = int(prev_meta.get("bucket_span", DEFAULT_BUCKET_SPAN))
+    if params is None:
+        params = BM25Params(
+            k1=float(prev_meta.get("k1", BM25Params().k1)),
+            b=float(prev_meta.get("b", BM25Params().b)),
+        )
     if os.path.isdir(tf_dir):
         existing = spark.read.parquet(tf_dir)
         if "batch_id" not in existing.columns:
@@ -269,6 +348,36 @@ def finalize_streamed_index(
     from ..index.builder import url_doc_id_map
 
     tf = spark.read.parquet(os.path.join(out_dir, "tf"))
+    # staged-deletion registry: drop each deleted url's rows from batches at
+    # or below the watermarks recorded when it was deleted — batches
+    # committed AFTER the delete (higher id in their range) resurrect the
+    # url, matching MeiliSearch re-add semantics. Registry is tiny
+    # (O(deletes)) → broadcast; partition pruning on batch_id is unaffected.
+    reg = _load_deleted_registry(out_dir)
+    if reg:
+        reg_df = (
+            spark.createDataFrame(
+                [(r["url"], int(r["stream_wm"]), int(r["adhoc_wm"])) for r in reg],
+                "url string, stream_wm long, adhoc_wm long",
+            )
+            .groupBy("url")
+            .agg(F.max("stream_wm").alias("stream_wm"), F.max("adhoc_wm").alias("adhoc_wm"))
+        )
+        tf = (
+            tf.join(F.broadcast(reg_df), "url", "left")
+            .filter(
+                F.col("stream_wm").isNull()
+                | (
+                    (F.col("batch_id") < ADHOC_BATCH_BASE)
+                    & (F.col("batch_id") > F.col("stream_wm"))
+                )
+                | (
+                    (F.col("batch_id") >= ADHOC_BATCH_BASE)
+                    & (F.col("batch_id") > F.col("adhoc_wm"))
+                )
+            )
+            .drop("stream_wm", "adhoc_wm")
+        )
     latest = tf.groupBy("url").agg(F.max("batch_id").alias("batch_id"))
     tf_latest = tf.join(latest, ["url", "batch_id"]).drop("batch_id")
 

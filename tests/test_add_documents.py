@@ -114,3 +114,56 @@ def test_rejects_unbatched_staging_layout(spark, corpus, tmp_path_factory):
     build_index_resumable(spark, corpus.limit(50), out, n_shards=2)
     with pytest.raises(ValueError, match="batch"):
         add_documents(spark, corpus.limit(10), out, n_shards=2)
+
+
+def test_rejects_classic_build_index_dir(spark, corpus, tmp_path_factory):
+    # meta.json without tf staging = classic build_index layout; a silent
+    # pass here would REPLACE the whole index with only the new pages
+    out = str(tmp_path_factory.mktemp("adddocs_classic") / "idx")
+    build_index(spark, corpus.limit(50), out)
+    with pytest.raises(ValueError, match="not incrementally updatable"):
+        add_documents(spark, corpus.limit(10), out, n_shards=2)
+
+
+def test_settings_and_params_survive_add(spark, corpus, tmp_path_factory):
+    from meilisearch_thai_spark.index.builder import BM25Params, load_meta
+    from meilisearch_thai_spark.index.settings import update_stop_words, update_synonyms
+
+    out = str(tmp_path_factory.mktemp("adddocs_settings") / "idx")
+    a = corpus.orderBy("url").limit(300)
+    b = corpus.orderBy("url").subtract(a)
+    add_documents(spark, a, out, n_shards=4, params=BM25Params(k1=1.5), block_size=64)
+    update_synonyms(out, {"ปัญญาประดิษฐ์": ["เอไอ"]})
+    update_stop_words(out, ["และ"])
+    meta = add_documents(spark, b, out, n_shards=4)  # defaults = inherit
+    assert meta.k1 == 1.5 and meta.block_size == 64
+    m = load_meta(out)
+    assert m.synonyms == {"ปัญญาประดิษฐ์": ["เอไอ"]}
+    assert m.stopwords == ["และ"]
+
+
+def test_delete_survives_finalize_and_readd_resurrects(spark, corpus, tmp_path_factory):
+    from meilisearch_thai_spark.index.maintenance import delete_docs
+
+    out = str(tmp_path_factory.mktemp("adddocs_del") / "idx")
+    a = corpus.orderBy("url").limit(300)
+    b = corpus.orderBy("url").subtract(a)
+    add_documents(spark, a, out, n_shards=4)
+    victim = a.orderBy("url").limit(1).collect()[0]
+    assert delete_docs(spark, out, [victim["url"]]) == 1
+    # a later delta-add finalize must NOT resurrect the deleted url from the
+    # staged tf rows (tombstones alone only cover the queryable index)
+    meta = add_documents(spark, b, out, n_shards=4)
+    assert meta.n_docs == N - 1
+    ds = spark.read.parquet(f"{out}/doc_stats")
+    assert ds.filter(F.col("url") == victim["url"]).count() == 0
+    assert not os.path.exists(os.path.join(out, "tombstones"))  # applied, cleared
+    # an EXPLICIT re-add after the delete legitimately resurrects (higher
+    # adhoc batch id than the recorded watermark)
+    readd = corpus.filter(F.col("url") == victim["url"])
+    meta2 = add_documents(spark, readd, out, n_shards=4)
+    assert meta2.n_docs == N
+    assert (
+        spark.read.parquet(f"{out}/doc_stats").filter(F.col("url") == victim["url"]).count()
+        == 1
+    )

@@ -91,3 +91,14 @@ def test_single_term_unaffected(eng):
     for m in ("last", "frequency", "best", "all"):
         hits = {r["url"] for r in eng.search_terms([TECH], k=10, matching=m).collect()}
         assert hits == {"u1", "u2"}, m
+
+
+def test_strategy_override_dedups_variants():
+    # the request-level override collapses original/all + tokenized/last
+    # (identical text) into one variant — no double-scoring
+    from meilisearch_thai_spark.query.pipeline import process_query
+
+    pq = process_query("สวัสดี ครับ", matching_strategy="all")
+    keys = [(v.query_text.lower(), v.matching) for v in pq.variants]
+    assert len(keys) == len(set(keys))
+    assert all(m == "all" for _, m in keys if m != "phrase")

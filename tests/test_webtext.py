@@ -73,6 +73,7 @@ def test_mask_pii(spark):
         (2, "server 192.168.1.254 and backup 10.0.0.1 are up"),
         (3, "call +66 2 123 4567 now"),
         (4, "nothing sensitive here"),
+        (5, "ping admin@host9org now"),  # '@' but no dotted domain: not an email
     ]
     out = {r.doc_key: r for r in wt.mask_pii(_docs(spark, rows), "id", "text").collect()}
     assert out[1].masked_text == "reach me at <EMAIL> or <EMAIL> today"
@@ -84,3 +85,5 @@ def test_mask_pii(spark):
     # clean text is a byte-identical no-op
     assert out[4].masked_text == rows[3][1]
     assert out[4].n_email == out[4].n_ipv4 == out[4].n_phone == 0
+    # '\.' must stay a literal dot in the count regex (escaping regression)
+    assert out[5].masked_text == rows[4][1] and out[5].n_email == 0
