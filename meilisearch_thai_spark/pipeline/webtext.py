@@ -340,3 +340,35 @@ SELECT {id_col} AS doc_key,
        len(regexp_extract_all({text_col}, '{PII_PHONE_RE}'))::BIGINT AS n_phone
 FROM {table}
 """
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 3,
+    require_gopher: bool = False,
+    mask: bool = True,
+    delim: str = "\n",
+    word_split: str = " |\n",
+) -> DataFrame:
+    """The composed pre-indexing hygiene pass: boilerplate-line strip →
+    optional Gopher quality gate → optional PII mask → (id, text) frame
+    ready for ``build_index``/``add_documents``.
+
+    Column-for-column the shape of the input (id + text), so it drops into
+    any existing ingest. Each stage is the operator above — one line-df
+    shuffle + one rebuild groupBy; the gate and mask stay narrow.
+    """
+    cleaned = remove_boilerplate(docs, id_col, text_col, min_df=min_df, delim=delim)
+    out = cleaned.select(F.col("doc_key").alias(id_col), F.col("clean_text").alias(text_col))
+    if require_gopher:
+        passing = gopher_quality(
+            out, id_col, text_col, delim=delim, word_split=word_split
+        ).filter("gopher_pass").select(F.col("doc_key").alias(id_col))
+        out = out.join(passing, id_col)
+    if mask:
+        out = mask_pii(out, id_col, text_col).select(
+            F.col("doc_key").alias(id_col), F.col("masked_text").alias(text_col)
+        )
+    return out

@@ -87,3 +87,33 @@ def test_mask_pii(spark):
     assert out[4].n_email == out[4].n_ipv4 == out[4].n_phone == 0
     # '\.' must stay a literal dot in the count regex (escaping regression)
     assert out[5].masked_text == rows[4][1] and out[5].n_email == 0
+
+
+def test_clean_corpus_end_to_end_index(spark, tmp_path):
+    """clean_corpus output drops straight into build_index: boilerplate and
+    PII never reach the posting vocabulary."""
+    from meilisearch_thai_spark.index.builder import build_index
+    from meilisearch_thai_spark.pipeline.webtext import clean_corpus
+    from pyspark.sql import functions as F
+
+    boiler = "accept cookies now"
+    rows = [
+        (i, f"{boiler}\nเนื้อหาสำคัญ เรื่องที่ {i}\nwrite to user{i}@example.com")
+        for i in range(1, 7)
+    ]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    clean = clean_corpus(docs, "id", "text", min_df=3)
+    pages = clean.select(
+        F.concat(F.lit("https://t/"), F.col("id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.lit("th").alias("lang"),
+    )
+    out = str(tmp_path / "idx")
+    meta = build_index(spark, pages, out)
+    assert meta.n_docs == 6
+    vocab = {r.term for r in spark.read.parquet(f"{out}/postings").select("term").distinct().collect()}
+    assert "cookies" not in vocab and "accept" not in vocab
+    assert not any("@" in t for t in vocab)
+    assert "<email>" in {t.lower() for t in vocab} or any("email" in t.lower() for t in vocab)
