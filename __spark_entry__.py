@@ -489,6 +489,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return an.trending_queries(_s6_events(spark, sf))
 
+    def x10_facet_distribution(spark, sf):
+        # MeiliSearch facetDistribution over the FULL matching set (docs
+        # containing >=1 query term), distributed rollup — postings scan
+        # pruned to the query terms via INSET pushdown
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index(spark, sf), cache_postings=False)
+        return eng.facet_distribution(_BM25_QUERY, ["lang"]).orderBy("facet", "value")
+
     # --- web-text hygiene (C4/Gopher; pipeline/webtext.py). The sf corpus is
     # single-line word soup, so the entries synthesize multi-line documents
     # deterministically (gid = doc_id % 50, lines ordered by doc_id) and
@@ -644,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_popular_searches": s6_popular_searches,
         "s6_trending": s6_trending,
         "agg_partial_q1": agg_partial_q1,
+        "x10_facet_distribution": x10_facet_distribution,
         "webtext_boilerplate": webtext_boilerplate,
         "webtext_gopher_quality": webtext_gopher_quality,
         "webtext_pii_mask": webtext_pii_mask,
@@ -846,6 +856,17 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= DATE '2001-09-01'
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "x10_facet_distribution": """
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '[a-z]+') AS ts FROM documents
+),
+m AS (
+  SELECT doc_id, lang FROM toks
+  WHERE len(list_intersect(ts, ['merge', 'join', 'table', 'scan'])) > 0
+)
+SELECT 'lang' AS facet, lang AS value, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM m GROUP BY 2 ORDER BY facet, value
 """,
         "webtext_boilerplate": f"""
 WITH {_WT_ML_SQL},

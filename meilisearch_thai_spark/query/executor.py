@@ -1781,6 +1781,59 @@ class SearchEngine:
         rows = dedup.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
         return self._resolve_meta(rows, attributes_to_retrieve)
 
+    def facet_distribution(
+        self,
+        terms: list[str],
+        facets: list[str],
+        filters: dict | None = None,
+    ) -> DataFrame:
+        """MeiliSearch-style ``facetDistribution`` over the FULL matching set
+        → (facet, value, n_docs): for each requested doc_stats column, the
+        count of documents containing >= 1 query term (after ``filters``).
+
+        The reference's engine computes facets only over what a single
+        MeiliSearch node holds; this is the distributed twin — and the scan
+        stays proportional to the QUERY, not the corpus: the postings read
+        prunes to the query terms' blocks (term INSET pushdown), only those
+        blocks decode, and the counts aggregate with map-side combine.
+        Facet columns are whatever ``build_index(store_fields=...)`` put on
+        doc_stats (plus url/lang/doc_len)."""
+        from .requests import filters_to_column
+
+        missing = [f for f in facets if f not in self.doc_stats.columns]
+        if missing:
+            raise ValueError(
+                f"unknown facet fields {missing}; doc_stats carries "
+                f"{[c for c in self.doc_stats.columns if c not in ('norm_hash',)]}"
+            )
+        qterms = list(dict.fromkeys(terms))
+        if not qterms or not facets:
+            return self.spark.createDataFrame(
+                [], "facet string, value string, n_docs long"
+            )
+        if self._fp:  # fielded index: a word appears once per indexed field
+            inset = [f"{i}{FIELD_SEP}{t}" for i in range(len(self.meta.fields)) for t in qterms]
+        else:
+            inset = qterms
+        blocks = self.postings.filter(F.col("term").isin(inset)).select(
+            "term", "df", "doc_bytes", "tf_bytes", "dl_bytes"
+        )
+        matched = (
+            self._exclude_deleted(blocks.mapInPandas(_make_warm_exploder(), _WARM_SCHEMA))
+            .select("doc_id")
+            .distinct()
+        )
+        ds = self.doc_stats
+        if filters:
+            ds = ds.filter(filters_to_column(filters))
+        joined = ds.join(matched, "doc_id")
+        stack = ", ".join(f"'{f}', cast(`{f}` as string)" for f in facets)
+        return (
+            joined.selectExpr(f"stack({len(facets)}, {stack}) as (facet, value)")
+            .groupBy("facet", "value")
+            .agg(F.count("*").alias("n_docs"))
+        )
+
     def batch_multi_variant_page(
         self,
         queries: list[str],

@@ -393,6 +393,30 @@ class SearchService:
             for req, pq, rows in zip(reqs, pqs, per_query_rows)
         ]
 
+    def facet_distribution(
+        self, query: str, facets: list[str], filters: dict | None = None
+    ) -> dict[str, dict[str, int]]:
+        """MeiliSearch ``facetDistribution``: per requested field, counts of
+        each value over EVERY document matching the query (>= 1 term of the
+        top-weighted variant, after ``filters``), not just the returned page.
+
+        Returns ``{facet: {value: count}}``.  The aggregation is distributed
+        (engine.facet_distribution) — the matching set never collects; only
+        the (facet, value, count) rollup does, which is bounded by facet
+        cardinality, the same contract MeiliSearch's maxValuesPerFacet
+        acknowledges."""
+        from ..tokenizer import extract_index_terms, tokenize_for_index
+
+        pq = process_query(query, synonyms=self.engine._synonyms or None)
+        if not pq.variants:
+            return {f: {} for f in facets}
+        terms = extract_index_terms(tokenize_for_index(pq.variants[0].query_text))
+        rows = self.engine.facet_distribution(terms, facets, filters=filters).collect()
+        out: dict[str, dict[str, int]] = {f: {} for f in facets}
+        for r in rows:
+            out[r["facet"]][r["value"]] = int(r["n_docs"])
+        return out
+
     def export_metrics(self, spark: SparkSession):
         """S6: metrics DataFrame for the run (write with .write.json/parquet)."""
         from .enhancer import query_metrics_frame

@@ -1,0 +1,66 @@
+"""Facet distribution (MeiliSearch facetDistribution): counts per field
+value over the FULL matching set, distributed rollup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meilisearch_thai_spark.index.builder import build_index
+from meilisearch_thai_spark.query.executor import SearchEngine
+from meilisearch_thai_spark.query.service import SearchService
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("facets") / "idx")
+    rows = [
+        ("https://t/1", "wakame salad recipe", "th"),
+        ("https://t/2", "wakame soup recipe", "en"),
+        ("https://t/3", "salad dressing guide", "en"),
+        ("https://t/4", "unrelated document text", "fr"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string, lang string").select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+    build_index(spark, pages, out)
+    return out
+
+
+def test_facet_counts_full_match_set(spark, idx):
+    eng = SearchEngine(spark, idx, cache_postings=False)
+    got = {
+        (r.facet, r.value): r.n_docs
+        for r in eng.facet_distribution(["wakame", "salad"], ["lang"]).collect()
+    }
+    # docs 1,2,3 match >=1 term (doc 4 does not)
+    assert got == {("lang", "th"): 1, ("lang", "en"): 2}
+
+
+def test_facet_respects_filters_and_multi_facet(spark, idx):
+    eng = SearchEngine(spark, idx, cache_postings=False)
+    got = {
+        (r.facet, r.value): r.n_docs
+        for r in eng.facet_distribution(
+            ["wakame", "salad"], ["lang", "url"], filters={"lang": {"$eq": "en"}}
+        ).collect()
+    }
+    assert got[("lang", "en")] == 2
+    assert got[("url", "https://t/2")] == 1 and ("url", "https://t/1") not in got
+
+
+def test_facet_unknown_field_raises(spark, idx):
+    eng = SearchEngine(spark, idx, cache_postings=False)
+    with pytest.raises(ValueError, match="unknown facet"):
+        eng.facet_distribution(["wakame"], ["nope"])
+
+
+def test_service_facet_distribution_dict(spark, idx):
+    svc = SearchService(spark, idx, cache_postings=False)
+    out = svc.facet_distribution("wakame salad", ["lang"])
+    assert out == {"lang": {"th": 1, "en": 2}}
+    assert svc.facet_distribution("", ["lang"]) == {"lang": {}}

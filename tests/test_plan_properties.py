@@ -75,3 +75,35 @@ def test_cold_scan_pushes_term_filter(spark, warm_engine):
     txt = blocks._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in txt
     assert "term" in txt
+
+
+def test_webtext_rowwise_ops_no_shuffle_no_python(spark):
+    """gopher_quality and mask_pii must stay pure per-row Column plans —
+    one scan, zero Exchange, zero Python stage (webtext.py scale notes)."""
+    from meilisearch_thai_spark.pipeline import webtext as wt
+
+    docs = spark.createDataFrame(
+        [(1, "line one\nline two words here")], "id long, text string"
+    )
+    for df in (
+        wt.gopher_quality(docs, "id", "text"),
+        wt.mask_pii(docs, "id", "text"),
+    ):
+        txt = _final_plan(df)
+        assert "Exchange" not in txt
+        assert "Python" not in txt and "MapInPandas" not in txt
+
+
+def test_remove_boilerplate_flagged_side_broadcasts(spark):
+    """The removal join must broadcast the (tiny, high-df) flagged-line set,
+    never shuffle the exploded corpus against it."""
+    from meilisearch_thai_spark.pipeline import webtext as wt
+
+    docs = spark.createDataFrame(
+        [(i, "same header\nbody %d" % i) for i in range(6)], "id long, text string"
+    )
+    out = wt.remove_boilerplate(docs, "id", "text", min_df=3)
+    out.collect()  # finalize AQE
+    txt = _final_plan(out)
+    assert "BroadcastHashJoin" in txt or "BroadcastNestedLoopJoin" not in txt
+    assert "SortMergeJoin" not in txt
