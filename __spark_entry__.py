@@ -489,6 +489,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return an.trending_queries(_s6_events(spark, sf))
 
+    def q10_suffix_completion(spark, sf):
+        # round-3 suffix wildcard completion (*tok, reference
+        # query_processor.py:328-471): reversed-vocab bisect scan — output
+        # canonicalized to sorted-set so the oracle is order-stable
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index(spark, sf), cache_postings=False)
+        terms = sorted(eng.expand_terms_suffix("er", max_expansions=10_000))
+        return spark.createDataFrame([(t,) for t in terms], "term string")
+
+    def q10_fuzzy_expansion(spark, sf):
+        # script-agnostic typo tolerance (MeiliSearch typo rule: 1 edit at
+        # >=5 chars) — banded Damerau over the df-capped vocab; DuckDB's
+        # damerau_levenshtein reproduces the edit-distance-1 set exactly
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index(spark, sf), cache_postings=False)
+        terms = sorted(eng.expand_terms_fuzzy("spart", max_expansions=10_000))
+        return spark.createDataFrame([(t,) for t in terms], "term string")
+
     def x10_facet_distribution(spark, sf):
         # MeiliSearch facetDistribution over the FULL matching set (docs
         # containing >=1 query term), distributed rollup — postings scan
@@ -653,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_popular_searches": s6_popular_searches,
         "s6_trending": s6_trending,
         "agg_partial_q1": agg_partial_q1,
+        "q10_suffix_completion": q10_suffix_completion,
+        "q10_fuzzy_expansion": q10_fuzzy_expansion,
         "x10_facet_distribution": x10_facet_distribution,
         "webtext_boilerplate": webtext_boilerplate,
         "webtext_gopher_quality": webtext_gopher_quality,
@@ -856,6 +878,20 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= DATE '2001-09-01'
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "q10_suffix_completion": """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS term FROM documents
+)
+SELECT DISTINCT term FROM toks WHERE term LIKE '%er' AND term <> 'er' ORDER BY term
+""",
+        "q10_fuzzy_expansion": """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS term FROM documents
+)
+SELECT DISTINCT term FROM toks
+WHERE term <> 'spart' AND damerau_levenshtein(term, 'spart') <= 1
+ORDER BY term
 """,
         "x10_facet_distribution": """
 WITH toks AS (
