@@ -509,6 +509,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         terms = sorted(eng.expand_terms_fuzzy("spart", max_expansions=10_000))
         return spark.createDataFrame([(t,) for t in terms], "term string")
 
+    def x11_distinct_search(spark, sf):
+        # MeiliSearch distinctAttribute: best-by-relevance representative
+        # per field value, applied before the top-k cut (exact full-scoring
+        # path + one window)
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index(spark, sf), cache_postings=False)
+        hits = eng.search_terms(
+            _BM25_QUERY, k=5, distinct="lang", attributes_to_retrieve=["lang"]
+        )
+        return hits.select(
+            F.col("url").cast("long").alias("doc_key"),
+            F.round("score", 4).alias("score"),
+            F.col("lang"),
+        ).orderBy(F.desc("score"), F.asc("doc_key"))
+
     def x10_facet_distribution(spark, sf):
         # MeiliSearch facetDistribution over the FULL matching set (docs
         # containing >=1 query term), distributed rollup — postings scan
@@ -675,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_partial_q1": agg_partial_q1,
         "q10_suffix_completion": q10_suffix_completion,
         "q10_fuzzy_expansion": q10_fuzzy_expansion,
+        "x11_distinct_search": x11_distinct_search,
         "x10_facet_distribution": x10_facet_distribution,
         "webtext_boilerplate": webtext_boilerplate,
         "webtext_gopher_quality": webtext_gopher_quality,
@@ -878,6 +895,15 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= DATE '2001-09-01'
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "x11_distinct_search": f"""
+SELECT doc_key, score, lang FROM (
+  SELECT b.doc_key, b.score, d.lang,
+         ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY b.score DESC, b.doc_key ASC) AS rn
+  FROM ({adhoc.bm25_topk_sql_oracle('documents', 'doc_id', 'text', _BM25_QUERY, k=1000000000)}) b
+  JOIN documents d ON b.doc_key = d.doc_id
+) WHERE rn = 1
+ORDER BY score DESC, doc_key ASC LIMIT 5
 """,
         "q10_suffix_completion": """
 WITH toks AS (

@@ -1474,6 +1474,7 @@ class SearchEngine:
         filters: dict | None = None,
         sort: list[str] | None = None,
         attributes_to_retrieve: list[str] | None = None,
+        distinct: str | None = None,
     ) -> DataFrame:
         """Single-variant BM25 top-k (the walking-skeleton API).
 
@@ -1488,6 +1489,55 @@ class SearchEngine:
         full-scoring path runs instead of the block-max heap.
         """
         uniq, prefixes, qterms, required = self._expand_matching(terms, matching)
+        if distinct:
+            # MeiliSearch distinctAttribute: at most one hit per value of a
+            # stored field, best-by-relevance representative, applied BEFORE
+            # the top-k cut.  Needs the full candidate set (a block-max top-k
+            # could starve a value), so it runs the exact scoring path like
+            # sort does.  Docs with a NULL field value stay individually
+            # distinct (each its own group), matching MeiliSearch.
+            if distinct not in self.doc_stats.columns:
+                raise ValueError(
+                    f"unknown distinct field {distinct!r}; doc_stats carries "
+                    f"{self.doc_stats.columns}"
+                )
+            scored = self.score_variants(qterms)
+            if filters:
+                scored = scored.join(self.allowed_docs(filters), "doc_id")
+            if required:
+                needmap = F.create_map(
+                    *[x for vid, n in required.items() for x in (F.lit(vid), F.lit(n))]
+                )
+                scored = scored.filter(F.col("terms_matched") == needmap[F.col("variant_id")])
+            scored = (
+                self._dedup_best_per_doc(scored)
+                if len(prefixes) > 1
+                else scored.drop("variant_id")
+            )
+            out_cols = list(
+                dict.fromkeys(
+                    ["url", "doc_id", "score", "terms_matched"]
+                    + (["text_crop"] if "text_crop" in self.doc_stats.columns else [])
+                    + self._check_attrs(attributes_to_retrieve)
+                )
+            )
+            joined = self.doc_stats.join(scored, "doc_id")
+            key = F.coalesce(
+                F.col(distinct).cast("string"),
+                F.concat(F.lit("\x00doc:"), F.col("doc_id").cast("string")),
+            )
+            w = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("doc_id"))
+            kept = (
+                joined.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            order = (
+                [*parse_sort(sort, self.doc_stats.columns), F.desc("score"), F.asc("doc_id")]
+                if sort
+                else [F.desc("score"), F.asc("doc_id")]
+            )
+            return kept.orderBy(*order).limit(k).select(*out_cols)
         if sort:
             sort_cols = parse_sort(sort, self.doc_stats.columns)
             scored = self.score_variants(qterms)

@@ -64,3 +64,26 @@ def test_service_facet_distribution_dict(spark, idx):
     out = svc.facet_distribution("wakame salad", ["lang"])
     assert out == {"lang": {"th": 1, "en": 2}}
     assert svc.facet_distribution("", ["lang"]) == {"lang": {}}
+
+
+def test_distinct_attribute_one_hit_per_value(spark, idx):
+    eng = SearchEngine(spark, idx, cache_postings=False)
+    hits = eng.search_terms(
+        ["wakame", "salad", "recipe"], k=10, distinct="lang",
+        attributes_to_retrieve=["lang"],
+    ).collect()
+    langs = [h["lang"] for h in hits]
+    assert len(langs) == len(set(langs))  # one representative per lang
+    # the kept representative is the best-scored doc of its group
+    all_hits = eng.search_terms(["wakame", "salad", "recipe"], k=10,
+                                attributes_to_retrieve=["lang"]).collect()
+    best = {}
+    for h in all_hits:
+        best.setdefault(h["lang"], h["url"])
+    assert {h["lang"]: h["url"] for h in hits} == best
+
+
+def test_distinct_unknown_field_raises(spark, idx):
+    eng = SearchEngine(spark, idx, cache_postings=False)
+    with pytest.raises(ValueError, match="unknown distinct"):
+        eng.search_terms(["wakame"], distinct="nope")
