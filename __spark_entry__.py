@@ -509,6 +509,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         terms = sorted(eng.expand_terms_fuzzy("spart", max_expansions=10_000))
         return spark.createDataFrame([(t,) for t in terms], "term string")
 
+    def dedup_span_ngrams(spark, sf):
+        # span-level exact dedup (Lee et al. 2022): repeated 5-token windows
+        # across documents -> per-doc duplicate-span counts/fraction
+        return dd.duplicate_spans(_t(spark, sf, "documents"), "doc_id", "text", n=5)
+
     def x11_distinct_search(spark, sf):
         # MeiliSearch distinctAttribute: best-by-relevance representative
         # per field value, applied before the top-k cut (exact full-scoring
@@ -676,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_span_ngrams": dedup_span_ngrams,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -800,6 +806,7 @@ FROM documents GROUP BY 1
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.2),
         "dedup_minhash_lsh": dd.minhash_lsh_candidates_sql("documents", "doc_id", "text"),
         "dedup_simhash": dd.simhash64_sql("documents", "doc_id", "text"),
+        "dedup_span_ngrams": dd.duplicate_spans_sql("documents", "doc_id", "text", n=5),
         "ann_cosine_topk": sim.cosine_topk_sql("embeddings", "vec_id", "embedding", 0, k=20),
         "dedup_embedding_cosine": sim.embedding_near_dup_pairs_sql(
             "embeddings", "vec_id", "embedding", threshold=0.4

@@ -265,3 +265,93 @@ JOIN sizes sa ON left_key = sa.doc_key
 JOIN sizes sb ON right_key = sb.doc_key
 WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= {threshold}
 """
+
+
+def duplicate_spans(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 5, min_df: int = 2
+) -> DataFrame:
+    """Span-level exact-duplicate signals (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": repeated >=N-token spans
+    across documents are memorization fuel even when whole-doc dedup passes)
+    → (doc_key, n_spans, n_dup_spans, dup_span_bp).
+
+    A span = n consecutive whitespace tokens (sliding, stride 1); a span is
+    duplicated when it occurs in >= min_df distinct documents.  Fractions in
+    integer basis points (bit-stable across engines).
+
+    Scale notes: the suffix-array of the paper is replaced by the
+    shuffle-native shape — distinct (doc, span-hash) pairs, one groupBy df
+    with map-side combine, flagged set joined back.  At 100 TB hash spans
+    (xxhash64) instead of carrying strings, raise the stride to n (tumbling
+    windows, 1/n the rows — catches any duplicate run >= 2n-1 tokens), and
+    cap per-span df counting with an early limit like max_shingle_df in
+    :func:`ngram_jaccard_pairs`.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.filter(F.split(F.col(text_col), " |\n"), lambda t: t != "").alias("ws"),
+    )
+    spans_arr = F.expr(
+        f"filter(transform(ws, (x, i) -> if(i + {n} <= size(ws),"
+        f" array_join(slice(ws, i + 1, {n}), ' '), null)), w -> w is not null)"
+    )
+    per_doc = base.select("doc_key", spans_arr.alias("spans"))
+    pairs = per_doc.select(
+        "doc_key", F.explode_outer("spans").alias("span")
+    ).dropDuplicates(["doc_key", "span"])
+    flagged = (
+        pairs.filter(F.col("span").isNotNull())
+        .groupBy("span")
+        .agg(F.countDistinct("doc_key").alias("span_df"))
+        .filter(F.col("span_df") >= min_df)
+        .select("span")
+        .withColumn("_dup", F.lit(1))
+    )
+    tagged = pairs.join(F.broadcast(flagged), "span", "left")
+    return tagged.groupBy("doc_key").agg(
+        F.sum(F.when(F.col("span").isNotNull(), 1).otherwise(0)).cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).cast("long").alias("n_dup_spans"),
+        F.expr(
+            "(10000 * sum(case when _dup is not null then 1 else 0 end))"
+            " div greatest(sum(case when span is not null then 1 else 0 end), 1)"
+        ).alias("dup_span_bp"),
+    )
+
+
+def duplicate_spans_sql(
+    table: str, id_col: str, text_col: str, n: int = 5, min_df: int = 2
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_key,
+         list_filter(regexp_split_to_array({text_col}, ' |' || chr(10)), x -> x <> '') AS ws
+  FROM {table}
+),
+w AS (
+  SELECT doc_key, unnest(generate_series(1, len(ws) - {n} + 1)) AS i, ws
+  FROM base WHERE len(ws) >= {n}
+),
+pairs AS (
+  SELECT DISTINCT doc_key, array_to_string(list_slice(ws, i, i + {n} - 1), ' ') AS span
+  FROM w
+),
+flagged AS (
+  SELECT span FROM pairs GROUP BY 1 HAVING COUNT(DISTINCT doc_key) >= {min_df}
+),
+tagged AS (
+  SELECT p.doc_key, p.span, (f.span IS NOT NULL) AS dup
+  FROM pairs p LEFT JOIN flagged f USING (span)
+),
+agg AS (
+  SELECT doc_key,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         ((10000 * SUM(CASE WHEN dup THEN 1 ELSE 0 END)) // greatest(COUNT(*), 1))::BIGINT AS dup_span_bp
+  FROM tagged GROUP BY 1
+)
+SELECT b.doc_key,
+       COALESCE(a.n_spans, 0) AS n_spans,
+       COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(a.dup_span_bp, 0) AS dup_span_bp
+FROM base b LEFT JOIN agg a USING (doc_key)
+"""

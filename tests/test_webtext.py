@@ -117,3 +117,23 @@ def test_clean_corpus_end_to_end_index(spark, tmp_path):
     assert "cookies" not in vocab and "accept" not in vocab
     assert not any("@" in t for t in vocab)
     assert "<email>" in {t.lower() for t in vocab} or any("email" in t.lower() for t in vocab)
+
+
+def test_duplicate_spans_semantics(spark):
+    """Lee-et-al-style span dedup: shared 5-token runs across docs are
+    flagged; unique docs stay clean; short docs survive with zero spans."""
+    from meilisearch_thai_spark.pipeline.dedup import duplicate_spans
+
+    shared = "one two three four five"
+    rows = [
+        (1, f"{shared} alpha beta"),
+        (2, f"intro words {shared} tail"),
+        (3, "completely different tokens here with no overlap at all"),
+        (4, "tiny doc"),  # < n tokens
+    ]
+    out = {r.doc_key: r for r in duplicate_spans(
+        spark.createDataFrame(rows, "id long, text string"), "id", "text", n=5
+    ).collect()}
+    assert out[1].n_dup_spans >= 1 and out[2].n_dup_spans >= 1
+    assert out[3].n_dup_spans == 0 and out[3].n_spans > 0
+    assert out[4].n_spans == 0 and out[4].dup_span_bp == 0
