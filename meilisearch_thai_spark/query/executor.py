@@ -1836,6 +1836,7 @@ class SearchEngine:
         terms: list[str],
         facets: list[str],
         filters: dict | None = None,
+        max_values_per_facet: int | None = None,
     ) -> DataFrame:
         """MeiliSearch-style ``facetDistribution`` over the FULL matching set
         → (facet, value, n_docs): for each requested doc_stats column, the
@@ -1878,11 +1879,22 @@ class SearchEngine:
             ds = ds.filter(filters_to_column(filters))
         joined = ds.join(matched, "doc_id")
         stack = ", ".join(f"'{f}', cast(`{f}` as string)" for f in facets)
-        return (
+        out = (
             joined.selectExpr(f"stack({len(facets)}, {stack}) as (facet, value)")
             .groupBy("facet", "value")
             .agg(F.count("*").alias("n_docs"))
         )
+        if max_values_per_facet is not None:
+            # MeiliSearch maxValuesPerFacet (default 100 there): top-N values
+            # per facet by count — the cardinality guard for id-like fields.
+            # One window over the already-aggregated rollup, not the match set.
+            w = Window.partitionBy("facet").orderBy(F.desc("n_docs"), F.asc("value"))
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= max_values_per_facet)
+                .drop("_rn")
+            )
+        return out
 
     def batch_multi_variant_page(
         self,

@@ -87,3 +87,11 @@ def test_distinct_unknown_field_raises(spark, idx):
     eng = SearchEngine(spark, idx, cache_postings=False)
     with pytest.raises(ValueError, match="unknown distinct"):
         eng.search_terms(["wakame"], distinct="nope")
+
+
+def test_max_values_per_facet(spark, idx):
+    eng = SearchEngine(spark, idx, cache_postings=False)
+    rows = eng.facet_distribution(
+        ["wakame", "salad", "recipe", "guide"], ["url"], max_values_per_facet=2
+    ).collect()
+    assert len(rows) == 2  # 4 matching urls capped to top 2
