@@ -904,10 +904,13 @@ WHERE l_shipdate <= DATE '2001-09-01'
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "x11_distinct_search": f"""
-SELECT doc_key, score, lang FROM (
+SELECT doc_key, ROUND(score, 4) AS score, lang FROM (
   SELECT b.doc_key, b.score, d.lang,
-         ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY b.score DESC, b.doc_key ASC) AS rn
-  FROM ({adhoc.bm25_topk_sql_oracle('documents', 'doc_id', 'text', _BM25_QUERY, k=1000000000)}) b
+         ROW_NUMBER() OVER (
+           PARTITION BY COALESCE(CAST(d.lang AS VARCHAR),
+                                 chr(0) || 'doc:' || CAST(b.doc_key AS VARCHAR))
+           ORDER BY b.score DESC, b.doc_key ASC) AS rn
+  FROM ({adhoc.bm25_topk_sql_oracle('documents', 'doc_id', 'text', _BM25_QUERY, k=1000000000, round_score=False)}) b
   JOIN documents d ON b.doc_key = d.doc_id
 ) WHERE rn = 1
 ORDER BY score DESC, doc_key ASC LIMIT 5

@@ -99,7 +99,7 @@ def delete_docs(spark: SparkSession, index_dir: str, urls: list[str]) -> int:
     if os.path.isdir(os.path.join(index_dir, "tf")) and (
         sw >= 0 or aw >= ADHOC_BATCH_BASE
     ):
-        record_staged_deletions(index_dir, uniq)
+        record_staged_deletions(index_dir, uniq, watermarks=(sw, aw))
     return n_new
 
 

@@ -353,12 +353,17 @@ def clean_corpus(
     word_split: str = " |\n",
 ) -> DataFrame:
     """The composed pre-indexing hygiene pass: boilerplate-line strip →
-    optional Gopher quality gate → optional PII mask → (id, text) frame
-    ready for ``build_index``/``add_documents``.
+    optional Gopher quality gate → optional PII mask, with ``text_col``
+    rewritten in place and EVERY other input column carried through — so a
+    crawled-pages frame (url, warc_ts, html, text, lang) comes out with the
+    same schema (minus gate-dropped rows) and feeds ``build_index``/
+    ``add_documents`` directly, as advertised.
 
-    Column-for-column the shape of the input (id + text), so it drops into
-    any existing ingest. Each stage is the operator above — one line-df
-    shuffle + one rebuild groupBy; the gate and mask stay narrow.
+    Each stage is the operator above — one line-df shuffle + one rebuild
+    groupBy; the gate and mask stay narrow.  The carried columns ride a
+    final id-keyed join (co-partitioned with the rebuild shuffle), not the
+    per-line explode, so wide metadata (e.g. raw html) is never duplicated
+    per line.
     """
     cleaned = remove_boilerplate(docs, id_col, text_col, min_df=min_df, delim=delim)
     out = cleaned.select(F.col("doc_key").alias(id_col), F.col("clean_text").alias(text_col))
@@ -371,4 +376,7 @@ def clean_corpus(
         out = mask_pii(out, id_col, text_col).select(
             F.col("doc_key").alias(id_col), F.col("masked_text").alias(text_col)
         )
-    return out
+    others = [c for c in docs.columns if c not in (id_col, text_col)]
+    if others:
+        out = docs.select(id_col, *others).join(out, id_col)
+    return out.select(*docs.columns)

@@ -158,8 +158,15 @@ def bm25_topk_sql_oracle(
     token_regex: str = "[a-z]+",
     candidate_where: str | None = None,
     order_by: str | None = None,
+    round_score: bool = True,
 ) -> str:
     """DuckDB SQL computing the identical BM25 top-k (driver correctness gate).
+
+    ``round_score=False`` emits the raw double instead of the
+    ``SCORE_DECIMALS`` presentation rounding — required when the caller
+    wraps this in a window/ordering of its own (e.g. distinctAttribute's
+    best-per-value pick), which must rank by the FULL-precision score
+    exactly like the engine does, not by the rounded display value.
 
     Valid when the pinned tokenizer's output on the corpus equals
     ``regexp_extract_all(text, token_regex)`` — true for plain lowercase Latin
@@ -200,8 +207,8 @@ df_t AS (
   SELECT term, COUNT(*)::DOUBLE AS df FROM tf WHERE term IN ({terms_sql}) GROUP BY 1
 )
 SELECT tf.doc_key AS doc_key,
-       ROUND(SUM( ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
-                 * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ), {SCORE_DECIMALS}) AS score,
+       {'ROUND(' if round_score else ''}SUM( ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+                 * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ){f', {SCORE_DECIMALS})' if round_score else ''} AS score,
        COUNT(DISTINCT tf.term) AS terms_matched
 FROM tf
 JOIN df_t ON tf.term = df_t.term

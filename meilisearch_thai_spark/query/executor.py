@@ -1329,6 +1329,43 @@ class SearchEngine:
             self._pads = pads.dataset(os.path.join(self.index_dir, "doc_stats"))
         return self._pads
 
+    def _exact_scored(self, qterms, filters, required, prefixes) -> DataFrame:
+        """Shared exact-scoring preamble for the sort/distinct paths: full
+        scores (+ filter join, required-terms map, per-doc dedup)."""
+        scored = self.score_variants(qterms)
+        if filters:
+            scored = scored.join(self.allowed_docs(filters), "doc_id")
+        if required:
+            needmap = F.create_map(
+                *[x for vid, n in required.items() for x in (F.lit(vid), F.lit(n))]
+            )
+            scored = scored.filter(F.col("terms_matched") == needmap[F.col("variant_id")])
+        return (
+            self._dedup_best_per_doc(scored)
+            if len(prefixes) > 1
+            else scored.drop("variant_id")
+        )
+
+    def _hit_cols(self, attributes: list[str] | None) -> list[str]:
+        """Output column set for a hit row (validated attributes appended)."""
+        return list(
+            dict.fromkeys(
+                ["url", "doc_id", "score", "terms_matched"]
+                + (["text_crop"] if "text_crop" in self.doc_stats.columns else [])
+                + self._check_attrs(attributes)
+            )
+        )
+
+    def _public_fields(self) -> list[str]:
+        """The retrievable/facetable/distinct-able document fields: url/lang/
+        text_crop when present plus the build's declared stored_fields — NOT
+        the internal index columns (doc_id, doc_len, norm_hash), which the
+        reference never exposes on the request surface."""
+        pub = set(self.meta.stored_fields) | {
+            c for c in ("url", "lang", "text_crop") if c in self.doc_stats.columns
+        }
+        return sorted(pub)
+
     def _check_attrs(self, attributes: list[str] | None) -> list[str]:
         """Validate an attributesToRetrieve list against the stored doc
         metadata (reference search_executor.py:721-723): unknown fields are
@@ -1336,13 +1373,7 @@ class SearchEngine:
         returned (hit stripping, :363-367)."""
         if not attributes:
             return []
-        # public surface only: the document fields (url/lang/text_crop when
-        # present) plus the build's declared stored_fields — NOT the internal
-        # index columns (doc_id, doc_len, norm_hash), which the reference
-        # never exposes as retrievable attributes
-        public = set(self.meta.stored_fields) | {
-            c for c in ("url", "lang", "text_crop") if c in self.doc_stats.columns
-        }
+        public = set(self._public_fields())
         bad = sorted(a for a in set(attributes) if a not in public)
         if bad:
             raise ValueError(
@@ -1489,83 +1520,37 @@ class SearchEngine:
         full-scoring path runs instead of the block-max heap.
         """
         uniq, prefixes, qterms, required = self._expand_matching(terms, matching)
-        if distinct:
-            # MeiliSearch distinctAttribute: at most one hit per value of a
-            # stored field, best-by-relevance representative, applied BEFORE
-            # the top-k cut.  Needs the full candidate set (a block-max top-k
-            # could starve a value), so it runs the exact scoring path like
-            # sort does.  Docs with a NULL field value stay individually
-            # distinct (each its own group), matching MeiliSearch.
-            if distinct not in self.doc_stats.columns:
-                raise ValueError(
-                    f"unknown distinct field {distinct!r}; doc_stats carries "
-                    f"{self.doc_stats.columns}"
-                )
-            scored = self.score_variants(qterms)
-            if filters:
-                scored = scored.join(self.allowed_docs(filters), "doc_id")
-            if required:
-                needmap = F.create_map(
-                    *[x for vid, n in required.items() for x in (F.lit(vid), F.lit(n))]
-                )
-                scored = scored.filter(F.col("terms_matched") == needmap[F.col("variant_id")])
-            scored = (
-                self._dedup_best_per_doc(scored)
-                if len(prefixes) > 1
-                else scored.drop("variant_id")
-            )
-            out_cols = list(
-                dict.fromkeys(
-                    ["url", "doc_id", "score", "terms_matched"]
-                    + (["text_crop"] if "text_crop" in self.doc_stats.columns else [])
-                    + self._check_attrs(attributes_to_retrieve)
-                )
-            )
+        if distinct or sort:
+            # exact full-scoring path: a block-max top-k could starve a
+            # distinct value, and with sort the cut cannot prune by score
+            scored = self._exact_scored(qterms, filters, required, prefixes)
+            out_cols = self._hit_cols(attributes_to_retrieve)
             joined = self.doc_stats.join(scored, "doc_id")
-            key = F.coalesce(
-                F.col(distinct).cast("string"),
-                F.concat(F.lit("\x00doc:"), F.col("doc_id").cast("string")),
-            )
-            w = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("doc_id"))
-            kept = (
-                joined.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+            if distinct:
+                # MeiliSearch distinctAttribute: at most one hit per value of
+                # a stored field, best-by-relevance representative, applied
+                # BEFORE the top-k cut.  Docs with a NULL field value stay
+                # individually distinct (each its own group), matching
+                # MeiliSearch.
+                if distinct not in self._public_fields():
+                    raise ValueError(
+                        f"unknown distinct field {distinct!r}; available "
+                        f"{self._public_fields()}"
+                    )
+                key = F.coalesce(
+                    F.col(distinct).cast("string"),
+                    F.concat(F.lit("\x00doc:"), F.col("doc_id").cast("string")),
+                )
+                w = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("doc_id"))
+                joined = (
+                    joined.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
             order = (
-                [*parse_sort(sort, self.doc_stats.columns), F.desc("score"), F.asc("doc_id")]
-                if sort
-                else [F.desc("score"), F.asc("doc_id")]
-            )
-            return kept.orderBy(*order).limit(k).select(*out_cols)
-        if sort:
-            sort_cols = parse_sort(sort, self.doc_stats.columns)
-            scored = self.score_variants(qterms)
-            if filters:
-                scored = scored.join(self.allowed_docs(filters), "doc_id")
-            if required:
-                needmap = F.create_map(
-                    *[x for vid, n in required.items() for x in (F.lit(vid), F.lit(n))]
-                )
-                scored = scored.filter(F.col("terms_matched") == needmap[F.col("variant_id")])
-            scored = (
-                self._dedup_best_per_doc(scored)
-                if len(prefixes) > 1
-                else scored.drop("variant_id")
-            )
-            out_cols = list(
-                dict.fromkeys(
-                    ["url", "doc_id", "score", "terms_matched"]
-                    + (["text_crop"] if "text_crop" in self.doc_stats.columns else [])
-                    + self._check_attrs(attributes_to_retrieve)
-                )
-            )
-            return (
-                self.doc_stats.join(scored, "doc_id")
-                .orderBy(*sort_cols, F.desc("score"), F.asc("doc_id"))
-                .limit(k)
-                .select(*out_cols)
-            )
+                [*parse_sort(sort, self.doc_stats.columns)] if sort else []
+            ) + [F.desc("score"), F.asc("doc_id")]
+            return joined.orderBy(*order).limit(k).select(*out_cols)
         if filters:
             scored = self.score_variants_topk_filtered(
                 qterms, k=k, allowed=self.allowed_docs(filters), required_terms=required
@@ -1851,13 +1836,14 @@ class SearchEngine:
         doc_stats (plus url/lang/doc_len)."""
         from .requests import filters_to_column
 
-        missing = [f for f in facets if f not in self.doc_stats.columns]
+        missing = [f for f in facets if f not in self._public_fields()]
         if missing:
             raise ValueError(
-                f"unknown facet fields {missing}; doc_stats carries "
-                f"{[c for c in self.doc_stats.columns if c not in ('norm_hash',)]}"
+                f"unknown facet fields {missing}; available {self._public_fields()}"
             )
-        qterms = list(dict.fromkeys(terms))
+        # query-side stop-words never match at search time, so they must not
+        # inflate facet counts either (parity with the hit set)
+        qterms = list(dict.fromkeys(self._drop_stopwords(list(terms))))
         if not qterms or not facets:
             return self.spark.createDataFrame(
                 [], "facet string, value string, n_docs long"

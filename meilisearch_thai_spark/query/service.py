@@ -397,20 +397,19 @@ class SearchService:
         self, query: str, facets: list[str], filters: dict | None = None
     ) -> dict[str, dict[str, int]]:
         """MeiliSearch ``facetDistribution``: per requested field, counts of
-        each value over EVERY document matching the query (>= 1 term of the
-        top-weighted variant, after ``filters``), not just the returned page.
+        each value over EVERY document matching the query (>= 1 term of ANY
+        generated variant — synonym/compound-split matches the search can
+        return count too — after ``filters``), not just the returned page.
 
         Returns ``{facet: {value: count}}``.  The aggregation is distributed
         (engine.facet_distribution) — the matching set never collects; only
         the (facet, value, count) rollup does, which is bounded by facet
         cardinality, the same contract MeiliSearch's maxValuesPerFacet
         acknowledges."""
-        from ..tokenizer import extract_index_terms, tokenize_for_index
-
         pq = process_query(query, synonyms=self.engine._synonyms or None)
         if not pq.variants:
             return {f: {} for f in facets}
-        terms = extract_index_terms(tokenize_for_index(pq.variants[0].query_text))
+        terms = list(dict.fromkeys(t for v in pq.variants for t in v.terms))
         rows = self.engine.facet_distribution(terms, facets, filters=filters).collect()
         out: dict[str, dict[str, int]] = {f: {} for f in facets}
         for r in rows:

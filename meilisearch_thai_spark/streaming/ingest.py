@@ -197,9 +197,11 @@ def _next_adhoc_batch_id(out_dir: str) -> int:
 # current at delete time; finalize excludes the url's rows from batches at
 # or below those watermarks, so a LATER re-add (stream re-crawl or explicit
 # add_documents — both get higher batch ids) legitimately resurrects the url
-# while everything staged before the delete stays dead.  O(total deletes)
-# JSON, rewritten atomically; bounded by the same compaction discipline as
-# tombstones (TOMBSTONE_LITERAL_CAP).
+# while everything staged before the delete stays dead.  ONE entry per url
+# (repeat deletes keep the max watermarks, which subsume the older pins), so
+# the file is O(distinct deleted urls), rewritten atomically.  Entries must
+# outlive finalize/compact_index — the staged tf batches they mask stay on
+# disk and are re-read by every later finalize.
 DELETED_REGISTRY = os.path.join("lineage", "deleted.json")
 
 
@@ -226,21 +228,64 @@ def _load_deleted_registry(out_dir: str) -> list[dict]:
         return json.load(fh)
 
 
-def record_staged_deletions(out_dir: str, urls: list[str]) -> None:
+def record_staged_deletions(
+    out_dir: str, urls: list[str], watermarks: tuple[int, int] | None = None
+) -> None:
     """Pin deletions into the staging layer (called by ``delete_docs`` when
-    the index has a tf staging area).  Single-writer contract, same as every
-    other mutation on the directory; the rewrite is atomic (tmp + replace)."""
+    the index has a tf staging area).  One entry per url: a repeat delete
+    raises that url's watermarks (later deletes always see >= watermarks, so
+    the max subsumes every earlier pin).  ``watermarks`` lets the caller pass
+    the ``_batch_watermarks`` it already computed instead of re-listing the
+    lineage dir.  Single-writer contract, same as every other mutation on the
+    directory; the rewrite is atomic (tmp + replace)."""
     if not urls:
         return
-    reg = _load_deleted_registry(out_dir)
-    sw, aw = _batch_watermarks(out_dir)
-    reg.extend({"url": u, "stream_wm": sw, "adhoc_wm": aw} for u in sorted(set(urls)))
+    sw, aw = watermarks if watermarks is not None else _batch_watermarks(out_dir)
+    best: dict[str, tuple[int, int]] = {
+        r["url"]: (int(r["stream_wm"]), int(r["adhoc_wm"]))
+        for r in _load_deleted_registry(out_dir)
+    }
+    for u in set(urls):
+        prev = best.get(u)
+        best[u] = (max(prev[0], sw), max(prev[1], aw)) if prev else (sw, aw)
+    reg = [
+        {"url": u, "stream_wm": s, "adhoc_wm": a}
+        for u, (s, a) in sorted(best.items())
+    ]
     path = os.path.join(out_dir, DELETED_REGISTRY)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(reg, fh)
     os.replace(tmp, path)
+
+
+def _resolve_layout(
+    out_dir: str,
+    block_size: int | None,
+    bucket_span: int | None,
+    params: BM25Params | None,
+) -> tuple[int, int, BM25Params]:
+    """Resolve the index layout + BM25 constants: explicit arguments win,
+    otherwise the EXISTING index's meta.json values, otherwise the defaults.
+    Shared by :func:`add_documents` and :func:`finalize_streamed_index` so no
+    re-finalize path can silently reset the layout or scoring constants of an
+    index that was bootstrapped with non-default values."""
+    prev_meta: dict = {}
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            prev_meta = json.load(fh)
+    if block_size is None:
+        block_size = int(prev_meta.get("block_size", DEFAULT_BLOCK_SIZE))
+    if bucket_span is None:
+        bucket_span = int(prev_meta.get("bucket_span", DEFAULT_BUCKET_SPAN))
+    if params is None:
+        params = BM25Params(
+            k1=float(prev_meta.get("k1", BM25Params().k1)),
+            b=float(prev_meta.get("b", BM25Params().b)),
+        )
+    return block_size, bucket_span, params
 
 
 def add_documents(
@@ -293,19 +338,9 @@ def add_documents(
             "corpus with build_index, or bootstrap a staged index by running "
             "add_documents into a fresh directory"
         )
-    prev_meta: dict = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            prev_meta = json.load(fh)
-    if block_size is None:
-        block_size = int(prev_meta.get("block_size", DEFAULT_BLOCK_SIZE))
-    if bucket_span is None:
-        bucket_span = int(prev_meta.get("bucket_span", DEFAULT_BUCKET_SPAN))
-    if params is None:
-        params = BM25Params(
-            k1=float(prev_meta.get("k1", BM25Params().k1)),
-            b=float(prev_meta.get("b", BM25Params().b)),
-        )
+    block_size, bucket_span, params = _resolve_layout(
+        out_dir, block_size, bucket_span, params
+    )
     if os.path.isdir(tf_dir):
         existing = spark.read.parquet(tf_dir)
         if "batch_id" not in existing.columns:
@@ -334,9 +369,9 @@ def add_documents(
 def finalize_streamed_index(
     spark: SparkSession,
     out_dir: str,
-    block_size: int = DEFAULT_BLOCK_SIZE,
-    bucket_span: int = DEFAULT_BUCKET_SPAN,
-    params: BM25Params = BM25Params(),
+    block_size: int | None = None,
+    bucket_span: int | None = None,
+    params: BM25Params | None = None,
 ) -> IndexMeta:
     """Turn accumulated stream shards into the queryable index.
 
@@ -344,8 +379,18 @@ def finalize_streamed_index(
     assign deterministic doc ids from the surviving url set and run the
     shared phase-2 finalize.  Safe to re-run any time (all writes overwrite);
     the stream can keep appending and a later finalize picks up the new docs.
+
+    ``block_size``/``bucket_span``/``params`` default to the EXISTING index's
+    meta.json values (same contract as :func:`add_documents`), so the
+    documented trickle flow — ``add_documents(..., finalize=False)`` then
+    ``finalize_streamed_index`` — can never silently reset a non-default
+    layout or BM25 constants; pass them explicitly only to override.
     """
     from ..index.builder import url_doc_id_map
+
+    block_size, bucket_span, params = _resolve_layout(
+        out_dir, block_size, bucket_span, params
+    )
 
     tf = spark.read.parquet(os.path.join(out_dir, "tf"))
     # staged-deletion registry: drop each deleted url's rows from batches at

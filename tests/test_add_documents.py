@@ -142,6 +142,40 @@ def test_settings_and_params_survive_add(spark, corpus, tmp_path_factory):
     assert m.stopwords == ["และ"]
 
 
+def test_finalize_streamed_index_inherits_layout(spark, corpus, tmp_path_factory):
+    """The documented trickle flow (add_documents(..., finalize=False) →
+    finalize_streamed_index) must inherit the bootstrap's layout and BM25
+    constants from meta.json, not silently reset them to defaults."""
+    from meilisearch_thai_spark.index.builder import BM25Params
+
+    out = str(tmp_path_factory.mktemp("adddocs_inherit") / "idx")
+    a = corpus.orderBy("url").limit(300)
+    b = corpus.orderBy("url").subtract(a)
+    add_documents(spark, a, out, n_shards=4, params=BM25Params(k1=1.5), block_size=64)
+    assert add_documents(spark, b, out, n_shards=4, finalize=False) is None
+    meta = finalize_streamed_index(spark, out)  # no args = inherit
+    assert meta.k1 == 1.5 and meta.block_size == 64
+    assert meta.n_docs == N
+
+
+def test_staged_deletion_registry_one_entry_per_url(spark, corpus, tmp_path_factory):
+    """Repeat deletes of the same url keep ONE registry entry (max
+    watermarks) — the registry is O(distinct deleted urls), not O(deletes)."""
+    import json as _json
+
+    from meilisearch_thai_spark.index.maintenance import delete_docs
+    from meilisearch_thai_spark.streaming.ingest import DELETED_REGISTRY
+
+    out = str(tmp_path_factory.mktemp("adddocs_reg") / "idx")
+    add_documents(spark, corpus.orderBy("url").limit(50), out, n_shards=2)
+    victim = corpus.orderBy("url").limit(1).collect()[0]["url"]
+    assert delete_docs(spark, out, [victim]) == 1
+    assert delete_docs(spark, out, [victim, victim]) == 0  # repeat + dup input
+    with open(os.path.join(out, DELETED_REGISTRY)) as fh:
+        reg = _json.load(fh)
+    assert len(reg) == 1 and reg[0]["url"] == victim
+
+
 def test_delete_survives_finalize_and_readd_resurrects(spark, corpus, tmp_path_factory):
     from meilisearch_thai_spark.index.maintenance import delete_docs
 

@@ -89,6 +89,52 @@ def test_distinct_unknown_field_raises(spark, idx):
         eng.search_terms(["wakame"], distinct="nope")
 
 
+def test_service_facet_counts_synonym_variant_matches(spark, idx, tmp_path):
+    """Facet counts must cover docs matched via synonym/compound variants —
+    the hit list and the facet panel shown next to it must agree."""
+    import shutil
+
+    from meilisearch_thai_spark.index.settings import update_synonyms
+
+    out = str(tmp_path / "idx_syn")
+    shutil.copytree(idx, out)
+    update_synonyms(out, {"seaweed": ["wakame"]})
+    svc = SearchService(spark, out, cache_postings=False)
+    # 'seaweed' itself matches nothing; the synonym variant 'wakame' matches
+    # docs 1 (th) and 2 (en) — facet counts must include them
+    assert svc.facet_distribution("seaweed", ["lang"]) == {
+        "lang": {"th": 1, "en": 1}
+    }
+
+
+def test_facet_counts_drop_query_stopwords(spark, idx, tmp_path):
+    """A query-side stop word never matches at search time, so it must not
+    inflate facet counts either (parity with the hit set)."""
+    import shutil
+
+    from meilisearch_thai_spark.index.settings import update_stop_words
+
+    out = str(tmp_path / "idx_stop")
+    shutil.copytree(idx, out)
+    update_stop_words(out, ["salad"])
+    eng = SearchEngine(spark, out, cache_postings=False)
+    got = {
+        (r.facet, r.value): r.n_docs
+        for r in eng.facet_distribution(["wakame", "salad"], ["lang"]).collect()
+    }
+    # only the wakame docs (1: th, 2: en) — doc 3 matches 'salad' alone and
+    # can never be returned by the search, so it must not be counted
+    assert got == {("lang", "th"): 1, ("lang", "en"): 1}
+
+
+def test_distinct_rejects_internal_columns(spark, idx):
+    """distinct= validates against the same public attribute surface as
+    attributes_to_retrieve: internal index columns are not distinct-able."""
+    eng = SearchEngine(spark, idx, cache_postings=False)
+    with pytest.raises(ValueError, match="unknown distinct"):
+        eng.search_terms(["wakame"], distinct="norm_hash")
+
+
 def test_max_values_per_facet(spark, idx):
     eng = SearchEngine(spark, idx, cache_postings=False)
     rows = eng.facet_distribution(

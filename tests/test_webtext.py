@@ -119,6 +119,26 @@ def test_clean_corpus_end_to_end_index(spark, tmp_path):
     assert "<email>" in {t.lower() for t in vocab} or any("email" in t.lower() for t in vocab)
 
 
+def test_clean_corpus_preserves_other_columns(spark):
+    """The drop-in contract: every non-text input column (url/lang/...)
+    rides through the pass unchanged, with text rewritten in place."""
+    from meilisearch_thai_spark.pipeline.webtext import clean_corpus
+
+    boiler = "accept cookies now"
+    rows = [
+        (i, f"{boiler}\ncontent line number {i}", f"https://t/{i}", "th")
+        for i in range(1, 7)
+    ]
+    docs = spark.createDataFrame(rows, "id long, text string, url string, lang string")
+    out = clean_corpus(docs, "id", "text", min_df=3, mask=False)
+    assert out.columns == docs.columns  # same schema, same order
+    got = {r["id"]: r for r in out.collect()}
+    assert len(got) == 6
+    for i, r in got.items():
+        assert r["url"] == f"https://t/{i}" and r["lang"] == "th"
+        assert "cookies" not in r["text"] and f"number {i}" in r["text"]
+
+
 def test_duplicate_spans_semantics(spark):
     """Lee-et-al-style span dedup: shared 5-token runs across docs are
     flagged; unique docs stay clean; short docs survive with zero spans."""
