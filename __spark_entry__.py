@@ -332,6 +332,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_minhash_lsh(spark, sf):
         return dd.minhash_lsh_candidates(_t(spark, sf, "documents"), "doc_id", "text")
 
+    def dedup_components(spark, sf):
+        # LSH candidate pairs -> duplicate CLUSTERS (min-label propagation);
+        # the keep-one-per-cluster decision pairwise output can't express
+        pairs = dd.minhash_lsh_candidates(_t(spark, sf, "documents"), "doc_id", "text")
+        return dd.connected_components(pairs).orderBy("node")
+
     def dedup_simhash(spark, sf):
         return dd.simhash64(_t(spark, sf, "documents"), "doc_id", "text")
 
@@ -680,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": dedup_fingerprint,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_components": dedup_components,
         "dedup_simhash": dedup_simhash,
         "dedup_span_ngrams": dedup_span_ngrams,
         "ann_cosine_topk": ann_cosine_topk,
@@ -805,6 +812,9 @@ FROM documents GROUP BY 1
         "dedup_fingerprint": ts.doc_fingerprint_sql("documents", "doc_id", "text"),
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.2),
         "dedup_minhash_lsh": dd.minhash_lsh_candidates_sql("documents", "doc_id", "text"),
+        "dedup_components": dd.connected_components_sql(
+            dd.minhash_lsh_candidates_sql("documents", "doc_id", "text")
+        ) + " ORDER BY 1",
         "dedup_simhash": dd.simhash64_sql("documents", "doc_id", "text"),
         "dedup_span_ngrams": dd.duplicate_spans_sql("documents", "doc_id", "text", n=5),
         "ann_cosine_topk": sim.cosine_topk_sql("embeddings", "vec_id", "embedding", 0, k=20),

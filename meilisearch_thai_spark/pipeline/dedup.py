@@ -355,3 +355,88 @@ SELECT b.doc_key,
        COALESCE(a.dup_span_bp, 0) AS dup_span_bp
 FROM base b LEFT JOIN agg a USING (doc_key)
 """
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "left_key",
+    right: str = "right_key",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve candidate duplicate PAIRS into duplicate CLUSTERS: for every
+    node appearing in ``pairs``, the minimum reachable node id as its
+    ``component`` label — the step that turns LSH candidate pairs into "keep
+    one document per cluster" decisions, which pairwise output alone cannot
+    express (A~B, B~C must collapse to ONE cluster {A,B,C}).
+
+    Min-label propagation: each round, every node takes the minimum label
+    among itself and its neighbours (one groupBy shuffle per round), stopping
+    when a round changes nothing.  Rounds needed = graph diameter; dedup
+    graphs from banded LSH are near-cliques per bucket (diameter 2-3), so
+    this converges in a handful of rounds even at corpus scale — the same
+    observation that makes alternating large-star/small-star (Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond") O(log n) in the
+    worst case.
+
+    Every round ``localCheckpoint``s the label frame: iterative plans grow
+    EXPONENTIALLY without lineage truncation (each round references the
+    previous plan twice — propagation and convergence check) and OOM the
+    driver on optimizer state within ~8 rounds; checkpointing keeps every
+    round's plan constant-size.  At 100 TB use a reliable checkpoint dir
+    (``sparkContext.setCheckpointDir`` + ``.checkpoint()``) so a lost
+    executor cannot orphan round state, and pre-size the shuffle to the edge
+    count.
+
+    Returns (node, component), component = min node id of the cluster.
+    """
+    e = pairs.select(F.col(left).alias("u"), F.col(right).alias("v"))
+    e = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = e.select("u").distinct().withColumn("component", F.col("u")).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = e.join(
+            labels.withColumnRenamed("u", "v"), "v"
+        ).select("u", "component")
+        new = (
+            labels.select("u", "component")
+            .union(neigh)
+            .groupBy("u")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("component", "prev"), "u")
+            .filter(F.col("component") != F.col("prev"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels.select(F.col("u").alias("node"), "component")
+
+
+def connected_components_sql(pairs_sql: str) -> str:
+    """DuckDB twin of :func:`connected_components`: exact transitive closure
+    via a recursive CTE over the same pair set (oracle-scale only — the
+    closure is O(V*E); the Spark side's label propagation is the scale
+    path)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT left_key AS u, right_key AS v FROM pairs
+  UNION
+  SELECT right_key AS u, left_key AS v FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+)
+SELECT u AS node, MIN(r) AS component FROM reach GROUP BY 1
+"""
