@@ -605,6 +605,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return wt.gopher_quality(_ml_docs(spark, sf), "gid", "text")
 
+    def webtext_contamination(spark, sf):
+        # benchmark decontamination (GPT-3 style n-gram overlap): the "eval
+        # set" is a deterministic token slice (tokens 4-21) of every 97th
+        # doc, so its source docs show PARTIAL contamination and everything
+        # else 0 — benchmark grams broadcast, corpus gram stream never
+        # shuffles
+        docs = _t(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.expr("array_join(slice(split(text, ' '), 4, 18), ' ')").alias("text")
+        )
+        return wtx.benchmark_contamination(docs, "doc_id", "text", bench, "text", n=8)
+
     def webtext_pii_mask(spark, sf):
         # regex PII masking (emails/IPv4/phones injected deterministically
         # into the corpus on both sides)
@@ -709,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_boilerplate": webtext_boilerplate,
         "webtext_gopher_quality": webtext_gopher_quality,
         "webtext_pii_mask": webtext_pii_mask,
+        "webtext_contamination": webtext_contamination,
         "e1_highlight_extract": e1_highlight_extract,
         "e1_highlight_generate": e1_highlight_generate,
         "r7_rank_algorithm": r7_rank_algorithm,
@@ -958,6 +971,14 @@ SELECT doc_key, md5(clean_text) AS clean_md5, n_kept, n_removed FROM q
         "webtext_gopher_quality": f"""
 WITH {_WT_ML_SQL},
 q AS ({wtx.gopher_quality_sql('ml', 'gid', 'text')})
+SELECT * FROM q
+""",
+        "webtext_contamination": f"""
+WITH bench AS (
+  SELECT array_to_string((string_split(text, ' '))[4:21], ' ') AS text
+  FROM documents WHERE doc_id % 97 = 0
+),
+q AS ({wtx.benchmark_contamination_sql('documents', 'doc_id', 'text', 'bench', 'text', n=8)})
 SELECT * FROM q
 """,
         "webtext_pii_mask": f"""

@@ -380,3 +380,108 @@ def clean_corpus(
     if others:
         out = docs.select(id_col, *others).join(out, id_col)
     return out.select(*docs.columns)
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str,
+    n: int = 8,
+    word_split: str = " |\n",
+) -> DataFrame:
+    """Benchmark decontamination signals (GPT-3, Brown et al. 2020 §C uses
+    13-gram overlap; PaLM/Llama use 8-10): for every training document, how
+    many of its word ``n``-grams also occur in the evaluation ``benchmark``
+    corpus → (doc_key, n_grams, n_contaminated, contaminated_bp).
+
+    Docs with ``contaminated_bp > 0`` overlap the benchmark and would leak
+    eval answers into training; callers drop or audit them.
+
+    Scale shape: the benchmark gram set is tiny next to a 100 TB corpus, so
+    the overlap check is a BROADCAST semi-join — the corpus's exploded gram
+    stream never shuffles; only (doc, matched-gram) survivors reach the
+    per-doc groupBy (map-side combine).  At full scale hash grams
+    (xxhash64) instead of carrying strings through the explode.
+
+    Fractions in integer basis points (bit-stable across engines).
+    """
+    # n-gram array over the whitespace tokens (sliding, stride 1) — same
+    # construction as dedup.duplicate_spans so the two signals agree
+    def spans_arr(ws: str):
+        return F.expr(
+            f"filter(transform({ws}, (x, i) -> if(i + {n} <= size({ws}),"
+            f" array_join(slice({ws}, i + 1, {n}), ' '), null)), w -> w is not null)"
+        )
+
+    base = docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.filter(F.split(F.col(text_col), word_split), lambda t: t != "").alias("ws"),
+    ).select("doc_key", spans_arr("ws").alias("grams"))
+    doc_grams = base.select(
+        "doc_key", F.explode_outer("grams").alias("gram")
+    ).dropDuplicates(["doc_key", "gram"])
+    bench_grams = (
+        benchmark.select(
+            F.filter(
+                F.split(F.col(bench_text_col), word_split), lambda t: t != ""
+            ).alias("ws")
+        )
+        .select(F.explode(spans_arr("ws")).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tagged = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+    return tagged.groupBy("doc_key").agg(
+        F.sum(F.when(F.col("gram").isNotNull(), 1).otherwise(0)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).cast("long").alias("n_contaminated"),
+        F.expr(
+            "(10000 * sum(case when _hit is not null then 1 else 0 end))"
+            " div greatest(sum(case when gram is not null then 1 else 0 end), 1)"
+        ).alias("contaminated_bp"),
+    )
+
+
+def benchmark_contamination_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    bench_table: str,
+    bench_text_col: str,
+    n: int = 8,
+) -> str:
+    """DuckDB twin of :func:`benchmark_contamination` (split on space|newline)."""
+    ws = "list_filter(regexp_split_to_array({col}, ' |' || chr(10)), x -> x <> '')"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_key, {ws.format(col=text_col)} AS ws FROM {table}
+),
+dg AS (
+  SELECT DISTINCT doc_key, array_to_string(ws[i : i + {n - 1}], ' ') AS gram
+  FROM base, unnest(range(1, greatest(len(ws) - {n - 1}, 0) + 1)) AS r(i)
+),
+bws AS (
+  SELECT {ws.format(col=bench_text_col)} AS ws FROM {bench_table}
+),
+bg AS (
+  SELECT DISTINCT array_to_string(ws[i : i + {n - 1}], ' ') AS gram
+  FROM bws, unnest(range(1, greatest(len(ws) - {n - 1}, 0) + 1)) AS r(i)
+),
+tagged AS (
+  SELECT d.doc_key, d.gram, (b.gram IS NOT NULL) AS hit
+  FROM dg d LEFT JOIN bg b USING (gram)
+),
+agg AS (
+  SELECT doc_key,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         ((10000 * SUM(CASE WHEN hit THEN 1 ELSE 0 END)) // greatest(COUNT(*), 1))::BIGINT AS contaminated_bp
+  FROM tagged GROUP BY 1
+)
+SELECT b.doc_key,
+       COALESCE(a.n_grams, 0) AS n_grams,
+       COALESCE(a.n_contaminated, 0) AS n_contaminated,
+       COALESCE(a.contaminated_bp, 0) AS contaminated_bp
+FROM base b LEFT JOIN agg a USING (doc_key)
+"""

@@ -139,6 +139,33 @@ def test_clean_corpus_preserves_other_columns(spark):
         assert "cookies" not in r["text"] and f"number {i}" in r["text"]
 
 
+def test_benchmark_contamination_semantics(spark):
+    """GPT-3-style decontamination: only docs sharing an n-gram run with the
+    benchmark are flagged, counts are exact, clean docs report zero."""
+    from meilisearch_thai_spark.pipeline.webtext import benchmark_contamination
+
+    leak = "alpha beta gamma delta"  # 4-gram present in the benchmark
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {leak} trailing tail"),     # partial overlap
+            (2, "totally unrelated clean document text"),  # clean
+            (3, leak),                                     # fully leaked
+            (4, "abc"),                                    # shorter than n
+        ],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame([(f"prefix {leak} suffix",)], "text string")
+    got = {
+        r["doc_key"]: (r["n_grams"], r["n_contaminated"], r["contaminated_bp"])
+        for r in benchmark_contamination(docs, "id", "text", bench, "text", n=4).collect()
+    }
+    # doc 1: 8 tokens -> 5 grams; exactly one ("alpha beta gamma delta") hits
+    assert got[1] == (5, 1, 2000)
+    assert got[2] == (2, 0, 0)
+    assert got[3] == (1, 1, 10000)
+    assert got[4] == (0, 0, 0)
+
+
 def test_duplicate_spans_semantics(spark):
     """Lee-et-al-style span dedup: shared 5-token runs across docs are
     flagged; unique docs stay clean; short docs survive with zero spans."""
