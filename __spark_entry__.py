@@ -129,9 +129,11 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> str:
         F.lit(None).cast("binary").alias("html"),
         F.col("text"),
         F.col("lang"),
+        (F.col("doc_id") % 7).cast("long").alias("rating"),  # numeric stored
+        # field for the facetStats entry (deterministic, oracle-reproducible)
     )
     out = tempfile.mkdtemp(prefix="drv_idx_meta_")
-    build_index(spark, pages, out)
+    build_index(spark, pages, out, stored_fields=["rating"])
     _IDX_CACHE[sf_dir] = out
     return out
 
@@ -536,6 +538,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("lang"),
         ).orderBy(F.desc("score"), F.asc("doc_key"))
 
+    def x12_facet_stats(spark, sf):
+        # MeiliSearch facetStats: min/max of a numeric stored field over the
+        # FULL matching set (>=1 query term) — the range-slider data; same
+        # INSET-pruned match set as facetDistribution, algebraic rollup
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index(spark, sf), cache_postings=False)
+        return eng.facet_stats(_BM25_QUERY, ["rating"]).orderBy("facet")
+
     def x10_facet_distribution(spark, sf):
         # MeiliSearch facetDistribution over the FULL matching set (docs
         # containing >=1 query term), distributed rollup — postings scan
@@ -718,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_fuzzy_expansion": q10_fuzzy_expansion,
         "x11_distinct_search": x11_distinct_search,
         "x10_facet_distribution": x10_facet_distribution,
+        "x12_facet_stats": x12_facet_stats,
         "webtext_boilerplate": webtext_boilerplate,
         "webtext_gopher_quality": webtext_gopher_quality,
         "webtext_pii_mask": webtext_pii_mask,
@@ -951,6 +963,19 @@ WITH toks AS (
 SELECT DISTINCT term FROM toks
 WHERE term <> 'spart' AND damerau_levenshtein(term, 'spart') <= 1
 ORDER BY term
+""",
+        "x12_facet_stats": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS ts FROM documents
+),
+m AS (
+  SELECT doc_id FROM toks
+  WHERE len(list_intersect(ts, ['merge', 'join', 'table', 'scan'])) > 0
+)
+SELECT 'rating' AS facet,
+       CAST(MIN(doc_id % 7) AS DOUBLE) AS min_value,
+       CAST(MAX(doc_id % 7) AS DOUBLE) AS max_value
+FROM m
 """,
         "x10_facet_distribution": """
 WITH toks AS (

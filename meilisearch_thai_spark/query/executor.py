@@ -1834,8 +1834,6 @@ class SearchEngine:
         blocks decode, and the counts aggregate with map-side combine.
         Facet columns are whatever ``build_index(store_fields=...)`` put on
         doc_stats (plus url/lang/doc_len)."""
-        from .requests import filters_to_column
-
         missing = [f for f in facets if f not in self._public_fields()]
         if missing:
             raise ValueError(
@@ -1848,22 +1846,7 @@ class SearchEngine:
             return self.spark.createDataFrame(
                 [], "facet string, value string, n_docs long"
             )
-        if self._fp:  # fielded index: a word appears once per indexed field
-            inset = [f"{i}{FIELD_SEP}{t}" for i in range(len(self.meta.fields)) for t in qterms]
-        else:
-            inset = qterms
-        blocks = self.postings.filter(F.col("term").isin(inset)).select(
-            "term", "df", "doc_bytes", "tf_bytes", "dl_bytes"
-        )
-        matched = (
-            self._exclude_deleted(blocks.mapInPandas(_make_warm_exploder(), _WARM_SCHEMA))
-            .select("doc_id")
-            .distinct()
-        )
-        ds = self.doc_stats
-        if filters:
-            ds = ds.filter(filters_to_column(filters))
-        joined = ds.join(matched, "doc_id")
+        joined = self._facet_match_set(qterms, filters)
         stack = ", ".join(f"'{f}', cast(`{f}` as string)" for f in facets)
         out = (
             joined.selectExpr(f"stack({len(facets)}, {stack}) as (facet, value)")
@@ -1881,6 +1864,79 @@ class SearchEngine:
                 .drop("_rn")
             )
         return out
+
+    def _facet_match_set(self, qterms: list[str], filters: dict | None) -> DataFrame:
+        """doc_stats rows of every document containing >= 1 query term (after
+        ``filters``) — the shared match set behind facetDistribution and
+        facetStats.  The postings read prunes to the query terms' blocks
+        (term INSET pushdown); only those blocks decode."""
+        from .requests import filters_to_column
+
+        if self._fp:  # fielded index: a word appears once per indexed field
+            inset = [f"{i}{FIELD_SEP}{t}" for i in range(len(self.meta.fields)) for t in qterms]
+        else:
+            inset = qterms
+        blocks = self.postings.filter(F.col("term").isin(inset)).select(
+            "term", "df", "doc_bytes", "tf_bytes", "dl_bytes"
+        )
+        matched = (
+            self._exclude_deleted(blocks.mapInPandas(_make_warm_exploder(), _WARM_SCHEMA))
+            .select("doc_id")
+            .distinct()
+        )
+        ds = self.doc_stats
+        if filters:
+            ds = ds.filter(filters_to_column(filters))
+        return ds.join(matched, "doc_id")
+
+    def facet_stats(
+        self,
+        terms: list[str],
+        facets: list[str],
+        filters: dict | None = None,
+    ) -> DataFrame:
+        """MeiliSearch ``facetStats``: per requested NUMERIC facet field, the
+        min and max value over the full matching set (>= 1 query term, after
+        ``filters``) → (facet, min_value, max_value) as doubles — the data
+        behind a range-slider UI.
+
+        MeiliSearch computes facetStats only for fields whose values are
+        numbers; requesting a non-numeric field here is a request error (the
+        caller can see dtypes up front, so silence would hide a bug).  One
+        exchange-free partial+final aggregate over the match set — min/max
+        are algebraic, so the rollup is map-side combined and the collected
+        result is O(#facets)."""
+        import pyspark.sql.types as _T
+
+        missing = [f for f in facets if f not in self._public_fields()]
+        if missing:
+            raise ValueError(
+                f"unknown facet fields {missing}; available {self._public_fields()}"
+            )
+        dtypes = {f.name: f.dataType for f in self.doc_stats.schema.fields}
+        non_numeric = sorted(
+            f for f in facets if not isinstance(dtypes.get(f), _T.NumericType)
+        )
+        if non_numeric:
+            raise ValueError(
+                f"facetStats needs numeric fields; {non_numeric} are not "
+                "(MeiliSearch computes stats only over number values)"
+            )
+        qterms = list(dict.fromkeys(self._drop_stopwords(list(terms))))
+        if not qterms or not facets:
+            return self.spark.createDataFrame(
+                [], "facet string, min_value double, max_value double"
+            )
+        joined = self._facet_match_set(qterms, filters)
+        stack = ", ".join(f"'{f}', cast(`{f}` as double)" for f in facets)
+        return (
+            joined.selectExpr(f"stack({len(facets)}, {stack}) as (facet, value)")
+            .groupBy("facet")
+            .agg(
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
 
     def batch_multi_variant_page(
         self,

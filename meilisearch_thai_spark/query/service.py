@@ -416,6 +416,25 @@ class SearchService:
             out[r["facet"]][r["value"]] = int(r["n_docs"])
         return out
 
+    def facet_stats(
+        self, query: str, facets: list[str], filters: dict | None = None
+    ) -> dict[str, dict[str, float]]:
+        """MeiliSearch ``facetStats``: per requested numeric field, min and
+        max over every document matching the query (any variant's terms,
+        after ``filters``) — the data behind a range-slider UI.
+
+        Returns ``{facet: {"min": x, "max": y}}``; facets with no matching
+        docs are omitted, matching MeiliSearch."""
+        pq = process_query(query, synonyms=self.engine._synonyms or None)
+        if not pq.variants:
+            return {}
+        terms = list(dict.fromkeys(t for v in pq.variants for t in v.terms))
+        rows = self.engine.facet_stats(terms, facets, filters=filters).collect()
+        return {
+            r["facet"]: {"min": float(r["min_value"]), "max": float(r["max_value"])}
+            for r in rows
+        }
+
     def export_metrics(self, spark: SparkSession):
         """S6: metrics DataFrame for the run (write with .write.json/parquet)."""
         from .enhancer import query_metrics_frame

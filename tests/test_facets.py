@@ -135,6 +135,42 @@ def test_distinct_rejects_internal_columns(spark, idx):
         eng.search_terms(["wakame"], distinct="norm_hash")
 
 
+def test_facet_stats_min_max_and_validation(spark, tmp_path):
+    """facetStats: min/max of a numeric stored field over the match set;
+    non-numeric fields are a request error; no-match queries return {}."""
+    out = str(tmp_path / "idx_stats")
+    rows = [
+        ("https://t/1", "wakame salad recipe", "th", 10),
+        ("https://t/2", "wakame soup recipe", "en", 50),
+        ("https://t/3", "salad dressing guide", "en", 7),
+        ("https://t/4", "unrelated document text", "fr", 999),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, text string, lang string, views long"
+    ).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+        "views",
+    )
+    build_index(spark, pages, out, stored_fields=["views"])
+    eng = SearchEngine(spark, out, cache_postings=False)
+    got = {r.facet: (r.min_value, r.max_value) for r in eng.facet_stats(["wakame"], ["views"]).collect()}
+    assert got == {"views": (10.0, 50.0)}  # docs 1+2 match; 999 never counted
+    filtered = {
+        r.facet: (r.min_value, r.max_value)
+        for r in eng.facet_stats(["wakame"], ["views"], filters={"lang": {"$eq": "en"}}).collect()
+    }
+    assert filtered == {"views": (50.0, 50.0)}
+    with pytest.raises(ValueError, match="numeric"):
+        eng.facet_stats(["wakame"], ["lang"])
+    svc = SearchService(spark, out, cache_postings=False)
+    assert svc.facet_stats("wakame salad", ["views"]) == {"views": {"min": 7.0, "max": 50.0}}
+    assert svc.facet_stats("zzzzmissing", ["views"]) == {}
+
+
 def test_max_values_per_facet(spark, idx):
     eng = SearchEngine(spark, idx, cache_postings=False)
     rows = eng.facet_distribution(
