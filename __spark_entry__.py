@@ -181,6 +181,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("terms_matched").cast("long").alias("terms_matched"),
         ).orderBy(F.desc("score"), F.asc("doc_key"))
 
+    def r11_search_on_title(spark, sf):
+        # attributesToSearchOn: same fielded index, matching restricted to
+        # the title attribute only — content-only matches must vanish and
+        # scores carry the title weight/avgdl/df exactly
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index_fielded(spark, sf), cache_postings=False)
+        hits = eng.search_terms(_BM25_QUERY, k=20, attributes_to_search_on=["title"])
+        return hits.select(
+            F.col("url").cast("long").alias("doc_key"),
+            F.round("score", 4).alias("score"),
+            F.col("terms_matched").cast("long").alias("terms_matched"),
+        ).orderBy(F.desc("score"), F.asc("doc_key"))
+
     def p4_filtered_search(spark, sf):
         # filters wired INTO the search path (VERDICT r1 item 2): metadata
         # predicate restricts candidates through the filtered block-max
@@ -692,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_bm25_topk": r11_bm25_topk,
         "r11_indexed_bm25": r11_indexed_bm25,
         "r11_fielded_bm25": r11_fielded_bm25,
+        "r11_search_on_title": r11_search_on_title,
         "r11_phrase_search": r11_phrase_search,
         "r11_bm25_conjunctive": r11_bm25_conjunctive,
         "p4_filtered_search": p4_filtered_search,
@@ -752,6 +767,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "r11_fielded_bm25": adhoc.bm25f_topk_sql_oracle(
             "documents", "doc_id", "text", _BM25_QUERY, k=20
+        ),
+        "r11_search_on_title": adhoc.bm25f_topk_sql_oracle(
+            "documents", "doc_id", "text", _BM25_QUERY, k=20, search_fields=[0]
         ),
         "r11_bm25_conjunctive": adhoc.bm25_topk_sql_oracle(
             "documents", "doc_id", "text", _BM25_CONJ, k=20, matching="all"

@@ -92,6 +92,7 @@ def bm25f_topk_sql_oracle(
     title_tokens: int = 4,
     weights: tuple[float, float] = (2.0, 1.0),
     token_regex: str = "[a-z]+",
+    search_fields: list[int] | None = None,
 ) -> str:
     """DuckDB SQL for FIELDED BM25 (BM25F) over a deterministic two-field
     split of ``{text_col}``: field 0 (title) = the first ``title_tokens``
@@ -104,10 +105,20 @@ def bm25f_topk_sql_oracle(
     (SUM(dl)/n_docs — docs with an empty field count as length 0), weighted
     per-field scores summed per doc, matched-word count DISTINCT over base
     terms (a word hitting both fields is one match).
+
+    ``search_fields`` restricts MATCHING to the listed field ids
+    (attributesToSearchOn): only tf rows of those fields score, while
+    df/avgdl stay the per-field corpus statistics — exactly what the
+    engine's restricted term lookup leaves in the candidate set.
     """
     terms = list(dict.fromkeys(query_terms))
     terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     w0, w1 = float(weights[0]), float(weights[1])
+    field_where = (
+        f"WHERE tf.fid IN ({', '.join(str(int(f)) for f in search_fields)})"
+        if search_fields is not None
+        else ""
+    )
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_key, regexp_extract_all({text_col}, '{token_regex}') AS ts
@@ -142,6 +153,7 @@ JOIN df_t ON tf.fid = df_t.fid AND tf.term = df_t.term
 JOIN dl ON tf.doc_key = dl.doc_key AND tf.fid = dl.fid
 JOIN avgdl ON tf.fid = avgdl.fid
 JOIN w ON tf.fid = w.fid
+{field_where}
 GROUP BY tf.doc_key
 ORDER BY score DESC, doc_key ASC
 LIMIT {k}

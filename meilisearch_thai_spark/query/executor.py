@@ -16,6 +16,7 @@ MeiliSearch's internal index (SURVEY X1/X2/R11).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -603,6 +604,11 @@ class SearchEngine:
         self._fprefixes = (
             [f"{i}{FIELD_SEP}" for i in range(len(self.meta.fields))] if self._fp else []
         )
+        # attributesToSearchOn (MeiliSearch search param): when set, term
+        # LOOKUP fans out to these field prefixes only — scoring math is
+        # untouched (weights/df/avgdl ride the per-field term rows that
+        # remain).  None = all searchable attributes.
+        self._active_prefixes: list[str] | None = None
         # deleted docs (index/maintenance.py delete_docs): excluded exactly
         # in every scoring path; compact_index() resets the set — keep it
         # compacted before it grows unbounded (Lucene-style deletes).
@@ -747,6 +753,11 @@ class SearchEngine:
         resolves it identically (zero postings), and treating unknown as
         cold keeps this check a pure frozenset lookup with no vocab scan."""
         if not self._warm_enabled:
+            return False
+        if self._active_prefixes is not None and self._active_prefixes != self._fprefixes:
+            # warm rows pre-merge per-field scores; an attributesToSearchOn
+            # restriction cannot be applied there — route to the compressed
+            # path, whose term lookup honours the restriction exactly
             return False
         if self._warm_budget is None:
             return True
@@ -1050,13 +1061,57 @@ class SearchEngine:
         matches in ANY field, settings_manager.py:72-95) — the fan-out is a
         LOOKUP-set expansion only, scoring stays per (field, term) row."""
         by_term: dict[str, list[int]] = {}
+        prefixes = self._lookup_prefixes()
         for q in qterms:
-            if self._fprefixes:
-                for pre in self._fprefixes:
+            if prefixes:
+                for pre in prefixes:
                     by_term.setdefault(pre + q.term, []).append(q.variant_id)
             else:
                 by_term.setdefault(q.term, []).append(q.variant_id)
         return by_term
+
+    def _lookup_prefixes(self) -> list[str]:
+        """Field prefixes for query-time term lookup: the attributesToSearchOn
+        restriction when one is active, else every searchable attribute."""
+        return (
+            self._active_prefixes
+            if self._active_prefixes is not None
+            else self._fprefixes
+        )
+
+    @contextmanager
+    def search_on(self, attributes: list[str] | None):
+        """Restrict term lookup to the named searchable attributes for the
+        queries PLANNED inside the block (MeiliSearch ``attributesToSearchOn``,
+        default all).  Plans capture the restriction eagerly (literal term
+        maps / closures), so executing the returned DataFrames after the
+        block is safe.  Unknown fields are a request error (MeiliSearch
+        400s); requires a fielded index."""
+        if attributes is None:
+            yield
+            return
+        if not self._fp:
+            raise ValueError(
+                "attributes_to_search_on requires a multi-attribute index "
+                "(build_index(fields=[...]))"
+            )
+        if not attributes:
+            raise ValueError("attributes_to_search_on must name at least one field")
+        idx = {f: i for i, f in enumerate(self.meta.fields)}
+        bad = sorted(a for a in set(attributes) if a not in idx)
+        if bad:
+            raise ValueError(
+                f"unknown searchable attributes {bad}; index fields are "
+                f"{self.meta.fields}"
+            )
+        prev = self._active_prefixes
+        self._active_prefixes = [
+            f"{i}{FIELD_SEP}" for i in sorted({idx[a] for a in attributes})
+        ]
+        try:
+            yield
+        finally:
+            self._active_prefixes = prev
 
     def candidate_blocks(self, qterms: list[QueryTerm]) -> DataFrame:
         """Term lookup (X2): scan filter + literal term→variants expansion.
@@ -1206,7 +1261,7 @@ class SearchEngine:
         run = _make_bucket_topk(
             self.meta.k1, self.meta.b, self.meta.avgdl, self.meta.n_docs, k,
             required_terms or {}, phrase_terms, self._excluded_array(),
-            self._fp, self._fprefixes,
+            self._fp, self._lookup_prefixes(),
         )
         return blocks.mapInPandas(run, _TOPK_SCHEMA)
 
@@ -1294,7 +1349,7 @@ class SearchEngine:
         run = _make_filtered_bucket_topk(
             self.meta.k1, self.meta.b, self.meta.avgdl, self.meta.n_docs, k,
             required_terms or {}, phrase_terms, self._excluded_array(),
-            self._fp, self._fprefixes,
+            self._fp, self._lookup_prefixes(),
         )
         return (
             blocks.groupby("bucket")
@@ -1506,6 +1561,7 @@ class SearchEngine:
         sort: list[str] | None = None,
         attributes_to_retrieve: list[str] | None = None,
         distinct: str | None = None,
+        attributes_to_search_on: list[str] | None = None,
     ) -> DataFrame:
         """Single-variant BM25 top-k (the walking-skeleton API).
 
@@ -1518,7 +1574,17 @@ class SearchEngine:
         order (MeiliSearch sort semantics: sort fields first, relevance as
         tie-break) — with sort the top-k cannot prune by score, so the exact
         full-scoring path runs instead of the block-max heap.
+        ``attributes_to_search_on`` restricts matching to the named
+        searchable attributes of a fielded index (MeiliSearch
+        attributesToSearchOn, default all).
         """
+        if attributes_to_search_on is not None:
+            with self.search_on(attributes_to_search_on):
+                return self.search_terms(
+                    terms, k=k, matching=matching, filters=filters, sort=sort,
+                    attributes_to_retrieve=attributes_to_retrieve,
+                    distinct=distinct,
+                )
         uniq, prefixes, qterms, required = self._expand_matching(terms, matching)
         if distinct or sort:
             # exact full-scoring path: a block-max top-k could starve a
@@ -1646,9 +1712,8 @@ class SearchEngine:
         executor-side no matter how hot the terms are at 100×."""
         buckets = [int(b) for b in sorted({d // self.meta.bucket_span for d in doc_ids})]
         want_docs = {int(d) for d in doc_ids}
-        lookup = (
-            [p + t for t in terms for p in self._fprefixes] if self._fprefixes else list(terms)
-        )
+        pref = self._lookup_prefixes()
+        lookup = [p + t for t in terms for p in pref] if pref else list(terms)
         need = len(terms)
 
         def run(g: pd.DataFrame) -> pd.DataFrame:

@@ -93,6 +93,7 @@ class SearchService:
         crop_marker: str = "...",
         matching_strategy: str = "best",
         max_query_variants: int | None = None,
+        attributes_to_search_on: list[str] | None = None,
     ) -> SearchResponse:
         req = validate_request(
             SearchRequest(
@@ -141,17 +142,20 @@ class SearchService:
         # lookup; _postprocess keeps only the retrieve list on Hit.attributes
         fetch_attrs = list(dict.fromkeys((attributes_to_retrieve or []) + req.attributes_to_highlight))
         try:
-            rows = self.engine.multi_variant_page(
-                req.query,
-                k=max(fetch_k, 1),
-                min_score_threshold=req.min_score_threshold,
-                normalize=config.normalize,
-                filters=req.filters,
-                sort=req.sort or None,
-                attributes_to_retrieve=fetch_attrs or None,
-                pq=pq,  # carries matching_strategy/max_query_variants; also
-                # saves the engine a second Q1-Q8 pipeline pass
-            )
+            # attributesToSearchOn: restriction applies to every lookup the
+            # engine plans inside this block (MeiliSearch search param)
+            with self.engine.search_on(attributes_to_search_on):
+                rows = self.engine.multi_variant_page(
+                    req.query,
+                    k=max(fetch_k, 1),
+                    min_score_threshold=req.min_score_threshold,
+                    normalize=config.normalize,
+                    filters=req.filters,
+                    sort=req.sort or None,
+                    attributes_to_retrieve=fetch_attrs or None,
+                    pq=pq,  # carries matching_strategy/max_query_variants;
+                    # also saves the engine a second Q1-Q8 pipeline pass
+                )
         except Exception:
             # S6: execution failures ARE recorded (success=False) before the
             # error surfaces — without this, failed_queries could never be

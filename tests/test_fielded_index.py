@@ -261,3 +261,53 @@ def test_unfielded_index_unchanged(spark, tmp_path, corpus):
     eng = SearchEngine(spark, out, cache_postings=False)
     assert eng._fp is None and eng._fprefixes == []
     assert _hits(eng.search_terms(["apple"], k=5))
+
+
+def test_attributes_to_search_on_restricts_matching(cold):
+    # 'zebra' lives in 9000's TITLE and 9001's CONTENT
+    title_only = _hits(cold.search_terms(["zebra"], k=5, attributes_to_search_on=["title"]))
+    assert [u for u, _s, _m in title_only] == ["9000"]
+    content_only = _hits(cold.search_terms(["zebra"], k=5, attributes_to_search_on=["content"]))
+    assert [u for u, _s, _m in content_only] == ["9001"]
+    # naming every field == no restriction
+    both = _hits(cold.search_terms(["zebra"], k=5, attributes_to_search_on=FIELDS))
+    assert both == _hits(cold.search_terms(["zebra"], k=5))
+
+
+def test_attributes_to_search_on_restriction_is_scoped(cold):
+    # after a restricted call the engine answers unrestricted again
+    cold.search_terms(["zebra"], k=5, attributes_to_search_on=["title"]).collect()
+    assert [u for u, _s, _m in _hits(cold.search_terms(["zebra"], k=5))] == ["9000", "9001"]
+
+
+def test_attributes_to_search_on_warm_routes_to_compressed(warm, cold):
+    got = _hits(warm.search_terms(["zebra"], k=5, attributes_to_search_on=["content"]))
+    want = _hits(cold.search_terms(["zebra"], k=5, attributes_to_search_on=["content"]))
+    assert got == want == [(u, s, m) for u, s, m in got if u == "9001"]
+
+
+def test_attributes_to_search_on_validation(cold, spark, tmp_path, corpus):
+    with pytest.raises(ValueError, match="unknown searchable"):
+        cold.search_terms(["zebra"], attributes_to_search_on=["nope"])
+    with pytest.raises(ValueError, match="at least one"):
+        cold.search_terms(["zebra"], attributes_to_search_on=[])
+    flat = str(tmp_path / "idx_flat")
+    pages = spark.createDataFrame(
+        [(r["url"], None, None, r["title"] + " " + r["content"], r["lang"]) for r in corpus],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    build_index(spark, pages, flat)
+    with pytest.raises(ValueError, match="multi-attribute"):
+        SearchEngine(spark, flat, cache_postings=False).search_terms(
+            ["zebra"], attributes_to_search_on=["title"]
+        )
+
+
+def test_service_attributes_to_search_on(spark, fielded_index):
+    from meilisearch_thai_spark.query.service import SearchService
+
+    svc = SearchService(spark, fielded_index, cache_postings=False)
+    r = svc.search("zebra", limit=5, attributes_to_search_on=["title"])
+    assert [h.url for h in r.hits] == ["9000"]
+    r2 = svc.search("zebra", limit=5)
+    assert [h.url for h in r2.hits] == ["9000", "9001"]
