@@ -120,6 +120,23 @@ def crop_and_highlight(
     return prefix + marked + suffix, [g.group(0) for g in rx.finditer(window)]
 
 
+def match_positions(text: str, terms: list[str]) -> list[dict]:
+    """MeiliSearch ``_matchesPosition`` payload for one attribute value:
+    ``[{"start": ..., "length": ...}]`` for every term occurrence, in text
+    order.  Uses the same ZWSP-tolerant longest-first alternation as
+    :func:`crop_and_highlight`, so positions always agree with what the
+    ``_formatted`` view marks; offsets are CHARACTER offsets into the
+    unmodified attribute value (MeiliSearch documents bytes — chars are the
+    Python-side equivalent; regex matches are non-overlapping, so no merge
+    pass is needed)."""
+    rx = _terms_regex(terms)
+    if rx is None or not text:
+        return []
+    return [
+        {"start": m.start(), "length": len(m.group(0))} for m in rx.finditer(text)
+    ]
+
+
 def highlight_expr(text_col, terms: list[str], pre: str = HIGHLIGHT_PRE, post: str = HIGHLIGHT_POST):
     """Corpus-scale Spark twin of highlight generation (Column expression,
     whole-stage codegen — the shape used when exporting a `_formatted` column

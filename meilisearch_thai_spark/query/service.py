@@ -26,6 +26,7 @@ from .enhancer import (
     enhanced_score,
     extract_highlights,
     fuzzy_partial_confidence,
+    match_positions,
     relevance_factors,
     select_algorithm,
 )
@@ -51,6 +52,10 @@ class Hit:
     # attributesToHighlight payload (reference responses.py:16 `highlight`):
     # attr -> cropped text with <em> marks, string-valued stored fields only
     highlight: dict = field(default_factory=dict)
+    # showMatchesPosition payload (MeiliSearch _matchesPosition): attr ->
+    # [{"start", "length"}] over the unmodified attribute value; "text" keys
+    # the stored content field when the index carries one
+    matches_position: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -94,6 +99,7 @@ class SearchService:
         matching_strategy: str = "best",
         max_query_variants: int | None = None,
         attributes_to_search_on: list[str] | None = None,
+        show_matches_position: bool = False,
     ) -> SearchResponse:
         req = validate_request(
             SearchRequest(
@@ -168,12 +174,14 @@ class SearchService:
             req, pq, rows, algorithm, config, session_id, sort, t0, t_tok, t_search,
             include_tokenization_info=include_tokenization_info,
             attributes_to_retrieve=attributes_to_retrieve,
+            show_matches_position=show_matches_position,
         )
 
     def _postprocess(
         self, req, pq, rows, algorithm, config, session_id, sort, t0, t_tok, t_search,
         include_tokenization_info: bool = False,
         attributes_to_retrieve: list[str] | None = None,
+        show_matches_position: bool = False,
     ) -> SearchResponse:
         """Driver-side page finishing shared by search and batch_search:
         X7 content-dedup, pagination, E1 highlight generation, E3-E6
@@ -242,10 +250,28 @@ class SearchService:
             # actually change the ranking vs the control arm
             if config.thai_ratio_boost and has_content:
                 score *= 1.0 + config.thai_ratio_boost * _tr(text)
+            if show_matches_position:
+                # _matchesPosition over the UNMODIFIED values (not the crop):
+                # the stored content field plus every retrieved/highlighted
+                # string attribute
+                mp_sources = {}
+                if has_content:
+                    mp_sources["text"] = text
+                for a, v in {**h.get("attributes", {}), **h.get("hl_values", {})}.items():
+                    if isinstance(v, str):
+                        mp_sources[a] = v
+                mpos = {
+                    a: p
+                    for a, v in mp_sources.items()
+                    if (p := match_positions(v, hl_terms))
+                }
+            else:
+                mpos = {}
             out_hits.append(
                 Hit(
                     h["url"], h["doc_id"], score, h["variant_type"], h["terms_matched"],
                     highlights, rel, formatted, h.get("attributes", {}), attr_highlight,
+                    mpos,
                 )
             )
         if not sort:

@@ -83,3 +83,47 @@ def test_service_hits_carry_formatted(spark, tmp_path_factory):
     assert all(h.highlights for h in marked)
     # crop respected (crop_length default 200, Thai doubling cap 400)
     assert all(len(h.formatted) <= 400 + 40 for h in r.hits)
+
+
+def test_match_positions_exact_offsets():
+    """_matchesPosition: character offsets and lengths of every term
+    occurrence in the unmodified value, text order, non-overlapping."""
+    from meilisearch_thai_spark.query.enhancer import match_positions
+
+    text = "wakame salad with wakame dressing"
+    got = match_positions(text, ["wakame", "dressing"])
+    assert got == [
+        {"start": 0, "length": 6},
+        {"start": 18, "length": 6},
+        {"start": 25, "length": 8},
+    ]
+    for p in got:
+        assert text[p["start"] : p["start"] + p["length"]] in ("wakame", "dressing")
+    assert match_positions("", ["wakame"]) == []
+    assert match_positions(text, []) == []
+
+
+def test_service_show_matches_position(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.index.builder import build_index
+    from meilisearch_thai_spark.query.service import SearchService
+
+    out = str(tmp_path / "idx_mp")
+    rows = [("https://t/1", "wakame salad with wakame", "en")]
+    pages = spark.createDataFrame(rows, "url string, text string, lang string").select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+    build_index(spark, pages, out, store_text_crop=200)
+    svc = SearchService(spark, out, cache_postings=False)
+    r = svc.search("wakame", limit=5, show_matches_position=True)
+    assert r.hits and r.hits[0].matches_position["text"] == [
+        {"start": 0, "length": 6},
+        {"start": 18, "length": 6},
+    ]
+    r2 = svc.search("wakame", limit=5)  # off by default
+    assert r2.hits[0].matches_position == {}
