@@ -25,6 +25,7 @@ from meilisearch_thai_spark.pipeline import dedup as dd
 from meilisearch_thai_spark.pipeline import similarity as sim
 from meilisearch_thai_spark.pipeline import textstats as ts
 from meilisearch_thai_spark.pipeline import webtext as wtx
+from meilisearch_thai_spark.pipeline import weburl as wu
 from meilisearch_thai_spark.query import adhoc
 from meilisearch_thai_spark.query import ranker as rk
 
@@ -630,6 +631,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return wt.gopher_quality(_ml_docs(spark, sf), "gid", "text")
 
+    def _synth_urls(spark, sf):
+        # deterministic crawl-style urls over documents: case-variant host,
+        # default port, tracking params, fragments; path/id keyed mod 100 so
+        # several surface forms collapse to one canonical url (re-crawl dup)
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            F.expr(
+                "'HTTPS://WWW.Site' || cast(doc_id % 20 as string)"
+                " || '.Example.COM:443/Path/' || cast(doc_id % 100 as string)"
+                " || (case when doc_id % 3 = 0 then '?utm_source=feed&id=' else '?id=' end)"
+                " || cast(doc_id % 100 as string)"
+                " || (case when doc_id % 4 = 0 then '#frag' else '' end)"
+            ).alias("url"),
+        )
+
+    def weburl_normalize(spark, sf):
+        # RFC 3986 syntax normalization + tracking-param strip, pure Column
+        # codegen — the canonical key url-keyed dedup/upserts need at crawl
+        # scale
+        return wu.normalize_urls(_synth_urls(spark, sf), "doc_id", "url")
+
+    def weburl_host_stats(spark, sf):
+        # per-host rollup: n_docs vs DISTINCT canonical urls exposes
+        # re-crawl duplicates (here 5 surface forms per canonical page)
+        return wu.host_stats(
+            wu.normalize_urls(_synth_urls(spark, sf), "doc_id", "url")
+        )
+
     def webtext_contamination(spark, sf):
         # benchmark decontamination (GPT-3 style n-gram overlap): the "eval
         # set" is a deterministic token slice (tokens 4-21) of every 97th
@@ -749,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_gopher_quality": webtext_gopher_quality,
         "webtext_pii_mask": webtext_pii_mask,
         "webtext_contamination": webtext_contamination,
+        "weburl_normalize": weburl_normalize,
+        "weburl_host_stats": weburl_host_stats,
         "e1_highlight_extract": e1_highlight_extract,
         "e1_highlight_generate": e1_highlight_generate,
         "r7_rank_algorithm": r7_rank_algorithm,
@@ -1015,6 +1046,30 @@ SELECT doc_key, md5(clean_text) AS clean_md5, n_kept, n_removed FROM q
 WITH {_WT_ML_SQL},
 q AS ({wtx.gopher_quality_sql('ml', 'gid', 'text')})
 SELECT * FROM q
+""",
+        "weburl_normalize": f"""
+WITH synth AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Site' || (doc_id % 20) || '.Example.COM:443/Path/' || (doc_id % 100)
+         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' ELSE '?id=' END
+         || (doc_id % 100)
+         || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+q AS ({wu.normalize_urls_sql('synth', 'doc_id', 'url')})
+SELECT * FROM q
+""",
+        "weburl_host_stats": f"""
+WITH synth AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Site' || (doc_id % 20) || '.Example.COM:443/Path/' || (doc_id % 100)
+         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' ELSE '?id=' END
+         || (doc_id % 100)
+         || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+hs AS ({wu.host_stats_sql(wu.normalize_urls_sql('synth', 'doc_id', 'url'))})
+SELECT * FROM hs
 """,
         "webtext_contamination": f"""
 WITH bench AS (

@@ -1,0 +1,137 @@
+"""URL hygiene operators for crawled-web corpora.
+
+The reference keys every document by its source url
+(src/meilisearch_integration/document_processor.py uses the page url as the
+primary key); at crawl scale the SAME page arrives under many surface forms
+(case-variant hosts, default ports, tracking parameters, fragments), so a
+100 TB pipeline canonicalizes urls BEFORE url-keyed dedup/upserts — else
+re-crawls of `HTTPS://Site/?utm_source=x` and `https://site/` index twice.
+The rules here are the standard public canonicalization set (RFC 3986 §6
+syntax-based normalization + the common tracking-parameter strip):
+
+- lowercase scheme and host (path/query stay case-sensitive per RFC 3986)
+- drop the fragment (never sent to the server)
+- drop the scheme's default port (:80 http, :443 https)
+- drop tracking parameters (utm_*, gclid, fbclid), then the bare '?'
+- registered domain = last two host labels (documented approximation; a
+  public-suffix list lookup is the production upgrade and slots in here)
+
+Everything is a pure per-row Column expression (regexps restricted to the
+Java-regex / RE2 common subset so the DuckDB oracle is exact) — zero
+shuffle, whole-stage codegen, same contract as textstats/gopher.  The
+host rollup is one groupBy with map-side combine; mega-hosts are bounded
+by the combine (one partial row per partition per host).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tracking-parameter names dropped during normalization (public lists:
+# Google/Facebook click ids + the urchin tracking module family)
+TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid)="
+
+
+def normalize_urls(docs: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Canonicalize urls → (doc_key, url, norm_url, host, domain).
+
+    ``host`` is the lowercased, default-port-stripped authority;
+    ``domain`` the last two host labels ('' when the host has fewer).
+    """
+    u = F.regexp_replace(F.col(url_col), "#.*$", "")  # fragment off first
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z]+)://", 1))
+    raw_host = F.lower(F.regexp_extract(u, "^[A-Za-z]+://([^/?]+)", 1))
+    path = F.regexp_extract(u, "^[A-Za-z]+://[^/?]*([^?]*)", 1)
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    host = F.when(
+        ((scheme == "https") & raw_host.endswith(":443"))
+        | ((scheme == "http") & raw_host.endswith(":80")),
+        F.regexp_replace(raw_host, ":[0-9]+$", ""),
+    ).otherwise(raw_host)
+    base = docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.col(url_col).alias("url"),
+        scheme.alias("scheme"),
+        host.alias("host"),
+        path.alias("path"),
+        query.alias("query"),
+    )
+    q = F.expr(
+        "array_join(filter(split(query, '&'),"
+        f" p -> p != '' AND NOT p rlike '{TRACKING_PARAM_RE}'), '&')"
+    )
+    return base.select(
+        "doc_key",
+        "url",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.col("host"),
+            F.col("path"),
+            F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        ).alias("norm_url"),
+        "host",
+        F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1).alias("domain"),
+    )
+
+
+def normalize_urls_sql(table: str, id_col: str, url_col: str) -> str:
+    """DuckDB twin of :func:`normalize_urls`."""
+    return f"""
+WITH s1 AS (
+  SELECT {id_col} AS doc_key, {url_col} AS url,
+         regexp_replace({url_col}, '#.*$', '') AS u
+  FROM {table}
+),
+parts AS (
+  SELECT doc_key, url,
+         lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+         lower(regexp_extract(u, '^[A-Za-z]+://([^/?]+)', 1)) AS raw_host,
+         regexp_extract(u, '^[A-Za-z]+://[^/?]*([^?]*)', 1) AS path,
+         regexp_extract(u, '\\?(.*)$', 1) AS query
+  FROM s1
+),
+np AS (
+  SELECT doc_key, url, scheme,
+         CASE WHEN (scheme = 'https' AND raw_host LIKE '%:443')
+                OR (scheme = 'http' AND raw_host LIKE '%:80')
+              THEN regexp_replace(raw_host, ':[0-9]+$', '') ELSE raw_host END AS host,
+         path,
+         array_to_string(list_filter(string_split(query, '&'),
+           p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}')), '&') AS q
+  FROM parts
+)
+SELECT doc_key, url,
+       scheme || '://' || host || path
+         || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS norm_url,
+       host,
+       regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+FROM np
+"""
+
+
+def host_stats(urls: DataFrame) -> DataFrame:
+    """Per-host rollup over :func:`normalize_urls` output →
+    (host, domain, n_docs, n_urls): document count and DISTINCT canonical
+    urls — ``n_docs > n_urls`` means the crawl fetched the same canonical
+    page more than once (re-crawls / tracking-param variants), the signal
+    behind url-level dedup and per-host crawl budgets.
+
+    One groupBy with partial aggregation; count(DISTINCT) rewrites to a
+    two-phase expand internally, still map-side combined per host."""
+    return urls.groupBy("host", "domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("norm_url").cast("long").alias("n_urls"),
+    )
+
+
+def host_stats_sql(urls_sql: str) -> str:
+    """DuckDB twin of :func:`host_stats` over the normalize_urls_sql text."""
+    return f"""
+WITH u AS ({urls_sql})
+SELECT host, domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_urls
+FROM u GROUP BY 1, 2
+"""

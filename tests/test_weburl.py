@@ -1,0 +1,50 @@
+"""URL canonicalization (RFC 3986 syntax normalization + tracking-param
+strip) and per-host crawl rollups — the canonical key url-keyed dedup needs."""
+
+from __future__ import annotations
+
+from meilisearch_thai_spark.pipeline.weburl import host_stats, normalize_urls
+
+
+def _norm(spark, url):
+    df = spark.createDataFrame([(1, url)], "id long, url string")
+    return normalize_urls(df, "id", "url").collect()[0]
+
+
+def test_normalization_rules(spark):
+    r = _norm(spark, "HTTPS://WWW.Example.COM:443/Path/One?utm_source=x&id=7&gclid=z#sec")
+    assert r["norm_url"] == "https://www.example.com/Path/One?id=7"
+    assert r["host"] == "www.example.com"
+    assert r["domain"] == "example.com"
+
+
+def test_path_case_and_nondefault_port_preserved(spark):
+    r = _norm(spark, "http://Site.ORG:8080/CaseSensitive?Q=Mixed")
+    assert r["norm_url"] == "http://site.org:8080/CaseSensitive?Q=Mixed"
+    assert r["host"] == "site.org:8080"  # 8080 is not http's default
+
+
+def test_default_port_only_for_matching_scheme(spark):
+    # :443 on plain http is NOT the default port — must stay
+    r = _norm(spark, "http://a.example.com:443/x")
+    assert r["norm_url"] == "http://a.example.com:443/x"
+
+
+def test_all_params_tracking_drops_question_mark(spark):
+    r = _norm(spark, "https://a.example.com/x?utm_source=a&utm_medium=b")
+    assert r["norm_url"] == "https://a.example.com/x"
+
+
+def test_host_stats_counts_canonical_duplicates(spark):
+    rows = [
+        (1, "https://a.example.com/p?id=1"),
+        (2, "HTTPS://A.Example.com/p?id=1&utm_source=x"),  # same canonical
+        (3, "https://a.example.com/p?id=2"),
+        (4, "https://b.example.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {
+        r["host"]: (r["n_docs"], r["n_urls"])
+        for r in host_stats(normalize_urls(df, "id", "url")).collect()
+    }
+    assert got == {"a.example.com": (3, 2), "b.example.com": (1, 1)}
