@@ -26,6 +26,7 @@ from meilisearch_thai_spark.pipeline import similarity as sim
 from meilisearch_thai_spark.pipeline import textstats as ts
 from meilisearch_thai_spark.pipeline import webtext as wtx
 from meilisearch_thai_spark.pipeline import weburl as wu
+from meilisearch_thai_spark.pipeline import sampling as smp
 from meilisearch_thai_spark.query import adhoc
 from meilisearch_thai_spark.query import ranker as rk
 
@@ -646,6 +647,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("url"),
         )
 
+    def sample_stratified(spark, sf):
+        # deterministic hash-based stratified sampling (mixture construction:
+        # per-language keep fractions) — bit-reproducible on any engine or
+        # cluster size, unlike DataFrame.sample's partition-dependent seed
+        return smp.stratified_sample(
+            _t(spark, sf, "documents"), "doc_id", "lang",
+            {"en": 0.1, "zh": 0.5, "es": 1.0}, seed="mix1",
+        ).select("doc_id", "lang")
+
     def weburl_normalize(spark, sf):
         # RFC 3986 syntax normalization + tracking-param strip, pure Column
         # codegen — the canonical key url-keyed dedup/upserts need at crawl
@@ -778,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_gopher_quality": webtext_gopher_quality,
         "webtext_pii_mask": webtext_pii_mask,
         "webtext_contamination": webtext_contamination,
+        "sample_stratified": sample_stratified,
         "weburl_normalize": weburl_normalize,
         "weburl_host_stats": weburl_host_stats,
         "e1_highlight_extract": e1_highlight_extract,
@@ -1047,6 +1058,11 @@ WITH {_WT_ML_SQL},
 q AS ({wtx.gopher_quality_sql('ml', 'gid', 'text')})
 SELECT * FROM q
 """,
+        "sample_stratified": "SELECT doc_id, lang FROM ("
+        + smp.stratified_sample_sql(
+            "documents", "doc_id", "lang", {"en": 0.1, "zh": 0.5, "es": 1.0}, seed="mix1"
+        )
+        + ")",
         "weburl_normalize": f"""
 WITH synth AS (
   SELECT doc_id,

@@ -36,3 +36,44 @@ def test_pair_order_and_duplicates_irrelevant(spark):
     # reversed and repeated pairs produce the same clustering
     got = _cc(spark, [(5, 4), (4, 5), (5, 4), (6, 5)])
     assert got == {4: 4, 5: 4, 6: 4}
+
+
+def test_deterministic_sample_nested_and_reproducible(spark):
+    """Hash-based sampling: same (seed, id) decision on every run, nested
+    fractions give nested samples, disjoint seeds differ."""
+    from meilisearch_thai_spark.pipeline.sampling import deterministic_sample
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.10, "a").collect()}
+    s10b = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.10, "a").collect()}
+    s30 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.30, "a").collect()}
+    other = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.10, "b").collect()}
+    assert s10 == s10b
+    assert s10 <= s30
+    assert other != s10
+    assert 0.05 < len(s10) / 2000 < 0.15 and 0.25 < len(s30) / 2000 < 0.35
+
+
+def test_stratified_sample_fractions_and_default(spark):
+    from meilisearch_thai_spark.pipeline.sampling import stratified_sample
+
+    docs = spark.range(0, 3000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 3 = 0 THEN 'keep' WHEN id % 3 = 1 THEN 'half' ELSE 'drop' END AS s"
+    )
+    got = stratified_sample(docs, "doc_id", "s", {"keep": 1.0, "half": 0.5}).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["s"], set()).add(r["doc_id"])
+    assert len(by.get("keep", set())) == 1000       # fraction 1.0 keeps all
+    assert "drop" not in by                          # default 0.0 drops all
+    assert 400 < len(by["half"]) < 600
+
+
+def test_sample_fraction_validation(spark):
+    import pytest
+
+    from meilisearch_thai_spark.pipeline.sampling import deterministic_sample
+
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="fraction"):
+        deterministic_sample(docs, "doc_id", 1.5)
