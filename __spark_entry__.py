@@ -669,6 +669,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             wu.normalize_urls(_synth_urls(spark, sf), "doc_id", "url")
         )
 
+    def webtext_html_extract(spark, sf):
+        # crawl-grade HTML -> text extraction over deterministically
+        # synthesized pages (title/head/script/style/comments/entities) —
+        # pure Column codegen, exact DuckDB twin
+        synth = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.expr(
+                "'<html><head><TITLE>Doc ' || cast(doc_id as string) || '</title>"
+                "<style>p{color:red}</style><script>var x=1;</script></head>"
+                "<body><!-- nav --><h1>Heading ' || cast(doc_id as string) || '</h1>"
+                "<p>' || text || '</p><div>tail &amp; more &lt;stuff&gt;</div>"
+                "</body></html>'"
+            ).alias("html"),
+        )
+        return wtx.extract_html_text(synth, "doc_id", "html")
+
     def webtext_contamination(spark, sf):
         # benchmark decontamination (GPT-3 style n-gram overlap): the "eval
         # set" is a deterministic token slice (tokens 4-21) of every 97th
@@ -788,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_gopher_quality": webtext_gopher_quality,
         "webtext_pii_mask": webtext_pii_mask,
         "webtext_contamination": webtext_contamination,
+        "webtext_html_extract": webtext_html_extract,
         "sample_stratified": sample_stratified,
         "weburl_normalize": weburl_normalize,
         "weburl_host_stats": weburl_host_stats,
@@ -1086,6 +1103,17 @@ WITH synth AS (
 ),
 hs AS ({wu.host_stats_sql(wu.normalize_urls_sql('synth', 'doc_id', 'url'))})
 SELECT * FROM hs
+""",
+        "webtext_html_extract": f"""
+WITH synth AS (
+  SELECT doc_id,
+         '<html><head><TITLE>Doc ' || doc_id || '</title><style>p{{color:red}}</style>'
+         || '<script>var x=1;</script></head><body><!-- nav --><h1>Heading ' || doc_id
+         || '</h1><p>' || text || '</p><div>tail &amp; more &lt;stuff&gt;</div></body></html>' AS html
+  FROM documents
+),
+q AS ({wtx.extract_html_text_sql('synth', 'doc_id', 'html')})
+SELECT * FROM q
 """,
         "webtext_contamination": f"""
 WITH bench AS (

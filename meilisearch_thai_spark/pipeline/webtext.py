@@ -485,3 +485,90 @@ SELECT b.doc_key,
        COALESCE(a.contaminated_bp, 0) AS contaminated_bp
 FROM base b LEFT JOIN agg a USING (doc_key)
 """
+
+
+# HTML → text extraction regexes (Java-regex / RE2 common subset: inline
+# (?is) flags, non-greedy .*?, literal classes; NO backreferences — RE2 has
+# none, so container tags are dropped one pattern per tag name).  A full
+# HTML5 parser is out of scope by design: these are the C4/CCNet-style
+# crawl heuristics, not a DOM implementation.
+# head drops last of the containers: the title is extracted BEFORE body
+# processing, so the whole head section (meta/link/title noise) can go
+_HTML_DROP_TAGS = ["script", "style", "noscript", "template", "head"]
+_HTML_DROP_RE = "(?is)<{tag}[^>]*>.*?</{tag}>"
+_HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+_HTML_BLOCK_RE = r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/table|/section|/article)[^>]*>"
+_HTML_TAG_RE = r"<[^>]+>"
+_HTML_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+_HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"),
+]
+
+
+def extract_html_text(docs: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Crawl-grade HTML → text extraction → (doc_key, title, text).
+
+    The pages schema carries raw ``html`` precisely so this stage can run
+    inside the pipeline (reference document_processor.py receives
+    pre-extracted text from its crawler; at 100 TB the extraction IS
+    pipeline work).  Heuristic chain — drop script/style/noscript/template
+    and comments, break at block-level closers, strip remaining tags,
+    decode the six common entities, collapse whitespace — pure per-row
+    Column codegen, zero shuffle, same determinism contract as the other
+    webtext operators (the DuckDB oracle is exact).
+
+    ``&amp;`` decodes LAST so author-escaped markup (``&amp;lt;``) cannot
+    re-form an entity.  Pass a string column (cast binary html yourself —
+    charset detection is the caller's policy)."""
+    def _decode_entities(col):
+        for ent, rep in _HTML_ENTITIES:
+            if ent != "&amp;":
+                col = F.replace(col, F.lit(ent), F.lit(rep))
+        return F.replace(col, F.lit("&amp;"), F.lit("&"))
+
+    # NULL html (failed fetch) yields empty outputs, not NULL propagation
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    title = F.trim(_decode_entities(F.regexp_extract(h, _HTML_TITLE_RE, 1)))
+    body = h
+    for tag in _HTML_DROP_TAGS:
+        body = F.regexp_replace(body, _HTML_DROP_RE.format(tag=tag), "")
+    body = F.regexp_replace(body, _HTML_COMMENT_RE, "")
+    body = F.regexp_replace(body, _HTML_BLOCK_RE, "\n")
+    body = F.regexp_replace(body, _HTML_TAG_RE, " ")
+    body = _decode_entities(body)
+    body = F.regexp_replace(body, r"[ \t\r]+", " ")
+    body = F.regexp_replace(body, r" ?\n ?", "\n")
+    body = F.regexp_replace(body, r"\n{2,}", "\n")
+    return docs.select(
+        F.col(id_col).alias("doc_key"),
+        title.alias("title"),
+        F.trim(body).alias("text"),
+    )
+
+
+def extract_html_text_sql(table: str, id_col: str, html_col: str) -> str:
+    """DuckDB twin of :func:`extract_html_text`."""
+    html_col = f"COALESCE({html_col}, '')"
+    ent_chain = "{col}"
+    for ent, rep in _HTML_ENTITIES:
+        if ent != "&amp;":
+            rep_sql = rep.replace("'", "''")
+            ent_chain = f"replace({ent_chain}, '{ent}', '{rep_sql}')"
+    ent_chain = f"replace({ent_chain}, '&amp;', '&')"
+    body = html_col
+    for tag in _HTML_DROP_TAGS:
+        body = f"regexp_replace({body}, '{_HTML_DROP_RE.format(tag=tag)}', '', 'g')"
+    body = f"regexp_replace({body}, '{_HTML_COMMENT_RE}', '', 'g')"
+    body = f"regexp_replace({body}, '{_HTML_BLOCK_RE}', chr(10), 'g')"
+    body = f"regexp_replace({body}, '{_HTML_TAG_RE}', ' ', 'g')"
+    body = ent_chain.format(col=body)
+    body = f"regexp_replace({body}, '[ \\t\\r]+', ' ', 'g')"
+    body = f"regexp_replace({body}, ' ?\\n ?', chr(10), 'g')"
+    body = f"regexp_replace({body}, '\\n{{2,}}', chr(10), 'g')"
+    return f"""
+SELECT {id_col} AS doc_key,
+       trim({ent_chain.format(col=f"regexp_extract({html_col}, '{_HTML_TITLE_RE}', 1)")}) AS title,
+       trim({body}) AS text
+FROM {table}
+"""

@@ -184,3 +184,32 @@ def test_duplicate_spans_semantics(spark):
     assert out[1].n_dup_spans >= 1 and out[2].n_dup_spans >= 1
     assert out[3].n_dup_spans == 0 and out[3].n_spans > 0
     assert out[4].n_spans == 0 and out[4].dup_span_bp == 0
+
+
+def test_extract_html_text_semantics(spark):
+    """HTML extraction: script/style/head/comments dropped, block closers
+    become newlines, entities decoded (&amp; last), title captured."""
+    from meilisearch_thai_spark.pipeline.webtext import extract_html_text
+
+    html = (
+        "<html><head><title> My &amp; Page </title><script>x&lt;1</script></head>"
+        "<body><p>first</p><p>second &amp;lt; stays</p>"
+        "<ul><li>a</li><li>b</li></ul><!-- hidden -->"
+        "<div>x &lt;tag&gt; &quot;q&quot; &#39;s&#39; y</div></body></html>"
+    )
+    docs = spark.createDataFrame([(1, html), (2, "no tags at all"), (3, None)],
+                                 "id long, html string")
+    got = {r["doc_key"]: (r["title"], r["text"])
+           for r in extract_html_text(docs, "id", "html").collect()}
+    title, text = got[1]
+    assert title == "My & Page"
+    assert "x<1" not in text and "script" not in text  # head+script gone
+    assert "hidden" not in text
+    lines = text.split("\n")
+    assert lines[0] == "first"
+    # author-escaped &amp;lt; must decode to literal '&lt;', NOT re-form '<'
+    assert "second &lt; stays" in lines[1]
+    assert "a\nb" in text
+    assert 'x <tag> "q" \'s\' y' in text
+    assert got[2] == ("", "no tags at all")
+    assert got[3] == ("", "")  # NULL html -> empty, not a crash
