@@ -56,6 +56,10 @@ class Hit:
     # [{"start", "length"}] over the unmodified attribute value; "text" keys
     # the stored content field when the index carries one
     matches_position: dict = field(default_factory=dict)
+    # showRankingScoreDetails payload: how Hit.score was composed — the
+    # variant-weighted BM25 base and each multiplicative boost actually
+    # applied.  Empty unless requested.
+    score_details: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -100,6 +104,7 @@ class SearchService:
         max_query_variants: int | None = None,
         attributes_to_search_on: list[str] | None = None,
         show_matches_position: bool = False,
+        show_ranking_score_details: bool = False,
     ) -> SearchResponse:
         req = validate_request(
             SearchRequest(
@@ -175,6 +180,7 @@ class SearchService:
             include_tokenization_info=include_tokenization_info,
             attributes_to_retrieve=attributes_to_retrieve,
             show_matches_position=show_matches_position,
+            show_ranking_score_details=show_ranking_score_details,
         )
 
     def _postprocess(
@@ -182,6 +188,7 @@ class SearchService:
         include_tokenization_info: bool = False,
         attributes_to_retrieve: list[str] | None = None,
         show_matches_position: bool = False,
+        show_ranking_score_details: bool = False,
     ) -> SearchResponse:
         """Driver-side page finishing shared by search and batch_search:
         X7 content-dedup, pagination, E1 highlight generation, E3-E6
@@ -242,14 +249,30 @@ class SearchService:
             from ..tokenizer import thai_ratio as _tr
 
             exact = q_lower in text.lower() and has_content
-            score = enhanced_score(h["score"], 0, _tr(text) if has_content else 0.0, False)
-            if exact:
-                score *= 2.0
+            tr_val = _tr(text) if has_content else 0.0
+            base_score = float(h["score"])
+            score = enhanced_score(base_score, 0, tr_val, False)
+            enh_mult = score / base_score if base_score else 1.0
+            exact_mult = 2.0 if exact else 1.0
+            score *= exact_mult
             # R7 algorithm-specific boost (rank_hits semantics on the
             # collected page): experimental_score's thai-ratio boost must
             # actually change the ranking vs the control arm
+            algo_mult = 1.0
             if config.thai_ratio_boost and has_content:
-                score *= 1.0 + config.thai_ratio_boost * _tr(text)
+                algo_mult = 1.0 + config.thai_ratio_boost * tr_val
+                score *= algo_mult
+            score_details = (
+                {
+                    "bm25_weighted": base_score,      # variant-weighted BM25
+                    "enhanced_multiplier": round(enh_mult, 6),   # E5 thai-ratio
+                    "exact_match_multiplier": exact_mult,        # R3
+                    "algorithm_multiplier": round(algo_mult, 6),  # R7
+                    "final": score,
+                }
+                if show_ranking_score_details
+                else {}
+            )
             if show_matches_position:
                 # _matchesPosition over the UNMODIFIED values (not the crop):
                 # the stored content field plus every retrieved/highlighted
@@ -271,7 +294,7 @@ class SearchService:
                 Hit(
                     h["url"], h["doc_id"], score, h["variant_type"], h["terms_matched"],
                     highlights, rel, formatted, h.get("attributes", {}), attr_highlight,
-                    mpos,
+                    mpos, score_details,
                 )
             )
         if not sort:

@@ -184,3 +184,25 @@ def test_matching_strategy_override_and_variant_cap(spark, tmp_path_factory):
         svc.search("x", max_query_variants=0)
     with pytest.raises(ValueError, match="matching_strategy"):
         svc.search("x", matching_strategy="nope")
+
+
+def test_show_ranking_score_details(service):
+    """showRankingScoreDetails: the factor breakdown must multiply out to
+    the reported score exactly, and stays empty unless requested."""
+    svc = service
+    r = svc.search("สาหร่ายวากาเมะ", limit=3, show_ranking_score_details=True)
+    assert r.hits
+    for h in r.hits:
+        d = h.score_details
+        assert set(d) == {
+            "bm25_weighted", "enhanced_multiplier", "exact_match_multiplier",
+            "algorithm_multiplier", "final",
+        }
+        recomposed = (
+            d["bm25_weighted"] * d["enhanced_multiplier"]
+            * d["exact_match_multiplier"] * d["algorithm_multiplier"]
+        )
+        assert abs(recomposed - d["final"]) < 1e-4 * max(1.0, d["final"])
+        assert d["final"] == h.score
+    r2 = svc.search("สาหร่ายวากาเมะ", limit=3)
+    assert r2.hits[0].score_details == {}
