@@ -1016,8 +1016,8 @@ WHERE l_shipdate <= DATE '2001-09-01'
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "x11_distinct_search": f"""
-SELECT doc_key, ROUND(score, 4) AS score, lang FROM (
-  SELECT b.doc_key, b.score, d.lang,
+SELECT doc_key, ROUND(raw_score, 4) AS score, lang FROM (
+  SELECT b.doc_key, b.score AS raw_score, d.lang,
          ROW_NUMBER() OVER (
            PARTITION BY COALESCE(CAST(d.lang AS VARCHAR),
                                  chr(0) || 'doc:' || CAST(b.doc_key AS VARCHAR))
@@ -1025,7 +1025,7 @@ SELECT doc_key, ROUND(score, 4) AS score, lang FROM (
   FROM ({adhoc.bm25_topk_sql_oracle('documents', 'doc_id', 'text', _BM25_QUERY, k=1000000000, round_score=False)}) b
   JOIN documents d ON b.doc_key = d.doc_id
 ) WHERE rn = 1
-ORDER BY score DESC, doc_key ASC LIMIT 5
+ORDER BY raw_score DESC, doc_key ASC LIMIT 5
 """,
         "q10_suffix_completion": """
 WITH toks AS (

@@ -396,6 +396,7 @@ def connected_components(
         .localCheckpoint()
     )
     labels = e.select("u").distinct().withColumn("component", F.col("u")).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         neigh = e.join(
             labels.withColumnRenamed("u", "v"), "v"
@@ -416,8 +417,20 @@ def connected_components(
         labels.unpersist()
         labels = new
         if changed == 0:
+            converged = True
             break
     e.unpersist()
+    if not converged:
+        # returning the intermediate labels would SILENTLY split clusters
+        # (keep-one-per-cluster would then keep several copies) — crash loud
+        # instead; pathological diameters want a larger max_iter or a
+        # pointer-doubling/large-star variant
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (graph diameter exceeds the round budget); raise "
+            "max_iter — labels at this point would be wrong, not approximate"
+        )
     return labels.select(F.col("u").alias("node"), "component")
 
 

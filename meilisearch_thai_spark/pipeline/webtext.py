@@ -399,10 +399,11 @@ def benchmark_contamination(
     Docs with ``contaminated_bp > 0`` overlap the benchmark and would leak
     eval answers into training; callers drop or audit them.
 
-    Scale shape: the benchmark gram set is tiny next to a 100 TB corpus, so
-    the overlap check is a BROADCAST semi-join — the corpus's exploded gram
-    stream never shuffles; only (doc, matched-gram) survivors reach the
-    per-doc groupBy (map-side combine).  At full scale hash grams
+    Scale shape: ONE shuffle total.  Per-doc gram dedup happens INSIDE the
+    row (``array_distinct`` over the gram array — narrow, no exchange), the
+    benchmark gram set is tiny next to a 100 TB corpus so the overlap check
+    is a BROADCAST join on the exploded stream, and the only exchange is the
+    per-doc count groupBy (map-side combine).  At full scale hash grams
     (xxhash64) instead of carrying strings through the explode.
 
     Fractions in integer basis points (bit-stable across engines).
@@ -420,8 +421,8 @@ def benchmark_contamination(
         F.filter(F.split(F.col(text_col), word_split), lambda t: t != "").alias("ws"),
     ).select("doc_key", spans_arr("ws").alias("grams"))
     doc_grams = base.select(
-        "doc_key", F.explode_outer("grams").alias("gram")
-    ).dropDuplicates(["doc_key", "gram"])
+        "doc_key", F.explode_outer(F.array_distinct("grams")).alias("gram")
+    )
     bench_grams = (
         benchmark.select(
             F.filter(

@@ -1086,7 +1086,12 @@ class SearchEngine:
         default all).  Plans capture the restriction eagerly (literal term
         maps / closures), so executing the returned DataFrames after the
         block is safe.  Unknown fields are a request error (MeiliSearch
-        400s); requires a fielded index."""
+        400s); requires a fielded index.
+
+        NOT thread-safe (sets engine-level state for the duration of the
+        block, like every other mutable engine cache): an engine is a
+        single-request planner — concurrent requests need one engine per
+        thread, or serialized planning."""
         if attributes is None:
             yield
             return
@@ -1272,6 +1277,22 @@ class SearchEngine:
         memoized per engine, so repeated/warm queries pay nothing.  A term
         absent from the index gets df=0 (sorts first — required earliest —
         which keeps unknown terms from silently relaxing)."""
+        restricted = (
+            self._active_prefixes is not None
+            and self._active_prefixes != self._fprefixes
+        )
+        if restricted:
+            # attributesToSearchOn: dfs must reflect the SEARCHED fields only
+            # ('frequency' ordering would otherwise rank by fields the query
+            # cannot match) — computed fresh, NOT memoized: the shared
+            # _df_cache holds all-field values and must stay unpolluted
+            pref = self._active_prefixes
+            src = self.postings.filter(
+                F.col("term").isin([p + t for t in sorted(set(terms)) for p in pref])
+            ).select(F.substring_index("term", FIELD_SEP, -1).alias("term"), "df")
+            rows = src.groupBy("term").agg(F.max("df").alias("df")).collect()
+            found = {r["term"]: int(r["df"]) for r in rows}
+            return {t: found.get(t, 0) for t in terms}
         missing = sorted({t for t in terms if t not in self._df_cache})
         if missing:
             if self._fprefixes:
@@ -1897,8 +1918,9 @@ class SearchEngine:
         stays proportional to the QUERY, not the corpus: the postings read
         prunes to the query terms' blocks (term INSET pushdown), only those
         blocks decode, and the counts aggregate with map-side combine.
-        Facet columns are whatever ``build_index(store_fields=...)`` put on
-        doc_stats (plus url/lang/doc_len)."""
+        Facet fields are the public attribute surface: the build's declared
+        ``stored_fields`` plus url/lang/text_crop when present (internal
+        index columns like doc_len are not facetable)."""
         missing = [f for f in facets if f not in self._public_fields()]
         if missing:
             raise ValueError(
@@ -2001,6 +2023,10 @@ class SearchEngine:
                 F.min("value").alias("min_value"),
                 F.max("value").alias("max_value"),
             )
+            # a facet whose every matching value is NULL has no stats — omit
+            # the row (MeiliSearch omits such facets; min/max over all-NULL
+            # would otherwise emit a (facet, NULL, NULL) row)
+            .filter(F.col("min_value").isNotNull())
         )
 
     def batch_multi_variant_page(

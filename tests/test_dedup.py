@@ -77,3 +77,14 @@ def test_sample_fraction_validation(spark):
     docs = spark.range(5).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError, match="fraction"):
         deterministic_sample(docs, "doc_id", 1.5)
+
+
+def test_cc_raises_on_nonconvergence_instead_of_wrong_labels(spark):
+    import pytest
+
+    from meilisearch_thai_spark.pipeline.dedup import connected_components
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(10, 16)],
+                                 "left_key long, right_key long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iter=2)

@@ -177,3 +177,28 @@ def test_max_values_per_facet(spark, idx):
         ["wakame", "salad", "recipe", "guide"], ["url"], max_values_per_facet=2
     ).collect()
     assert len(rows) == 2  # 4 matching urls capped to top 2
+
+
+def test_facet_stats_all_null_facet_omitted(spark, tmp_path):
+    """A numeric facet whose every matching value is NULL yields no row
+    (MeiliSearch omits such facets) — not a (facet, NULL, NULL) row or a
+    service-side TypeError."""
+    out = str(tmp_path / "idx_nullstats")
+    rows = [
+        ("https://t/1", "wakame salad", "th", None),
+        ("https://t/2", "wakame soup", "en", None),
+        ("https://t/3", "unrelated text", "fr", 5),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, text string, lang string, views long"
+    ).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text", "lang", "views",
+    )
+    build_index(spark, pages, out, stored_fields=["views"])
+    eng = SearchEngine(spark, out, cache_postings=False)
+    assert eng.facet_stats(["wakame"], ["views"]).collect() == []
+    svc = SearchService(spark, out, cache_postings=False)
+    assert svc.facet_stats("wakame", ["views"]) == {}

@@ -311,3 +311,14 @@ def test_service_attributes_to_search_on(spark, fielded_index):
     assert [h.url for h in r.hits] == ["9000"]
     r2 = svc.search("zebra", limit=5)
     assert [h.url for h in r2.hits] == ["9000", "9001"]
+
+
+def test_term_dfs_respects_search_on_without_cache_pollution(cold):
+    # 'zebra': title of 9000 only (df 1 per restriction), but content of
+    # 9001 too unrestricted (df = max over fields)
+    full = cold.term_dfs(["zebra"])["zebra"]
+    with cold.search_on(["title"]):
+        title_df = cold.term_dfs(["zebra"])["zebra"]
+    assert title_df == 1 and full >= 1
+    # restricted lookups must not poison the shared memo cache
+    assert cold.term_dfs(["zebra"])["zebra"] == full
