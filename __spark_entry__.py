@@ -359,6 +359,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_simhash(spark, sf):
         return dd.simhash64(_t(spark, sf, "documents"), "doc_id", "text")
 
+    def hybrid_search_topk(spark, sf):
+        # MeiliSearch v1.6 hybrid search: semanticRatio blend of BM25 and
+        # embedding cosine (brute baseline semantic side; IVF/LSH is the
+        # documented 100TB pool)
+        return sim.hybrid_topk(
+            _t(spark, sf, "documents"), _t(spark, sf, "embeddings"),
+            "doc_id", "text", "vec_id", "embedding",
+            _BM25_QUERY, 7, k=20, semantic_ratio=0.4,
+        )
+
     def ann_cosine_topk(spark, sf):
         return sim.cosine_topk_to_query(_t(spark, sf, "embeddings"), "vec_id", "embedding", 0, k=20)
 
@@ -782,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup_components,
         "dedup_simhash": dedup_simhash,
         "dedup_span_ngrams": dedup_span_ngrams,
+        "hybrid_search_topk": hybrid_search_topk,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -919,6 +930,10 @@ FROM documents GROUP BY 1
         ) + " ORDER BY 1",
         "dedup_simhash": dd.simhash64_sql("documents", "doc_id", "text"),
         "dedup_span_ngrams": dd.duplicate_spans_sql("documents", "doc_id", "text", n=5),
+        "hybrid_search_topk": sim.hybrid_topk_sql(
+            "documents", "embeddings", "doc_id", "text", "vec_id", "embedding",
+            _BM25_QUERY, 7, k=20, semantic_ratio=0.4,
+        ),
         "ann_cosine_topk": sim.cosine_topk_sql("embeddings", "vec_id", "embedding", 0, k=20),
         "dedup_embedding_cosine": sim.embedding_near_dup_pairs_sql(
             "embeddings", "vec_id", "embedding", threshold=0.4

@@ -475,3 +475,122 @@ def embedding_near_dup_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("left_key", "right_key", "cosine")
     )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    id_col: str,
+    text_col: str,
+    emb_id_col: str,
+    vec_col: str,
+    query_terms: list,
+    query_vec_id: int,
+    k: int = 10,
+    semantic_ratio: float = 0.5,
+) -> DataFrame:
+    """Hybrid keyword+semantic search (MeiliSearch v1.6 hybrid search with
+    ``semanticRatio``): blend the BM25 keyword score and the embedding
+    cosine into one ranking —
+
+        hybrid = ratio * (cosine + 1)/2  +  (1 - ratio) * bm25 / max_bm25
+
+    over every embedded document (bm25 = 0 when the doc matches no query
+    term; the query vector is the embedding row ``query_vec_id``, same
+    proxy-query convention as :func:`cosine_topk_to_query`, which is
+    excluded from results).  ratio=0 is pure keyword order, ratio=1 pure
+    semantic.
+
+    Scale shape: the semantic side here is the labeled brute-force baseline
+    (one narrow pass over the embeddings); at 100 TB swap in the IVF/LSH
+    top-k for the semantic pool and the block-max engine top-k for the
+    keyword pool and blend the UNION of the two pools with these same
+    formulas — pool merge is exactly how MeiliSearch's hybrid executes.
+    Components and the blend are rounded to 4 decimals (engine-stable).
+    """
+    from ..query.adhoc import bm25_topk
+
+    if not 0.0 <= semantic_ratio <= 1.0:
+        raise ValueError(f"semantic_ratio must be in [0, 1], got {semantic_ratio}")
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = _spread(emb).select(F.col(emb_id_col).alias("doc_key"), vec_d.alias("v"))
+    q = base.filter(F.col("doc_key") == query_vec_id).select(
+        F.col("v").alias("qv"), F.col("doc_key").alias("qid")
+    )
+    sem = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_key") != F.col("qid"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))),
+                4,
+            ),
+        )
+        .select("doc_key", "cosine")
+    )
+    kw = bm25_topk(docs, id_col, text_col, query_terms, k=1 << 30).select(
+        F.col("doc_key"), F.col("score").alias("bm25")
+    )
+    mx = kw.agg(F.max("bm25").alias("mx"))
+    r = float(semantic_ratio)
+    return (
+        sem.join(kw, "doc_key", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "doc_key",
+            F.round(
+                F.lit(r) * (F.col("cosine") + 1.0) / 2.0
+                + F.lit(1.0 - r) * F.coalesce(F.col("bm25") / F.col("mx"), F.lit(0.0)),
+                4,
+            ).alias("hybrid_score"),
+            "cosine",
+            F.coalesce(F.col("bm25"), F.lit(0.0)).alias("bm25"),
+        )
+        .orderBy(F.desc("hybrid_score"), F.asc("doc_key"))
+        .limit(k)
+    )
+
+
+def hybrid_topk_sql(
+    docs_table: str,
+    emb_table: str,
+    id_col: str,
+    text_col: str,
+    emb_id_col: str,
+    vec_col: str,
+    query_terms: list,
+    query_vec_id: int,
+    k: int = 10,
+    semantic_ratio: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`hybrid_topk`."""
+    from ..query.adhoc import bm25_topk_sql_oracle
+
+    r = float(semantic_ratio)
+    bm25_sql = bm25_topk_sql_oracle(
+        docs_table, id_col, text_col, query_terms, k=1 << 30
+    )
+    return f"""
+WITH q AS (
+  SELECT {vec_col} AS qv FROM {emb_table} WHERE {emb_id_col} = {query_vec_id}
+),
+sem AS (
+  SELECT {emb_id_col} AS doc_key,
+         ROUND(list_dot_product({vec_col}, qv)
+               / (sqrt(list_dot_product({vec_col}, {vec_col})) * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+  FROM {emb_table}, q
+  WHERE {emb_id_col} <> {query_vec_id}
+),
+kw AS (SELECT doc_key, score AS bm25 FROM ({bm25_sql})),
+mx AS (SELECT MAX(bm25) AS mx FROM kw)
+SELECT sem.doc_key,
+       ROUND({r} * (sem.cosine + 1.0) / 2.0
+             + {1.0 - r} * COALESCE(kw.bm25 / mx.mx, 0.0), 4) AS hybrid_score,
+       sem.cosine,
+       COALESCE(kw.bm25, 0.0) AS bm25
+FROM sem LEFT JOIN kw USING (doc_key) CROSS JOIN mx
+ORDER BY hybrid_score DESC, doc_key ASC
+LIMIT {k}
+"""

@@ -57,3 +57,36 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark, emb):
         assert v == exact[k]
     if exact:  # LSH with few planes should keep decent recall
         assert len(lsh) / len(exact) >= 0.3
+
+
+def test_hybrid_topk_ratio_extremes(spark):
+    """semanticRatio=1 ranks purely by cosine; =0 purely by keyword score;
+    out-of-range ratios are a request error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.pipeline.similarity import hybrid_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    terms = ["merge", "join", "table", "scan"]
+    sem_only = hybrid_topk(docs, emb, "doc_id", "text", "vec_id", "embedding",
+                           terms, 3, k=10, semantic_ratio=1.0).collect()
+    cosines = [r["cosine"] for r in sem_only]
+    assert cosines == sorted(cosines, reverse=True)
+    kw_only = hybrid_topk(docs, emb, "doc_id", "text", "vec_id", "embedding",
+                          terms, 3, k=10, semantic_ratio=0.0).collect()
+    bm25s = [r["bm25"] for r in kw_only]
+    assert bm25s == sorted(bm25s, reverse=True) and bm25s[0] > 0
+    # blend components recompose to the reported hybrid score
+    mid = hybrid_topk(docs, emb, "doc_id", "text", "vec_id", "embedding",
+                      terms, 3, k=5, semantic_ratio=0.4).collect()
+    mx = max(r["bm25"] for r in hybrid_topk(
+        docs, emb, "doc_id", "text", "vec_id", "embedding",
+        terms, 3, k=1_000_000, semantic_ratio=0.0).collect())
+    for r in mid:
+        expect = 0.4 * (r["cosine"] + 1) / 2 + 0.6 * r["bm25"] / mx
+        assert abs(r["hybrid_score"] - expect) < 5e-4
+    with pytest.raises(ValueError, match="semantic_ratio"):
+        hybrid_topk(docs, emb, "doc_id", "text", "vec_id", "embedding",
+                    terms, 3, semantic_ratio=1.5)
