@@ -94,6 +94,54 @@ def test_webtext_rowwise_ops_no_shuffle_no_python(spark):
         assert "Python" not in txt and "MapInPandas" not in txt
 
 
+def test_new_rowwise_ops_no_shuffle_no_python(spark):
+    """URL normalization, deterministic sampling, and HTML extraction must
+    stay pure per-row plans — zero Exchange, zero Python stage (their
+    documented scale shapes)."""
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.pipeline import sampling as smp
+    from meilisearch_thai_spark.pipeline import weburl as wu
+    from meilisearch_thai_spark.pipeline import webtext as wt
+
+    docs = spark.createDataFrame(
+        [(1, "https://A.Example.com:443/x?utm_source=a&id=1#f",
+          "<html><body><p>hello</p></body></html>")],
+        "id long, url string, html string",
+    )
+    for df in (
+        wu.normalize_urls(docs, "id", "url"),
+        smp.deterministic_sample(docs, "id", 0.5),
+        wt.extract_html_text(docs, "id", "html"),
+    ):
+        txt = _final_plan(df)
+        assert "Exchange" not in txt
+        assert "Python" not in txt and "MapInPandas" not in txt
+
+
+def test_contamination_single_shuffle_broadcast_bench(spark):
+    """benchmark_contamination: per-row gram dedup (array_distinct), the
+    benchmark side broadcasts, and the only Exchange is the per-doc count
+    groupBy — ONE shuffle total on the corpus stream."""
+    from meilisearch_thai_spark.pipeline import webtext as wt
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame([("alpha beta gamma delta",)], "text string")
+    out = wt.benchmark_contamination(docs, "id", "text", bench, "text", n=4)
+    out.collect()  # finalize AQE
+    txt = _final_plan(out)
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+    # AQE prints Final AND Initial plan sections — count the final one only.
+    # Two hash exchanges are expected there: the per-doc count groupBy (the
+    # one corpus-stream shuffle) and the tiny benchmark-side gram distinct.
+    final = txt.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2
+
+
 def test_remove_boilerplate_flagged_side_broadcasts(spark):
     """The removal join must broadcast the (tiny, high-df) flagged-line set,
     never shuffle the exploded corpus against it."""
