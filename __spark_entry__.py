@@ -666,6 +666,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"en": 0.1, "zh": 0.5, "es": 1.0}, seed="mix1",
         ).select("doc_id", "lang")
 
+    def warc_parse(spark, sf):
+        # WARC container parsing (ISO 28500): records synthesized in Spark
+        # column ops (exact byte framing incl. Content-Length and an HTTP
+        # wrapper), grouped into per-gid "files", parsed back by the
+        # distributed reader — the oracle computes the expected inversion
+        # directly from documents, so the parser must invert the writer
+        from meilisearch_thai_spark.sources.warc import read_warc
+
+        http = (
+            "'HTTP/1.1 200 OK' || chr(13) || chr(10) || 'Content-Type: text/html'"
+            " || chr(13) || chr(10) || chr(13) || chr(10) || '<p>' || text || '</p>'"
+        )
+        rec = (
+            "'WARC/1.0' || chr(13) || chr(10)"
+            " || 'WARC-Type: response' || chr(13) || chr(10)"
+            " || 'WARC-Target-URI: https://d/' || cast(doc_id as string) || chr(13) || chr(10)"
+            " || 'WARC-Date: 2024-01-01T00:00:00Z' || chr(13) || chr(10)"
+            f" || 'Content-Length: ' || cast(octet_length({http}) as string)"
+            f" || chr(13) || chr(10) || chr(13) || chr(10) || {http}"
+            " || chr(13) || chr(10) || chr(13) || chr(10)"
+        )
+        files = (
+            _t(spark, sf, "documents")
+            .select((F.col("doc_id") % 10).alias("gid"), F.col("doc_id"), F.expr(rec).alias("rec"))
+            .groupBy("gid")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                        lambda s: s.rec,
+                    ),
+                    "",
+                ).alias("content_str")
+            )
+            .select(
+                F.concat(F.lit("mem://seg-"), F.col("gid").cast("string")).alias("path"),
+                F.col("content_str").cast("binary").alias("content"),
+            )
+        )
+        recs = read_warc(spark, files)
+        return recs.select(
+            "url",
+            F.md5(F.col("html").cast("string")).alias("html_md5"),
+            F.col("warc_ts"),
+        )
+
     def weburl_normalize(spark, sf):
         # RFC 3986 syntax normalization + tracking-param strip, pure Column
         # codegen — the canonical key url-keyed dedup/upserts need at crawl
@@ -817,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_contamination": webtext_contamination,
         "webtext_html_extract": webtext_html_extract,
         "sample_stratified": sample_stratified,
+        "warc_parse": warc_parse,
         "weburl_normalize": weburl_normalize,
         "weburl_host_stats": weburl_host_stats,
         "e1_highlight_extract": e1_highlight_extract,
@@ -1095,6 +1142,12 @@ SELECT * FROM q
             "documents", "doc_id", "lang", {"en": 0.1, "zh": 0.5, "es": 1.0}, seed="mix1"
         )
         + ")",
+        "warc_parse": """
+SELECT 'https://d/' || doc_id AS url,
+       md5('<p>' || text || '</p>') AS html_md5,
+       TIMESTAMP '2024-01-01 00:00:00' AS warc_ts
+FROM documents
+""",
         "weburl_normalize": f"""
 WITH synth AS (
   SELECT doc_id,
