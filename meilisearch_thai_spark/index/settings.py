@@ -137,3 +137,41 @@ def export_settings(index_dir: str) -> dict:
         "stopwords_fingerprint": meta.stopwords_fingerprint,
         "synonyms_fingerprint": meta.synonyms_fingerprint,
     }
+
+
+def index_stats(spark, index_dir: str) -> dict:
+    """MeiliSearch ``GET /indexes/:uid/stats`` parity: document count,
+    whether a (compaction) write is in flight, and ``fieldDistribution`` —
+    per public document field, how many documents carry a non-null value.
+
+    The distribution is ONE exchange-free pass over doc_stats (count +
+    per-field conditional sums, partial-aggregated); the collected result is
+    a single row.  ``isIndexing`` maps to the ``_COMPACTING`` marker — the
+    only in-flight mutation this layout exposes (builds/finalizes are
+    whole-directory swaps, visible only on completion).
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    compacting = _os.path.exists(_os.path.join(index_dir, "_COMPACTING"))
+    if compacting:
+        # load_meta refuses mid-compaction (crash-loud read contract);
+        # stats answer the cheap liveness question without touching tables
+        return {"numberOfDocuments": None, "isIndexing": True, "fieldDistribution": {}}
+    meta = load_meta(index_dir)
+    ds = spark.read.parquet(_os.path.join(index_dir, "doc_stats"))
+    public = sorted(
+        set(meta.stored_fields)
+        | {c for c in ("url", "lang", "text_crop") if c in ds.columns}
+    )
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(F.when(F.col(f).isNotNull(), 1).otherwise(0)).cast("long").alias(f)
+        for f in public
+    ]
+    row = ds.agg(*aggs).collect()[0]
+    return {
+        "numberOfDocuments": int(row["_n"]),
+        "isIndexing": False,
+        "fieldDistribution": {f: int(row[f]) for f in public},
+    }

@@ -86,3 +86,36 @@ def test_export_settings(idx):
     assert cfg["k1"] == 1.2 and cfg["b"] == 0.75
     assert "notebook" in cfg["synonyms"]
     assert cfg["dictionary_fingerprint"]
+
+
+def test_index_stats_field_distribution(spark, tmp_path):
+    """MeiliSearch /stats parity: doc count, per-field non-null counts,
+    isIndexing from the compaction marker."""
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.index.builder import build_index
+    from meilisearch_thai_spark.index.settings import index_stats
+
+    out = str(tmp_path / "idx_stats")
+    rows = [
+        ("https://t/1", "wakame salad", "th", 5),
+        ("https://t/2", "other text", None, None),
+        ("https://t/3", "third doc here", "en", 7),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, text string, lang string, views long"
+    ).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text", "lang", "views",
+    )
+    build_index(spark, pages, out, stored_fields=["views"])
+    st = index_stats(spark, out)
+    assert st["numberOfDocuments"] == 3 and st["isIndexing"] is False
+    assert st["fieldDistribution"] == {"lang": 2, "url": 3, "views": 2}
+    # a live compaction marker flips isIndexing without touching tables
+    import os
+    open(os.path.join(out, "_COMPACTING"), "w").write("{}")
+    st2 = index_stats(spark, out)
+    assert st2["isIndexing"] is True and st2["numberOfDocuments"] is None
