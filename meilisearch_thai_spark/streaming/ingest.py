@@ -147,6 +147,7 @@ def start_ingest_stream(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     positional: bool = False,
+    transform=None,
 ):
     """Stream parquet page dumps from ``input_dir`` into tf shards.
 
@@ -154,11 +155,21 @@ def start_ingest_stream(
     test/batch-catchup mode); ``False`` keeps running for continuous ingest.
     The stream checkpoint (offsets) + per-batch idempotent partition writes
     give end-to-end exactly-once into the shard layout.
+
+    ``transform`` is an optional pages→pages DataFrame function applied to
+    each micro-batch BEFORE staging — the seam for crawl hygiene on a live
+    stream (e.g. ``lambda df: webtext.clean_corpus(df, "url", "text")``, or
+    a gopher-gate filter).  It runs inside foreachBatch, so cross-document
+    stages like boilerplate line-df see the micro-batch as their corpus
+    (per-batch df thresholds; the batch is the hygiene window — document the
+    min_df accordingly).  Rows it drops are simply never staged.
     """
     os.makedirs(os.path.join(out_dir, "lineage"), exist_ok=True)
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_stream_checkpoint")
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
         _commit_pages_batch(spark, batch_df, int(batch_id), out_dir, n_shards, positional)
 
     stream = (

@@ -114,3 +114,43 @@ def test_streamed_index_queryable(spark, built):
         a = [(r["url"], round(r["score"], 9)) for r in es.search(q, k=5).collect()]
         b = [(r["url"], round(r["score"], 9)) for r in eb.search(q, k=5).collect()]
         assert a == b
+
+
+def test_stream_transform_hygiene(spark, tmp_path):
+    """The per-batch transform seam: clean_corpus on a live stream strips
+    boilerplate before staging, so it never reaches the posting vocabulary;
+    gate-dropped rows are never staged."""
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.pipeline.webtext import clean_corpus
+    from meilisearch_thai_spark.query.executor import SearchEngine
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "idx")
+    boiler = "accept cookies now"
+    rows = [
+        (f"https://t/{i}", None, None, f"{boiler}\nเนื้อหาจริง เรื่องที่ {i}", "th")
+        for i in range(1, 7)
+    ]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.parquet(src)
+    q = start_ingest_stream(
+        spark, src, out,
+        n_shards=2,
+        transform=lambda df: clean_corpus(df, "url", "text", min_df=3, mask=False),
+    )
+    q.awaitTermination(120)
+    meta = finalize_streamed_index(spark, out)
+    assert meta.n_docs == 6
+    vocab = {
+        r.term
+        for r in spark.read.parquet(f"{out}/postings").select("term").distinct().collect()
+    }
+    assert "cookies" not in vocab and "accept" not in vocab
+    # the compound segments; search through the full query pipeline so the
+    # cleaned content is provably still queryable
+    from meilisearch_thai_spark.query.executor import SearchEngine as _SE
+
+    hits = _SE(spark, out, cache_postings=False).search("เนื้อหาจริง", k=6).collect()
+    assert hits
