@@ -114,6 +114,31 @@ def _docs_index_fielded(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _docs_index_half(spark: SparkSession, sf_dir: str, half: int) -> str:
+    """Half-corpus index (doc_id mod 2) for the federation entry — each half
+    has its own BM25 statistics, which is exactly what federation must
+    normalize across."""
+    key = f"{sf_dir}:half{half}"
+    if key in _IDX_CACHE:
+        return _IDX_CACHE[key]
+    import tempfile
+
+    from meilisearch_thai_spark.index.builder import build_index
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == half)
+    pages = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    out = tempfile.mkdtemp(prefix=f"drv_idx_h{half}_")
+    build_index(spark, pages, out)
+    _IDX_CACHE[key] = out
+    return out
+
+
 def _docs_index(spark: SparkSession, sf_dir: str) -> str:
     """Compressed posting index over the ``documents`` table; urls are
     zero-padded doc ids so internal rank order == external id order, and
@@ -666,6 +691,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"en": 0.1, "zh": 0.5, "es": 1.0}, seed="mix1",
         ).select("doc_id", "lang")
 
+    def x16_federated_search(spark, sf):
+        # MeiliSearch v1.10 federation: one query across two indexes (each
+        # with its OWN BM25 stats), merged by max-normalized weighted score —
+        # all branches in ONE Spark job (plan union)
+        from meilisearch_thai_spark.query.executor import SearchEngine
+        from meilisearch_thai_spark.query.federation import federated_search
+
+        engines = {
+            "even": SearchEngine(spark, _docs_index_half(spark, sf, 0), cache_postings=False),
+            "odd": SearchEngine(spark, _docs_index_half(spark, sf, 1), cache_postings=False),
+        }
+        out = federated_search(
+            engines, _BM25_QUERY, k=20, weights={"even": 1.0, "odd": 0.8}
+        )
+        return out.select(
+            "index_uid",
+            F.col("url").cast("long").alias("doc_key"),
+            "federated_score",
+        )
+
     def warc_parse(spark, sf):
         # WARC container parsing (ISO 28500): records synthesized in Spark
         # column ops (exact byte framing incl. Content-Length and an HTTP
@@ -863,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_contamination": webtext_contamination,
         "webtext_html_extract": webtext_html_extract,
         "sample_stratified": sample_stratified,
+        "x16_federated_search": x16_federated_search,
         "warc_parse": warc_parse,
         "weburl_normalize": weburl_normalize,
         "weburl_host_stats": weburl_host_stats,
@@ -1142,6 +1188,17 @@ SELECT * FROM q
             "documents", "doc_id", "lang", {"en": 0.1, "zh": 0.5, "es": 1.0}, seed="mix1"
         )
         + ")",
+        "x16_federated_search": f"""
+WITH even AS (SELECT 'even' AS index_uid, doc_key, score, 1.0 AS w FROM ({adhoc.bm25_topk_sql_oracle('(SELECT * FROM documents WHERE doc_id % 2 = 0) sub0', 'doc_id', 'text', _BM25_QUERY, k=20)})),
+odd AS (SELECT 'odd' AS index_uid, doc_key, score, 0.8 AS w FROM ({adhoc.bm25_topk_sql_oracle('(SELECT * FROM documents WHERE doc_id % 2 = 1) sub1', 'doc_id', 'text', _BM25_QUERY, k=20)})),
+pool AS (SELECT * FROM even UNION ALL SELECT * FROM odd),
+mx AS (SELECT index_uid, MAX(score) AS m FROM pool GROUP BY 1)
+SELECT p.index_uid, p.doc_key,
+       ROUND(p.w * p.score / mx.m, 4) AS federated_score
+FROM pool p JOIN mx USING (index_uid)
+ORDER BY federated_score DESC, index_uid ASC, doc_key ASC
+LIMIT 20
+""",
         "warc_parse": """
 SELECT 'https://d/' || doc_id AS url,
        md5('<p>' || text || '</p>') AS html_md5,

@@ -1,0 +1,84 @@
+"""Federated multi-index search (MeiliSearch v1.10 ``/multi-search`` with
+``federation``): one query across several indexes, merged into a single
+ranked hit list.
+
+The reference proxies one MeiliSearch node; real deployments shard corpora
+into many indexes (per-site, per-language, per-tenant) and federate at query
+time.  Spark-first shape: each engine contributes its (lazy) top-k DataFrame
+and the federation is a UNION of those plans + one TakeOrderedAndProject —
+N indexes are searched in ONE Spark job, not N sequential requests with a
+driver-side merge.  At 100× each index is its own partition set; the union
+keeps per-index pruning (block-max, INSET pushdown) fully intact because
+Catalyst plans each branch independently.
+
+Score comparability: raw BM25 is corpus-dependent (df/avgdl differ per
+index), so cross-index ranking uses each index's MAX-normalized score times
+the caller's per-index federation weight — the same normalization MeiliSearch
+applies via its 0-1 ranking score, expressed with deterministic arithmetic
+the DuckDB oracle reproduces exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def federated_search(
+    engines: dict,
+    terms: list[str],
+    k: int = 10,
+    weights: dict[str, float] | None = None,
+    pool_k: int | None = None,
+) -> DataFrame:
+    """One ranked hit list across many indexes →
+    (index_uid, url, doc_id, score, federated_score).
+
+    ``engines`` maps index uid → :class:`~.executor.SearchEngine`;
+    ``weights`` is MeiliSearch's ``federationOptions.weight`` (default 1.0).
+    Each index contributes its top-``pool_k`` (default ``k``) candidates;
+    ``federated_score = weight * score / max_score_within_index`` over the
+    contributed pool, merged and cut to ``k`` (ties: index uid, then doc id).
+
+    The per-index max is a window over the pooled candidates (the pool's
+    best IS the index's best: per-index top-k is score-ordered), so the
+    whole federation stays one lazy plan — no eager per-index collect."""
+    if not engines:
+        raise ValueError("federated_search needs at least one engine")
+    weights = weights or {}
+    bad = sorted(set(weights) - set(engines))
+    if bad:
+        raise ValueError(f"weights name unknown indexes {bad}")
+    pool_k = pool_k or k
+    pools = []
+    for uid in sorted(engines):
+        w = float(weights.get(uid, 1.0))
+        pool = (
+            engines[uid]
+            .search_terms(terms, k=pool_k)
+            .select(
+                F.lit(uid).alias("index_uid"),
+                "url",
+                "doc_id",
+                # presentation-precision (4-decimal) scores BEFORE the
+                # normalization ratio: both the ratio's inputs are then
+                # engine-stable doubles, so any external oracle normalizing
+                # the same rounded pool agrees bit-for-bit
+                F.round("score", 4).alias("score"),
+                F.lit(w).alias("_w"),
+            )
+        )
+        pools.append(pool)
+    allp = pools[0]
+    for p in pools[1:]:
+        allp = allp.unionByName(p)
+    mx = Window.partitionBy("index_uid")
+    return (
+        allp.withColumn(
+            "federated_score",
+            F.round(F.col("_w") * F.col("score") / F.max("score").over(mx), 4),
+        )
+        .drop("_w")
+        .orderBy(F.desc("federated_score"), F.asc("index_uid"), F.asc("doc_id"))
+        .limit(k)
+    )
