@@ -102,6 +102,11 @@ class IndexMeta:
     # requires a rebuild, and this records which ones those are).
     # None (old metas) means "same as stopwords".
     stopwords_build: list[str] | None = None
+    # S5 typoTolerance setting (MeiliSearch: enabled, minWordSizeForTypos
+    # oneTypo/twoTypos, disableOnWords).  None = the MeiliSearch defaults
+    # (enabled, 5/9, no disabled words); applied QUERY-SIDE by
+    # expand_terms_fuzzy — postings are untouched, like synonyms/stopwords.
+    typo_tolerance: dict | None = None
 
     def field_params(self) -> dict[str, tuple[float, float]] | None:
         """prefix-id → (weight, per-field avgdl), or None when unfielded."""

@@ -175,3 +175,38 @@ def index_stats(spark, index_dir: str) -> dict:
         "isIndexing": False,
         "fieldDistribution": {f: int(row[f]) for f in public},
     }
+
+
+TYPO_DEFAULTS = {"enabled": True, "one_typo": 5, "two_typos": 9, "disable_on_words": []}
+
+
+def update_typo_tolerance(
+    index_dir: str,
+    enabled: bool | None = None,
+    one_typo: int | None = None,
+    two_typos: int | None = None,
+    disable_on_words: list[str] | None = None,
+) -> IndexMeta:
+    """MeiliSearch ``typoTolerance`` setting (enabled, minWordSizeForTypos
+    oneTypo/twoTypos, disableOnWords) — a query-side knob like synonyms and
+    stop-words: stored in meta.json, applied by ``expand_terms_fuzzy``, no
+    index rewrite.  Unset arguments keep their current (or default) value;
+    live engines pick the change up on reconstruction/refresh_index."""
+    meta = load_meta(index_dir)
+    cfg = {**TYPO_DEFAULTS, **(meta.typo_tolerance or {})}
+    if enabled is not None:
+        cfg["enabled"] = bool(enabled)
+    if one_typo is not None:
+        cfg["one_typo"] = int(one_typo)
+    if two_typos is not None:
+        cfg["two_typos"] = int(two_typos)
+    if disable_on_words is not None:
+        cfg["disable_on_words"] = sorted({w.lower() for w in disable_on_words})
+    if cfg["one_typo"] < 1 or cfg["two_typos"] < cfg["one_typo"]:
+        raise ValueError(
+            f"minWordSizeForTypos must satisfy 1 <= oneTypo <= twoTypos, got "
+            f"{cfg['one_typo']}/{cfg['two_typos']}"
+        )
+    meta.typo_tolerance = cfg
+    _write_meta(index_dir, meta)
+    return meta

@@ -1036,10 +1036,17 @@ class SearchEngine:
         single newmm words qualify at budget 1.  Scans only the ±budget
         LENGTH BANDS of the bounded vocab (edit distance > budget is
         impossible outside them), so per-token cost is a small slice of the
-        dictionary, not the corpus vocabulary."""
-        if len(token) < 5:
+        dictionary, not the corpus vocabulary.
+
+        Honours the index's ``typoTolerance`` setting
+        (settings.update_typo_tolerance): enabled flag, the
+        minWordSizeForTypos thresholds, and disableOnWords."""
+        cfg = self._typo_config()
+        if not cfg["enabled"] or token.lower() in cfg["disable_on_words"]:
             return []
-        budget = 2 if len(token) >= 9 else 1
+        if len(token) < cfg["one_typo"]:
+            return []
+        budget = 2 if len(token) >= cfg["two_typos"] else 1
         self.vocabulary()
         ascii_tok = token.isascii()
         out: list[str] = []
@@ -1052,6 +1059,17 @@ class SearchEngine:
                     if len(out) >= max_expansions:
                         return out
         return out
+
+    def _typo_config(self) -> dict:
+        """Resolved typoTolerance settings (meta overrides on the MeiliSearch
+        defaults); disable_on_words as a set for O(1) gating."""
+        if not hasattr(self, "_typo_cfg"):
+            from ..index.settings import TYPO_DEFAULTS
+
+            cfg = {**TYPO_DEFAULTS, **(getattr(self.meta, "typo_tolerance", None) or {})}
+            cfg["disable_on_words"] = frozenset(cfg["disable_on_words"])
+            self._typo_cfg = cfg
+        return self._typo_cfg
 
     def _index_term_map(self, qterms: list[QueryTerm]) -> dict[str, list[int]]:
         """query (variant, word) pairs → index-term → variant ids.
@@ -1182,6 +1200,8 @@ class SearchEngine:
             if df is not None:
                 df.unpersist()
         self._warm, self._doomed_df = None, None
+        if hasattr(self, "_typo_cfg"):
+            del self._typo_cfg  # settings may have changed on disk
         if self._bucket_partitioned:
             self.postings.unpersist()
             self.doc_stats.unpersist()

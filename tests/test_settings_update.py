@@ -119,3 +119,43 @@ def test_index_stats_field_distribution(spark, tmp_path):
     open(os.path.join(out, "_COMPACTING"), "w").write("{}")
     st2 = index_stats(spark, out)
     assert st2["isIndexing"] is True and st2["numberOfDocuments"] is None
+
+
+def test_typo_tolerance_settings(spark, tmp_path):
+    """MeiliSearch typoTolerance parity: enabled flag, minWordSizeForTypos
+    thresholds, and disableOnWords all gate fuzzy expansion query-side."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.index.builder import build_index
+    from meilisearch_thai_spark.index.settings import update_typo_tolerance
+    from meilisearch_thai_spark.query.executor import SearchEngine
+
+    out = str(tmp_path / "idx_typo")
+    rows = [("https://t/1", "spark cluster shuffle partition", "en")]
+    pages = spark.createDataFrame(rows, "url string, text string, lang string").select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text", "lang",
+    )
+    build_index(spark, pages, out)
+    eng = SearchEngine(spark, out, cache_postings=False)
+    assert eng.expand_terms_fuzzy("spart") == ["spark"]  # default 1-edit at len 5
+
+    update_typo_tolerance(out, one_typo=7)  # 'spart' (5) now below threshold
+    eng.refresh_index()
+    assert eng.expand_terms_fuzzy("spart") == []
+    assert eng.expand_terms_fuzzy("partitio") == ["partition"]  # len 8 >= 7
+
+    update_typo_tolerance(out, one_typo=5, disable_on_words=["SPART"])
+    eng.refresh_index()
+    assert eng.expand_terms_fuzzy("spart") == []  # disabled word, case-folded
+    assert eng.expand_terms_fuzzy("shufle") == ["shuffle"]
+
+    update_typo_tolerance(out, enabled=False)
+    eng.refresh_index()
+    assert eng.expand_terms_fuzzy("shufle") == []
+
+    with pytest.raises(ValueError, match="oneTypo"):
+        update_typo_tolerance(out, one_typo=9, two_typos=5)
