@@ -107,6 +107,14 @@ class IndexMeta:
     # (enabled, 5/9, no disabled words); applied QUERY-SIDE by
     # expand_terms_fuzzy — postings are untouched, like synonyms/stopwords.
     typo_tolerance: dict | None = None
+    # S5 filterable/sortable attribute declarations (MeiliSearch
+    # filterableAttributes / sortableAttributes).  None = UNDECLARED mode:
+    # every stored field filters/sorts (a permissive superset of
+    # MeiliSearch's default-deny, kept for drop-in compatibility with
+    # indexes built before the setting existed); a declared list is
+    # enforced — undeclared fields are a request error, matching the 400.
+    filterable_attributes: list[str] | None = None
+    sortable_attributes: list[str] | None = None
 
     def field_params(self) -> dict[str, tuple[float, float]] | None:
         """prefix-id → (weight, per-field avgdl), or None when unfielded."""

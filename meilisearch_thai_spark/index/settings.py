@@ -210,3 +210,40 @@ def update_typo_tolerance(
     meta.typo_tolerance = cfg
     _write_meta(index_dir, meta)
     return meta
+
+
+def update_filterable_attributes(index_dir: str, attrs: list[str] | None) -> IndexMeta:
+    """MeiliSearch ``filterableAttributes``: declare which document fields
+    may appear in search filters.  ``None`` resets to undeclared mode (all
+    stored fields filterable — see IndexMeta).  Declared names are validated
+    against the stored public fields up front, so a typo'd declaration fails
+    here, not on the first query."""
+    meta = load_meta(index_dir)
+    if attrs is not None:
+        public = set(meta.stored_fields) | {"url", "lang", "text_crop", "doc_len"}
+        bad = sorted(set(attrs) - public)
+        if bad:
+            raise ValueError(
+                f"filterableAttributes {bad} are not stored document fields"
+            )
+        attrs = sorted(set(attrs))
+    meta.filterable_attributes = attrs
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def update_sortable_attributes(index_dir: str, attrs: list[str] | None) -> IndexMeta:
+    """MeiliSearch ``sortableAttributes`` — same contract as
+    :func:`update_filterable_attributes`, governing ``sort=`` fields."""
+    meta = load_meta(index_dir)
+    if attrs is not None:
+        public = set(meta.stored_fields) | {"url", "lang", "text_crop", "doc_len", "doc_id"}
+        bad = sorted(set(attrs) - public)
+        if bad:
+            raise ValueError(
+                f"sortableAttributes {bad} are not stored document fields"
+            )
+        attrs = sorted(set(attrs))
+    meta.sortable_attributes = attrs
+    _write_meta(index_dir, meta)
+    return meta

@@ -1344,12 +1344,31 @@ class SearchEngine:
             F.col("b.terms_matched").alias("terms_matched"),
         )
 
+    def _check_declared(self, fields, declared, kind: str) -> None:
+        """Enforce a filterable/sortable declaration when one exists (None =
+        undeclared mode, everything allowed — IndexMeta docs)."""
+        if declared is None:
+            return
+        bad = sorted(set(fields) - set(declared))
+        if bad:
+            raise ValueError(
+                f"{kind} {bad} not declared (settings allow {sorted(declared)}); "
+                f"declare them with update_{kind.split()[0]}_attributes"
+            )
+
     def allowed_docs(self, filters: dict) -> DataFrame:
         """P4: filter dict → allowed doc_id set from the doc metadata table
         (reference filter semantics: restrict candidates, corpus-wide BM25
-        stats unchanged — search_executor.py:766-829)."""
+        stats unchanged — search_executor.py:766-829).  When the index
+        declares ``filterableAttributes``, undeclared fields are a request
+        error (MeiliSearch 400)."""
         from .requests import filters_to_column
 
+        self._check_declared(
+            (filters or {}).keys(),
+            getattr(self.meta, "filterable_attributes", None),
+            "filterable fields",
+        )
         return self.doc_stats.filter(filters_to_column(filters)).select("doc_id")
 
     def score_variants_topk_filtered(
@@ -1653,6 +1672,12 @@ class SearchEngine:
                     joined.withColumn("_rn", F.row_number().over(w))
                     .filter(F.col("_rn") == 1)
                     .drop("_rn")
+                )
+            if sort:
+                self._check_declared(
+                    [x.partition(":")[0] for x in sort],
+                    getattr(self.meta, "sortable_attributes", None),
+                    "sortable fields",
                 )
             order = (
                 [*parse_sort(sort, self.doc_stats.columns)] if sort else []
@@ -1993,6 +2018,11 @@ class SearchEngine:
         )
         ds = self.doc_stats
         if filters:
+            self._check_declared(
+                filters.keys(),
+                getattr(self.meta, "filterable_attributes", None),
+                "filterable fields",
+            )
             ds = ds.filter(filters_to_column(filters))
         return ds.join(matched, "doc_id")
 
@@ -2288,6 +2318,11 @@ class SearchEngine:
             vid: n for vid, _t, _w, n, m in vmeta_rows if m in ("all", "phrase")
         }
         if sort:
+            self._check_declared(
+                [x.partition(":")[0] for x in sort],
+                getattr(self.meta, "sortable_attributes", None),
+                "sortable fields",
+            )
             sort_cols = parse_sort(sort, self.doc_stats.columns)
             scored = self.score_variants(qterms)
             if filters:

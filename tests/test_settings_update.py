@@ -159,3 +159,54 @@ def test_typo_tolerance_settings(spark, tmp_path):
 
     with pytest.raises(ValueError, match="oneTypo"):
         update_typo_tolerance(out, one_typo=9, two_typos=5)
+
+
+def test_filterable_sortable_declarations(spark, tmp_path):
+    """MeiliSearch filterable/sortableAttributes: undeclared mode permits all
+    stored fields (drop-in default); a declared list is enforced with a
+    request error on undeclared fields; None resets."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.index.builder import build_index
+    from meilisearch_thai_spark.index.settings import (
+        update_filterable_attributes,
+        update_sortable_attributes,
+    )
+    from meilisearch_thai_spark.query.executor import SearchEngine
+
+    out = str(tmp_path / "idx_decl")
+    rows = [
+        ("https://t/1", "wakame salad here", "th"),
+        ("https://t/2", "wakame soup there", "en"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string, lang string").select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text", "lang",
+    )
+    build_index(spark, pages, out)
+    eng = SearchEngine(spark, out, cache_postings=False)
+    # undeclared mode: everything works
+    assert eng.search_terms(["wakame"], filters={"lang": {"$eq": "en"}}, k=5).count() == 1
+    eng.search_terms(["wakame"], sort=["doc_len:desc"], k=5).collect()
+
+    update_filterable_attributes(out, ["url"])
+    update_sortable_attributes(out, ["doc_len"])
+    eng.refresh_index()
+    with pytest.raises(ValueError, match="filterable fields.*lang"):
+        eng.search_terms(["wakame"], filters={"lang": {"$eq": "en"}}, k=5)
+    with pytest.raises(ValueError, match="filterable fields"):
+        eng.facet_distribution(["wakame"], ["lang"], filters={"lang": {"$eq": "en"}})
+    with pytest.raises(ValueError, match="sortable fields.*lang"):
+        eng.search_terms(["wakame"], sort=["lang:asc"], k=5)
+    eng.search_terms(["wakame"], sort=["doc_len:desc"], k=5).collect()  # declared ok
+    assert eng.search_terms(["wakame"], filters={"url": {"$eq": "https://t/2"}}, k=5).count() == 1
+
+    with pytest.raises(ValueError, match="not stored"):
+        update_filterable_attributes(out, ["nope"])
+
+    update_filterable_attributes(out, None)  # reset to undeclared
+    eng.refresh_index()
+    assert eng.search_terms(["wakame"], filters={"lang": {"$eq": "en"}}, k=5).count() == 1
