@@ -136,6 +136,10 @@ def export_settings(index_dir: str) -> dict:
         "dictionary_fingerprint": meta.dictionary_fingerprint,
         "stopwords_fingerprint": meta.stopwords_fingerprint,
         "synonyms_fingerprint": meta.synonyms_fingerprint,
+        "typo_tolerance": {**TYPO_DEFAULTS, **(meta.typo_tolerance or {})},
+        # None = permissive undeclared mode (see IndexMeta)
+        "filterable_attributes": getattr(meta, "filterable_attributes", None),
+        "sortable_attributes": getattr(meta, "sortable_attributes", None),
     }
 
 
