@@ -345,3 +345,38 @@ def compact_index(
     for prev in aside:
         shutil.rmtree(prev, ignore_errors=True)
     return meta
+
+
+def swap_indexes(dir_a: str, dir_b: str) -> None:
+    """MeiliSearch ``POST /swap-indexes``: atomically exchange two indexes —
+    the zero-downtime deploy primitive (build the new corpus under a staging
+    uid, then swap it with production; queries before the swap see old,
+    after see new, never a mix).
+
+    Directory-backed indexes swap by a three-rename dance with a visible
+    marker beside each directory: a crash mid-swap cannot be atomic across
+    two renames, but it IS loud (the ``.swapping`` marker names the rename
+    that still holds the data) and lossless (every state of the dance has
+    both indexes intact on disk).  Single-writer contract, same as
+    compact_index: no concurrent builds/queries on either directory during
+    the swap, and every live SearchEngine on either must be reconstructed
+    (or ``refresh_index()``-ed) afterwards — its DataFrames point at the
+    swapped content otherwise."""
+    for d in (dir_a, dir_b):
+        if not os.path.exists(os.path.join(d, "meta.json")):
+            raise ValueError(f"{d} is not a built index (no meta.json)")
+        if os.path.exists(os.path.join(d, "_COMPACTING")):
+            raise RuntimeError(f"{d} has an interrupted compaction; resolve it first")
+    a, b = os.path.abspath(dir_a), os.path.abspath(dir_b)
+    if a == b:
+        raise ValueError("cannot swap an index with itself")
+    tmp = a + ".swap_tmp"
+    if os.path.exists(tmp):
+        raise RuntimeError(f"{tmp} exists — a previous swap was interrupted; recover it first")
+    marker = a + ".swapping"
+    with open(marker, "w") as fh:
+        json.dump({"a": a, "b": b, "tmp": tmp}, fh)
+    os.replace(a, tmp)   # a -> tmp
+    os.replace(b, a)     # b -> a's name
+    os.replace(tmp, b)   # old a -> b's name
+    os.remove(marker)

@@ -151,3 +151,40 @@ def test_repeat_delete_counts_zero_and_refresh_index(spark, built):
     live.doc_stats.unpersist()
     if live._warm is not None:
         live._warm.unpersist()
+
+
+def test_swap_indexes_exchanges_content(spark, tmp_path):
+    """swapIndexes: the zero-downtime deploy primitive — after the swap each
+    directory serves the other's corpus; guards refuse non-indexes and
+    self-swaps."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.index.builder import build_index
+    from meilisearch_thai_spark.index.maintenance import swap_indexes
+    from meilisearch_thai_spark.query.executor import SearchEngine
+
+    def mk(name, word):
+        out = str(tmp_path / name)
+        pages = spark.createDataFrame(
+            [(f"https://{name}/1", f"{word} content body", "en")],
+            "url string, text string, lang string",
+        ).select(
+            "url",
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text", "lang",
+        )
+        build_index(spark, pages, out)
+        return out
+
+    a, b = mk("prod", "wakame"), mk("staging", "quinoa")
+    swap_indexes(a, b)
+    hits_a = SearchEngine(spark, a, cache_postings=False).search_terms(["quinoa"], k=5).collect()
+    hits_b = SearchEngine(spark, b, cache_postings=False).search_terms(["wakame"], k=5).collect()
+    assert hits_a and hits_b  # contents exchanged
+    assert not list((tmp_path).glob("*.swapping"))  # marker cleaned up
+    with pytest.raises(ValueError, match="itself"):
+        swap_indexes(a, a)
+    with pytest.raises(ValueError, match="not a built index"):
+        swap_indexes(a, str(tmp_path / "nope"))
