@@ -116,6 +116,19 @@ class IndexMeta:
     filterable_attributes: list[str] | None = None
     sortable_attributes: list[str] | None = None
 
+    def public_fields(self, available_columns) -> list[str]:
+        """The retrievable/facetable/distinct-able document fields: the
+        build's declared stored_fields plus url/lang/text_crop when the
+        given doc_stats columns carry them — NOT internal index columns
+        (doc_id, doc_len, norm_hash).  The ONE definition shared by the
+        engine's attribute validation, index_stats, and the settings
+        declaration checks (drift between copies was a real reviewed bug)."""
+        cols = set(available_columns)
+        return sorted(
+            set(self.stored_fields)
+            | {c for c in ("url", "lang", "text_crop") if c in cols}
+        )
+
     def field_params(self) -> dict[str, tuple[float, float]] | None:
         """prefix-id → (weight, per-field avgdl), or None when unfielded."""
         if not self.fields:

@@ -165,10 +165,7 @@ def index_stats(spark, index_dir: str) -> dict:
         return {"numberOfDocuments": None, "isIndexing": True, "fieldDistribution": {}}
     meta = load_meta(index_dir)
     ds = spark.read.parquet(_os.path.join(index_dir, "doc_stats"))
-    public = sorted(
-        set(meta.stored_fields)
-        | {c for c in ("url", "lang", "text_crop") if c in ds.columns}
-    )
+    public = meta.public_fields(ds.columns)
     aggs = [F.count("*").alias("_n")] + [
         F.sum(F.when(F.col(f).isNotNull(), 1).otherwise(0)).cast("long").alias(f)
         for f in public
@@ -224,7 +221,7 @@ def update_filterable_attributes(index_dir: str, attrs: list[str] | None) -> Ind
     here, not on the first query."""
     meta = load_meta(index_dir)
     if attrs is not None:
-        public = set(meta.stored_fields) | {"url", "lang", "text_crop", "doc_len"}
+        public = set(meta.public_fields(_doc_stats_columns(index_dir))) | {"doc_len"}
         bad = sorted(set(attrs) - public)
         if bad:
             raise ValueError(
@@ -236,12 +233,25 @@ def update_filterable_attributes(index_dir: str, attrs: list[str] | None) -> Ind
     return meta
 
 
+def _doc_stats_columns(index_dir: str) -> list[str]:
+    """doc_stats column names without a Spark session (pyarrow schema read) —
+    lets the settings declarations gate url/lang/text_crop on what the index
+    ACTUALLY stores, so a declaration of an absent column fails at the
+    update, not on the first query."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(os.path.join(index_dir, "doc_stats")).schema.names
+
+
 def update_sortable_attributes(index_dir: str, attrs: list[str] | None) -> IndexMeta:
     """MeiliSearch ``sortableAttributes`` — same contract as
     :func:`update_filterable_attributes`, governing ``sort=`` fields."""
     meta = load_meta(index_dir)
     if attrs is not None:
-        public = set(meta.stored_fields) | {"url", "lang", "text_crop", "doc_len", "doc_id"}
+        public = set(meta.public_fields(_doc_stats_columns(index_dir))) | {
+            "doc_len",
+            "doc_id",
+        }
         bad = sorted(set(attrs) - public)
         if bad:
             raise ValueError(

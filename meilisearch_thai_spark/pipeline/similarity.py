@@ -508,7 +508,7 @@ def hybrid_topk(
     formulas — pool merge is exactly how MeiliSearch's hybrid executes.
     Components and the blend are rounded to 4 decimals (engine-stable).
     """
-    from ..query.adhoc import bm25_topk
+    from ..query.adhoc import bm25_scores
 
     if not 0.0 <= semantic_ratio <= 1.0:
         raise ValueError(f"semantic_ratio must be in [0, 1], got {semantic_ratio}")
@@ -530,7 +530,9 @@ def hybrid_topk(
         )
         .select("doc_key", "cosine")
     )
-    kw = bm25_topk(docs, id_col, text_col, query_terms, k=1 << 30).select(
+    # unordered scoring subplan — no global sort of the whole matching set
+    # (only the max and the per-doc values are consumed)
+    kw = bm25_scores(docs, id_col, text_col, query_terms).select(
         F.col("doc_key"), F.col("score").alias("bm25")
     )
     mx = kw.agg(F.max("bm25").alias("mx"))

@@ -507,6 +507,39 @@ _HTML_ENTITIES = [
 ]
 
 
+def html_text_columns(html_col):
+    """(title Column, text Column) of the extraction in
+    :func:`extract_html_text`, applicable IN PLACE on any frame — the shape
+    for callers that must keep their own row identity (e.g. WARC records,
+    where urls repeat across re-crawls and an id-keyed join would mispair
+    rows)."""
+    from pyspark.sql import Column
+
+    def _decode_entities(col):
+        for ent, rep in _HTML_ENTITIES:
+            if ent != "&amp;":
+                col = F.replace(col, F.lit(ent), F.lit(rep))
+        return F.replace(col, F.lit("&amp;"), F.lit("&"))
+
+    h = html_col if isinstance(html_col, Column) else F.col(html_col)
+    h = F.coalesce(h, F.lit(""))
+    title = F.trim(_decode_entities(F.regexp_extract(h, _HTML_TITLE_RE, 1)))
+    body = h
+    for tag in _HTML_DROP_TAGS:
+        body = F.regexp_replace(body, _HTML_DROP_RE.format(tag=tag), "")
+    body = F.regexp_replace(body, _HTML_COMMENT_RE, "")
+    body = F.regexp_replace(body, _HTML_BLOCK_RE, "\n")
+    body = F.regexp_replace(body, _HTML_TAG_RE, " ")
+    body = _decode_entities(body)
+    body = F.regexp_replace(body, r"[ \t\r]+", " ")
+    body = F.regexp_replace(body, r" ?\n ?", "\n")
+    body = F.regexp_replace(body, r"\n{2,}", "\n")
+    # trim() strips spaces only — leading/trailing newlines (a doc ending at
+    # a block closer) need the regex
+    body = F.regexp_replace(body, r"^\n+|\n+$", "")
+    return title, F.trim(body)
+
+
 def extract_html_text(docs: DataFrame, id_col: str, html_col: str) -> DataFrame:
     """Crawl-grade HTML → text extraction → (doc_key, title, text).
 
@@ -521,30 +554,13 @@ def extract_html_text(docs: DataFrame, id_col: str, html_col: str) -> DataFrame:
 
     ``&amp;`` decodes LAST so author-escaped markup (``&amp;lt;``) cannot
     re-form an entity.  Pass a string column (cast binary html yourself —
-    charset detection is the caller's policy)."""
-    def _decode_entities(col):
-        for ent, rep in _HTML_ENTITIES:
-            if ent != "&amp;":
-                col = F.replace(col, F.lit(ent), F.lit(rep))
-        return F.replace(col, F.lit("&amp;"), F.lit("&"))
-
-    # NULL html (failed fetch) yields empty outputs, not NULL propagation
-    h = F.coalesce(F.col(html_col), F.lit(""))
-    title = F.trim(_decode_entities(F.regexp_extract(h, _HTML_TITLE_RE, 1)))
-    body = h
-    for tag in _HTML_DROP_TAGS:
-        body = F.regexp_replace(body, _HTML_DROP_RE.format(tag=tag), "")
-    body = F.regexp_replace(body, _HTML_COMMENT_RE, "")
-    body = F.regexp_replace(body, _HTML_BLOCK_RE, "\n")
-    body = F.regexp_replace(body, _HTML_TAG_RE, " ")
-    body = _decode_entities(body)
-    body = F.regexp_replace(body, r"[ \t\r]+", " ")
-    body = F.regexp_replace(body, r" ?\n ?", "\n")
-    body = F.regexp_replace(body, r"\n{2,}", "\n")
+    charset detection is the caller's policy).  NULL html (failed fetch)
+    yields empty outputs, not NULL propagation."""
+    title, text = html_text_columns(html_col)
     return docs.select(
         F.col(id_col).alias("doc_key"),
         title.alias("title"),
-        F.trim(body).alias("text"),
+        text.alias("text"),
     )
 
 
@@ -567,6 +583,7 @@ def extract_html_text_sql(table: str, id_col: str, html_col: str) -> str:
     body = f"regexp_replace({body}, '[ \\t\\r]+', ' ', 'g')"
     body = f"regexp_replace({body}, ' ?\\n ?', chr(10), 'g')"
     body = f"regexp_replace({body}, '\\n{{2,}}', chr(10), 'g')"
+    body = f"regexp_replace({body}, '^\\n+|\\n+$', '', 'g')"
     return f"""
 SELECT {id_col} AS doc_key,
        trim({ent_chain.format(col=f"regexp_extract({html_col}, '{_HTML_TITLE_RE}', 1)")}) AS title,

@@ -37,19 +37,18 @@ def tokenize_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def bm25_topk(
+def bm25_scores(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     query_terms: list[str],
-    k: int = 10,
     matching: str = "best",
 ) -> DataFrame:
-    """BM25 top-k over an arbitrary (id, text) DataFrame, one lazy plan.
-
-    Returns columns: ``doc_key, score, terms_matched`` with
-    ``score = round(bm25, 4)`` and ordering (score desc, doc_key asc).
-    """
+    """Per-matching-doc BM25 scores WITHOUT the top-k order/cut —
+    ``(doc_key, score, terms_matched)`` unordered.  The building block for
+    consumers that re-rank or blend (hybrid search, federation pools): a
+    huge-limit ``orderBy`` here would funnel the whole matching set through
+    one global sort whose ordering the caller immediately discards."""
     terms = list(dict.fromkeys(query_terms))
     toks = tokenize_terms(docs, id_col, text_col)
     tf = toks.groupBy("doc_key", "term").agg(F.count("*").alias("tf"))
@@ -80,7 +79,26 @@ def bm25_topk(
     )
     if matching == "all":
         scored = scored.filter(F.col("terms_matched") == len(terms))
-    return scored.orderBy(F.desc("score"), F.asc("doc_key")).limit(k)
+    return scored
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    matching: str = "best",
+) -> DataFrame:
+    """BM25 top-k over an arbitrary (id, text) DataFrame, one lazy plan.
+
+    Returns columns: ``doc_key, score, terms_matched`` with
+    ``score = round(bm25, 4)`` and ordering (score desc, doc_key asc)."""
+    return (
+        bm25_scores(docs, id_col, text_col, query_terms, matching)
+        .orderBy(F.desc("score"), F.asc("doc_key"))
+        .limit(k)
+    )
 
 
 def bm25f_topk_sql_oracle(

@@ -1472,14 +1472,9 @@ class SearchEngine:
         )
 
     def _public_fields(self) -> list[str]:
-        """The retrievable/facetable/distinct-able document fields: url/lang/
-        text_crop when present plus the build's declared stored_fields — NOT
-        the internal index columns (doc_id, doc_len, norm_hash), which the
-        reference never exposes on the request surface."""
-        pub = set(self.meta.stored_fields) | {
-            c for c in ("url", "lang", "text_crop") if c in self.doc_stats.columns
-        }
-        return sorted(pub)
+        """The retrievable/facetable/distinct-able document fields — the one
+        shared definition lives on IndexMeta.public_fields."""
+        return self.meta.public_fields(self.doc_stats.columns)
 
     def _check_attrs(self, attributes: list[str] | None) -> list[str]:
         """Validate an attributesToRetrieve list against the stored doc
@@ -1971,6 +1966,12 @@ class SearchEngine:
             raise ValueError(
                 f"unknown facet fields {missing}; available {self._public_fields()}"
             )
+        # MeiliSearch: facets must be filterable attributes when a
+        # declaration exists (invalid_search_facets 400)
+        self._check_declared(
+            facets, getattr(self.meta, "filterable_attributes", None),
+            "filterable fields",
+        )
         # query-side stop-words never match at search time, so they must not
         # inflate facet counts either (parity with the hit set)
         qterms = list(dict.fromkeys(self._drop_stopwords(list(terms))))
@@ -2050,6 +2051,10 @@ class SearchEngine:
             raise ValueError(
                 f"unknown facet fields {missing}; available {self._public_fields()}"
             )
+        self._check_declared(
+            facets, getattr(self.meta, "filterable_attributes", None),
+            "filterable fields",
+        )
         dtypes = {f.name: f.dataType for f in self.doc_stats.schema.fields}
         non_numeric = sorted(
             f for f in facets if not isinstance(dtypes.get(f), _T.NumericType)

@@ -101,6 +101,11 @@ def parse_warc_bytes(data: bytes, strict: bool = False) -> list[dict]:
             if strict:
                 raise ValueError("WARC record without Content-Length") from None
             break
+        if length < 0:
+            # a negative length would move the scan BACKWARD and loop forever
+            if strict:
+                raise ValueError(f"negative Content-Length {length}")
+            break
         body_start = hdr_end + 4
         body = data[body_start : body_start + length]
         if len(body) < length:
@@ -144,16 +149,22 @@ def read_warc(
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 for rec in parse_warc_bytes(bytes(content), strict=strict):
-                    rows.append(
-                        (
-                            rec["url"],
+                    try:
+                        ts = (
                             pd.to_datetime(rec["warc_date"], utc=True).tz_localize(None)
                             if rec["warc_date"]
-                            else None,
-                            rec["html"],
-                            path,
+                            else None
                         )
-                    )
+                    except (ValueError, TypeError):
+                        # corrupted WARC-Date: quiet mode keeps the record
+                        # with a NULL timestamp (the crawl-tolerance
+                        # contract); strict surfaces it
+                        if strict:
+                            raise ValueError(
+                                f"malformed WARC-Date {rec['warc_date']!r}"
+                            ) from None
+                        ts = None
+                    rows.append((rec["url"], ts, rec["html"], path))
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "warc_file"]
             )
@@ -166,19 +177,17 @@ def warc_to_pages(spark: SparkSession, source, lang: str | None = None) -> DataF
     :func:`~..pipeline.webtext.extract_html_text`, ``lang`` filled with the
     given constant or left NULL for a downstream language-ID stage — ready
     for ``clean_corpus``/``build_index``."""
-    from ..pipeline.webtext import extract_html_text
+    from ..pipeline.webtext import html_text_columns
 
     recs = read_warc(spark, source)
-    txt = extract_html_text(
-        recs.withColumn("html_str", F.col("html").cast("string")), "url", "html_str"
-    ).withColumnRenamed("doc_key", "url")
-    return (
-        recs.join(txt.select("url", "text"), "url")
-        .select(
-            "url",
-            "warc_ts",
-            "html",
-            "text",
-            F.lit(lang).cast("string").alias("lang"),
-        )
+    # extraction applied IN PLACE (html_text_columns), never an id-keyed
+    # self-join: urls repeat across re-crawls in real segments, and a join
+    # on a non-unique url would mispair html/text and double rows
+    _title, text = html_text_columns(F.col("html").cast("string"))
+    return recs.select(
+        "url",
+        "warc_ts",
+        "html",
+        text.alias("text"),
+        F.lit(lang).cast("string").alias("lang"),
     )

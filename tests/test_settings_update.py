@@ -210,3 +210,31 @@ def test_filterable_sortable_declarations(spark, tmp_path):
     update_filterable_attributes(out, None)  # reset to undeclared
     eng.refresh_index()
     assert eng.search_terms(["wakame"], filters={"lang": {"$eq": "en"}}, k=5).count() == 1
+
+
+def test_declarations_respect_actual_columns_and_gate_facets(spark, tmp_path):
+    """Declaring a field the index does not store fails at the update (not
+    the first query); declared filterableAttributes also gate facet fields."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.index.builder import build_index
+    from meilisearch_thai_spark.index.settings import update_filterable_attributes
+    from meilisearch_thai_spark.query.executor import SearchEngine
+
+    out = str(tmp_path / "idx_cols")
+    pages = spark.createDataFrame(
+        [("https://t/1", "wakame salad", "th")], "url string, text string, lang string"
+    ).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text", "lang",
+    )
+    build_index(spark, pages, out)  # no store_text_crop -> no text_crop column
+    with pytest.raises(ValueError, match="text_crop"):
+        update_filterable_attributes(out, ["text_crop"])
+    update_filterable_attributes(out, ["url"])
+    eng = SearchEngine(spark, out, cache_postings=False)
+    with pytest.raises(ValueError, match="filterable fields.*lang"):
+        eng.facet_distribution(["wakame"], ["lang"])

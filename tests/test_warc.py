@@ -94,3 +94,45 @@ def test_warc_to_pages_feeds_build_index(spark, tmp_path):
     assert meta.n_docs == 2
     hits = SearchEngine(spark, out, cache_postings=False).search_terms(["wakame"], k=5).collect()
     assert [h["url"] for h in hits] == ["https://t/1"]
+
+
+def test_negative_content_length_terminates():
+    """A corrupted negative Content-Length must stop the scan (quiet) or
+    raise (strict), never loop forever."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: -26\r\n\r\n"
+    )
+    assert parse_warc_bytes(bad) == []
+    with pytest.raises(ValueError, match="negative"):
+        parse_warc_bytes(bad, strict=True)
+
+
+def test_malformed_warc_date_quiet_keeps_record(spark, tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "seg.warc").write_bytes(
+        warc_record_bytes("https://t/1", "not-a-date", b"<p>x</p>")
+    )
+    rows = read_warc(spark, str(d)).collect()
+    assert len(rows) == 1 and rows[0]["warc_ts"] is None
+    with pytest.raises(Exception, match="malformed WARC-Date"):
+        read_warc(spark, str(d), strict=True).collect()
+
+
+def test_warc_to_pages_duplicate_urls_stay_rowwise(spark, tmp_path):
+    """Re-crawled urls (duplicates in a segment) keep one row per RECORD
+    with text extracted from ITS OWN html — no join mispairing/doubling."""
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "seg.warc").write_bytes(
+        warc_record_bytes("https://t/1", "2024-01-01T00:00:00Z",
+                          b"<p>first crawl</p>")
+        + warc_record_bytes("https://t/1", "2024-02-01T00:00:00Z",
+                            b"<p>second crawl</p>")
+    )
+    rows = warc_to_pages(spark, str(d), lang="en").collect()
+    assert len(rows) == 2
+    texts = {bytes(r["html"]): r["text"] for r in rows}
+    assert texts[b"<p>first crawl</p>"] == "first crawl"
+    assert texts[b"<p>second crawl</p>"] == "second crawl"
