@@ -691,6 +691,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"en": 0.1, "zh": 0.5, "es": 1.0}, seed="mix1",
         ).select("doc_id", "lang")
 
+    def s7_index_stats(spark, sf):
+        # MeiliSearch /stats fieldDistribution: per public field, docs with a
+        # non-null value (one exchange-free aggregate over doc_stats)
+        from meilisearch_thai_spark.index.settings import index_stats
+
+        st = index_stats(spark, _docs_index(spark, sf))
+        rows = [("__total__", st["numberOfDocuments"])] + sorted(
+            st["fieldDistribution"].items()
+        )
+        return spark.createDataFrame(rows, "field string, n_docs long").orderBy("field")
+
     def x16_federated_search(spark, sf):
         # MeiliSearch v1.10 federation: one query across two indexes (each
         # with its OWN BM25 stats), merged by max-normalized weighted score —
@@ -908,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_contamination": webtext_contamination,
         "webtext_html_extract": webtext_html_extract,
         "sample_stratified": sample_stratified,
+        "s7_index_stats": s7_index_stats,
         "x16_federated_search": x16_federated_search,
         "warc_parse": warc_parse,
         "weburl_normalize": weburl_normalize,
@@ -1188,6 +1200,17 @@ SELECT * FROM q
             "documents", "doc_id", "lang", {"en": 0.1, "zh": 0.5, "es": 1.0}, seed="mix1"
         )
         + ")",
+        "s7_index_stats": """
+SELECT field, n_docs FROM (
+  SELECT '__total__' AS field, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  UNION ALL
+  SELECT 'lang', CAST(COUNT(lang) AS BIGINT) FROM documents
+  UNION ALL
+  SELECT 'rating', CAST(COUNT(*) AS BIGINT) FROM documents
+  UNION ALL
+  SELECT 'url', CAST(COUNT(*) AS BIGINT) FROM documents
+) ORDER BY field
+""",
         "x16_federated_search": f"""
 WITH even AS (SELECT 'even' AS index_uid, doc_key, score, 1.0 AS w FROM ({adhoc.bm25_topk_sql_oracle('(SELECT * FROM documents WHERE doc_id % 2 = 0) sub0', 'doc_id', 'text', _BM25_QUERY, k=20)})),
 odd AS (SELECT 'odd' AS index_uid, doc_key, score, 0.8 AS w FROM ({adhoc.bm25_topk_sql_oracle('(SELECT * FROM documents WHERE doc_id % 2 = 1) sub1', 'doc_id', 'text', _BM25_QUERY, k=20)})),
