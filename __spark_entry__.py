@@ -781,6 +781,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             wu.normalize_urls(_synth_urls(spark, sf), "doc_id", "url")
         )
 
+    def webtext_lm_quality(spark, sf):
+        # CCNet-style unigram-LM quality scoring: mean smoothed logprob of
+        # each doc's tokens under a trusted reference slice (every 7th doc)
+        docs = _t(spark, sf, "documents")
+        ref = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+        return wtx.unigram_logprob(docs, "doc_id", "text", ref, "text")
+
     def webtext_html_extract(spark, sf):
         # crawl-grade HTML -> text extraction over deterministically
         # synthesized pages (title/head/script/style/comments/entities) —
@@ -917,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_gopher_quality": webtext_gopher_quality,
         "webtext_pii_mask": webtext_pii_mask,
         "webtext_contamination": webtext_contamination,
+        "webtext_lm_quality": webtext_lm_quality,
         "webtext_html_extract": webtext_html_extract,
         "sample_stratified": sample_stratified,
         "s7_index_stats": s7_index_stats,
@@ -1251,6 +1259,11 @@ WITH synth AS (
 ),
 hs AS ({wu.host_stats_sql(wu.normalize_urls_sql('synth', 'doc_id', 'url'))})
 SELECT * FROM hs
+""",
+        "webtext_lm_quality": f"""
+WITH refslice AS (SELECT text FROM documents WHERE doc_id % 7 = 0),
+q AS ({wtx.unigram_logprob_sql('documents', 'doc_id', 'text', 'refslice', 'text')})
+SELECT * FROM q
 """,
         "webtext_html_extract": f"""
 WITH synth AS (

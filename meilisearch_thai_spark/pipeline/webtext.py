@@ -590,3 +590,99 @@ SELECT {id_col} AS doc_key,
        trim({body}) AS text
 FROM {table}
 """
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref: DataFrame,
+    ref_text_col: str,
+    word_split: str = " |\n",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020 filter
+    web text by LM perplexity; the no-external-model version is a unigram LM
+    trained on a trusted reference slice): per document, the mean add-one-
+    smoothed unigram log-probability of its tokens under the reference →
+    (doc_key, n_tokens, mean_logprob).
+
+    ``logp(t) = ln((c_ref(t) + 1) / (N_ref + V_ref + 1))``; out-of-vocabulary
+    tokens take the smoothing floor ``ln(1 / (N_ref + V_ref + 1))``.  Lower
+    (more negative) means less like the reference — the filtering knob is a
+    percentile cut on ``mean_logprob``, exactly CCNet's head/middle/tail
+    split.  ``mean_logprob`` is rounded to 4 decimals (engine-stable).
+
+    Scale shape: the reference vocabulary is bounded (a trusted slice, not
+    the corpus), so its logprob table BROADCASTS; the corpus token stream
+    explodes narrow, joins broadcast, and aggregates per doc with map-side
+    combine — one corpus shuffle.  Empty docs score 0 with n_tokens 0.
+    """
+    toks_col = F.filter(F.split(F.col(text_col), word_split), lambda t: t != "")
+    ref_toks = ref.select(
+        F.explode(
+            F.filter(F.split(F.col(ref_text_col), word_split), lambda t: t != "")
+        ).alias("tok")
+    )
+    counts = ref_toks.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_ref"), F.count("*").alias("v_ref")
+    )
+    lp = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            F.log((F.col("c") + 1.0) / (F.col("n_ref") + F.col("v_ref") + 1.0)).alias("logp"),
+        )
+    )
+    floor = totals.select(
+        F.log(1.0 / (F.col("n_ref") + F.col("v_ref") + 1.0)).alias("floor")
+    )
+    stream = docs.select(
+        F.col(id_col).alias("doc_key"), F.explode_outer(toks_col).alias("tok")
+    )
+    tagged = stream.join(F.broadcast(lp), "tok", "left").crossJoin(F.broadcast(floor))
+    return tagged.groupBy("doc_key").agg(
+        F.sum(F.when(F.col("tok").isNotNull(), 1).otherwise(0)).cast("long").alias("n_tokens"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("tok").isNotNull(), F.coalesce(F.col("logp"), F.col("floor"))))
+                / F.greatest(
+                    F.sum(F.when(F.col("tok").isNotNull(), 1).otherwise(0)), F.lit(1)
+                ),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("mean_logprob"),
+    )
+
+
+def unigram_logprob_sql(
+    table: str, id_col: str, text_col: str, ref_table: str, ref_text_col: str
+) -> str:
+    """DuckDB twin of :func:`unigram_logprob` (split on space|newline)."""
+    ws = "list_filter(regexp_split_to_array({col}, ' |' || chr(10)), x -> x <> '')"
+    return f"""
+WITH rt AS (
+  SELECT unnest({ws.format(col=ref_text_col)}) AS tok FROM {ref_table}
+),
+counts AS (SELECT tok, COUNT(*)::DOUBLE AS c FROM rt GROUP BY 1),
+totals AS (SELECT SUM(c) AS n_ref, COUNT(*)::DOUBLE AS v_ref FROM counts),
+lp AS (
+  SELECT tok, ln((c + 1.0) / (n_ref + v_ref + 1.0)) AS logp FROM counts, totals
+),
+flr AS (SELECT ln(1.0 / (n_ref + v_ref + 1.0)) AS floor FROM totals),
+stream AS (
+  SELECT {id_col} AS doc_key, unnest({ws.format(col=text_col)}) AS tok FROM {table}
+),
+agg AS (
+  SELECT s.doc_key,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(SUM(COALESCE(lp.logp, flr.floor)) / GREATEST(COUNT(*), 1), 4) AS mean_logprob
+  FROM stream s LEFT JOIN lp USING (tok) CROSS JOIN flr
+  GROUP BY 1
+)
+SELECT d.{id_col} AS doc_key,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.mean_logprob, 0.0) AS mean_logprob
+FROM {table} d LEFT JOIN agg a ON d.{id_col} = a.doc_key
+"""

@@ -213,3 +213,27 @@ def test_extract_html_text_semantics(spark):
     assert 'x <tag> "q" \'s\' y' in text
     assert got[2] == ("", "no tags at all")
     assert got[3] == ("", "")  # NULL html -> empty, not a crash
+
+
+def test_unigram_logprob_semantics(spark):
+    """LM quality: reference-like docs outscore OOV-heavy docs; empty docs
+    report zero; exact smoothed values on a hand-computable reference."""
+    import math
+
+    from meilisearch_thai_spark.pipeline.webtext import unigram_logprob
+
+    ref = spark.createDataFrame([("the cat sat",), ("the dog sat",)], "text string")
+    # ref: the×2, sat×2, cat×1, dog×1 -> N=6, V=4
+    docs = spark.createDataFrame(
+        [(1, "the sat"), (2, "zzz qqq"), (3, "")], "id long, text string"
+    )
+    got = {
+        r["doc_key"]: (r["n_tokens"], r["mean_logprob"])
+        for r in unigram_logprob(docs, "id", "text", ref, "text").collect()
+    }
+    lp_the = math.log(3 / 11)   # (2+1)/(6+4+1)
+    lp_oov = math.log(1 / 11)
+    assert got[1] == (2, round((lp_the + lp_the) / 2, 4))
+    assert got[2] == (2, round(lp_oov, 4))
+    assert got[3] == (0, 0.0)
+    assert got[1][1] > got[2][1]  # in-reference text scores higher
