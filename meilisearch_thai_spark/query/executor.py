@@ -1537,6 +1537,38 @@ class SearchEngine:
             out.append(d)
         return out
 
+    def list_documents(
+        self,
+        offset: int = 0,
+        limit: int = 20,
+        fields: list[str] | None = None,
+    ) -> DataFrame:
+        """MeiliSearch ``GET /indexes/:uid/documents``: a stable page of the
+        stored documents (doc_id order — the build's url rank, so pagination
+        is deterministic across calls), tombstoned docs excluded, columns
+        limited to the requested public ``fields`` (default: all public).
+
+        Plan: doc_stats scan → deletes excluded → ORDER BY the
+        range-partitioned doc_id → offset+limit cut; column pruning pushes
+        the ``fields`` selection into the parquet scan."""
+        if offset < 0 or limit <= 0:
+            raise ValueError(f"need offset >= 0 and limit > 0, got {offset}/{limit}")
+        cols = self._check_attrs(fields) if fields else self._public_fields()
+        out = (
+            self._exclude_deleted(self.doc_stats)
+            .orderBy(F.asc("doc_id"))
+            .limit(offset + limit)
+            .select("doc_id", *[c for c in cols if c != "doc_id"])
+        )
+        if offset:
+            w = Window.orderBy(F.asc("doc_id"))
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") > offset)
+                .drop("_rn")
+            )
+        return out
+
     def search_page(
         self,
         query: str,

@@ -188,3 +188,39 @@ def test_swap_indexes_exchanges_content(spark, tmp_path):
         swap_indexes(a, a)
     with pytest.raises(ValueError, match="not a built index"):
         swap_indexes(a, str(tmp_path / "nope"))
+
+
+def test_list_documents_pagination_and_deletes(spark, tmp_path):
+    """GET /documents parity: deterministic doc_id-ordered pages, tombstoned
+    docs excluded, field selection validated against the public surface."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.index.builder import build_index
+    from meilisearch_thai_spark.index.maintenance import delete_docs
+    from meilisearch_thai_spark.query.executor import SearchEngine
+
+    out = str(tmp_path / "idx_list")
+    rows = [(f"https://t/{i:02d}", f"document body number {i}", "en") for i in range(10)]
+    pages = spark.createDataFrame(rows, "url string, text string, lang string").select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text", "lang",
+    )
+    build_index(spark, pages, out)
+    eng = SearchEngine(spark, out, cache_postings=False)
+    p1 = [r["url"] for r in eng.list_documents(limit=4).collect()]
+    p2 = [r["url"] for r in eng.list_documents(offset=4, limit=4).collect()]
+    p3 = [r["url"] for r in eng.list_documents(offset=8, limit=4).collect()]
+    assert p1 + p2 + p3 == [f"https://t/{i:02d}" for i in range(10)]  # stable full sweep
+    assert delete_docs(spark, out, ["https://t/02"]) == 1
+    eng.refresh_deletes()
+    urls = [r["url"] for r in eng.list_documents(limit=20).collect()]
+    assert "https://t/02" not in urls and len(urls) == 9
+    got = eng.list_documents(limit=1, fields=["lang"]).columns
+    assert got == ["doc_id", "lang"]
+    with pytest.raises(ValueError, match="attributes_to_retrieve"):
+        eng.list_documents(fields=["norm_hash"])
+    with pytest.raises(ValueError, match="offset"):
+        eng.list_documents(offset=-1)
