@@ -488,6 +488,33 @@ class SearchService:
             for r in rows
         }
 
+    def suggest(self, query: str) -> str | None:
+        """"Did you mean": rewrite out-of-vocabulary query words to their
+        best in-vocabulary typo correction (the same banded-Damerau
+        expansion the typo rule uses, honouring the index's typoTolerance
+        settings).  Returns the corrected query, or None when every word is
+        already in the vocabulary or nothing corrects — the UI contract of a
+        suggestion banner, not a silent rewrite (the search itself already
+        applies typo variants; this surfaces WHAT it matched)."""
+        from ..tokenizer import extract_index_terms, tokenize_for_index
+
+        eng = self.engine
+        vocab = eng._vocab_set()
+        words = extract_index_terms(tokenize_for_index(query or ""))
+        out: list[str] = []
+        changed = False
+        for w in words:
+            if w in vocab:
+                out.append(w)
+                continue
+            fixes = eng.expand_terms_fuzzy(w, max_expansions=1)
+            if fixes:
+                out.append(fixes[0])
+                changed = True
+            else:
+                out.append(w)
+        return " ".join(out) if changed else None
+
     def export_metrics(self, spark: SparkSession):
         """S6: metrics DataFrame for the run (write with .write.json/parquet)."""
         from .enhancer import query_metrics_frame

@@ -206,3 +206,19 @@ def test_show_ranking_score_details(service):
         assert d["final"] == h.score
     r2 = svc.search("สาหร่ายวากาเมะ", limit=3)
     assert r2.hits[0].score_details == {}
+
+
+def test_suggest_did_you_mean(service):
+    """OOV words rewrite to their best in-vocab typo fix; clean queries and
+    uncorrectable garbage return None (no banner)."""
+    # the corpus is Thai word soup; use a Latin token we KNOW is indexed
+    vocab = service.engine.vocabulary()
+    latin = [t for t in vocab if t.isascii() and len(t) >= 5]
+    if not latin:  # corpus edge: fall back to a Thai word
+        latin = [t for t in vocab if len(t) >= 5]
+    word = latin[0]
+    typo = word[:-1] + ("x" if word[-1] != "x" else "y")
+    got = service.suggest(typo)
+    assert got == word
+    assert service.suggest(word) is None            # already correct
+    assert service.suggest("zzzzzzzzzzzz") is None  # nothing corrects
