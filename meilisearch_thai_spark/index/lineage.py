@@ -305,6 +305,18 @@ def finalize_index(
         meta.stopwords = prev.get("stopwords", meta.stopwords)
         meta.stopwords_fingerprint = prev.get("stopwords_fingerprint", meta.stopwords_fingerprint)
         meta.stopwords_build = prev.get("stopwords_build", meta.stopwords_build)
+        # the whole query-side settings surface rides along, not just
+        # synonyms/stop-words: typoTolerance and the filterable/sortable
+        # declarations are index settings too and must survive a delta
+        # add_documents / re-finalize (MeiliSearch keeps settings across
+        # document additions)
+        meta.typo_tolerance = prev.get("typo_tolerance", meta.typo_tolerance)
+        meta.filterable_attributes = prev.get(
+            "filterable_attributes", meta.filterable_attributes
+        )
+        meta.sortable_attributes = prev.get(
+            "sortable_attributes", meta.sortable_attributes
+        )
     with open(meta_path, "w") as fh:
         json.dump(asdict(meta), fh, indent=1)
     # fresh finalize = new document set; stale tombstones must not dangle

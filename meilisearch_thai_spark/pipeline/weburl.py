@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 # tracking-parameter names dropped during normalization (public lists:
 # Google/Facebook click ids + the urchin tracking module family)
-TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid)="
+# '=' optional so a bare '?utm_source' (valueless param) strips too
+TRACKING_PARAM_RE = "^(utm_[^=&]*|gclid|fbclid)(=|$)"
 
 
 def normalize_urls(docs: DataFrame, id_col: str, url_col: str) -> DataFrame:
@@ -72,7 +73,12 @@ def normalize_urls(docs: DataFrame, id_col: str, url_col: str) -> DataFrame:
             F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
         ).alias("norm_url"),
         "host",
-        F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1).alias("domain"),
+        # domain comes from the PORTLESS host — a non-default port stays in
+        # host ('a.example.com:8080') but must not leak into the registered
+        # domain ('example.com', not 'example.com:8080')
+        F.regexp_extract(
+            F.regexp_replace("host", ":[0-9]+$", ""), r"([^.]+\.[^.]+)$", 1
+        ).alias("domain"),
     )
 
 
@@ -106,7 +112,8 @@ SELECT doc_key, url,
        scheme || '://' || host || path
          || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS norm_url,
        host,
-       regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+       regexp_extract(regexp_replace(host, ':[0-9]+$', ''),
+                      '([^.]+\\.[^.]+)$', 1) AS domain
 FROM np
 """
 

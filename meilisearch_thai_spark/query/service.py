@@ -507,9 +507,24 @@ class SearchService:
             if w in vocab:
                 out.append(w)
                 continue
-            fixes = eng.expand_terms_fuzzy(w, max_expansions=1)
+            fixes = eng.expand_terms_fuzzy(w, max_expansions=8)
             if fixes:
-                out.append(fixes[0])
+                # rank the candidate pool by (edit distance, df desc, term):
+                # a 1-edit common word beats a 2-edit rare one — the
+                # "most likely correction" contract of a did-you-mean banner,
+                # not whichever candidate the length-band scan met first
+                from .executor import _edit_distance_within
+
+                dfs = eng.term_dfs(fixes)
+                best = min(
+                    fixes,
+                    key=lambda t: (
+                        1 if _edit_distance_within(w, t, 1) else 2,
+                        -dfs.get(t, 0),
+                        t,
+                    ),
+                )
+                out.append(best)
                 changed = True
             else:
                 out.append(w)

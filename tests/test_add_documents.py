@@ -132,14 +132,34 @@ def test_settings_and_params_survive_add(spark, corpus, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("adddocs_settings") / "idx")
     a = corpus.orderBy("url").limit(300)
     b = corpus.orderBy("url").subtract(a)
+    from meilisearch_thai_spark.index.settings import (
+        export_settings,
+        update_filterable_attributes,
+        update_sortable_attributes,
+        update_typo_tolerance,
+    )
+
     add_documents(spark, a, out, n_shards=4, params=BM25Params(k1=1.5), block_size=64)
     update_synonyms(out, {"ปัญญาประดิษฐ์": ["เอไอ"]})
     update_stop_words(out, ["และ"])
+    update_typo_tolerance(out, one_typo=6, disable_on_words=["thai"])
+    update_filterable_attributes(out, ["lang"])
+    update_sortable_attributes(out, ["doc_len"])
     meta = add_documents(spark, b, out, n_shards=4)  # defaults = inherit
     assert meta.k1 == 1.5 and meta.block_size == 64
     m = load_meta(out)
     assert m.synonyms == {"ปัญญาประดิษฐ์": ["เอไอ"]}
     assert m.stopwords == ["และ"]
+    # the WHOLE settings surface must survive a delta add, not just
+    # synonyms/stop-words (ADVICE r3: typoTolerance + attribute declarations
+    # were silently reset to defaults by the next finalize)
+    assert m.typo_tolerance["one_typo"] == 6
+    assert m.typo_tolerance["disable_on_words"] == ["thai"]
+    assert m.filterable_attributes == ["lang"]
+    assert m.sortable_attributes == ["doc_len"]
+    exported = export_settings(out)
+    assert exported["typo_tolerance"]["one_typo"] == 6
+    assert exported["filterable_attributes"] == ["lang"]
 
 
 def test_finalize_streamed_index_inherits_layout(spark, corpus, tmp_path_factory):

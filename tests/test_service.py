@@ -222,3 +222,20 @@ def test_suggest_did_you_mean(service):
     assert got == word
     assert service.suggest(word) is None            # already correct
     assert service.suggest("zzzzzzzzzzzz") is None  # nothing corrects
+
+
+def test_suggest_prefers_higher_df_among_equal_distance(spark, tmp_path_factory):
+    """ADVICE r3: among equal-edit-distance corrections, suggest() must pick
+    the most frequent term (df desc), not length-band scan order."""
+    from meilisearch_thai_spark.index.builder import build_index
+
+    out = str(tmp_path_factory.mktemp("svc_suggest_df"))
+    texts = ["paper stack on the paper desk"] * 9 + ["pager device beeped"]
+    pages = spark.createDataFrame(
+        [(f"{i:04d}", t, "en") for i, t in enumerate(texts)],
+        "url string, text string, lang string",
+    )
+    build_index(spark, pages, out)
+    svc = SearchService(spark, out, cache_postings=False)
+    # 'pater' is OOV and 1 edit from BOTH 'paper' (df=9) and 'pager' (df=1)
+    assert svc.suggest("pater") == "paper"

@@ -48,3 +48,18 @@ def test_host_stats_counts_canonical_duplicates(spark):
         for r in host_stats(normalize_urls(df, "id", "url")).collect()
     }
     assert got == {"a.example.com": (3, 2), "b.example.com": (1, 1)}
+
+
+def test_bare_tracking_param_strips(spark):
+    # a valueless '?utm_source' (no '=') is still a tracking param
+    r = _norm(spark, "https://a.example.com/x?utm_source&id=3")
+    assert r["norm_url"] == "https://a.example.com/x?id=3"
+    r2 = _norm(spark, "https://a.example.com/x?utm_source")
+    assert r2["norm_url"] == "https://a.example.com/x"
+
+
+def test_domain_excludes_nondefault_port(spark):
+    # the port stays in host but must NOT leak into the registered domain
+    r = _norm(spark, "http://a.example.com:8080/x")
+    assert r["host"] == "a.example.com:8080"
+    assert r["domain"] == "example.com"
