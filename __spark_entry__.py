@@ -33,6 +33,11 @@ from meilisearch_thai_spark.query import ranker as rk
 _BM25_QUERY = ["merge", "join", "table", "scan"]
 _BM25_CONJ = ["key", "value", "hash"]
 
+# text appended by the partial-update driver entries (same literal in the
+# DuckDB CASE): carries two _BM25_QUERY terms so merged postings move the
+# top-k, proving the update actually retokenized
+_UPD_SUFFIX = " merge join refresh"
+
 # injected boilerplate lines for the webtext_* entries (identical strings in
 # the DuckDB oracle)
 _WT_HEADER = "accept cookies to continue"
@@ -162,6 +167,47 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> str:
     out = tempfile.mkdtemp(prefix="drv_idx_meta_")
     build_index(spark, pages, out, stored_fields=["rating"])
     _IDX_CACHE[sf_dir] = out
+    return out
+
+
+def _docs_index_updated(spark: SparkSession, sf_dir: str) -> str:
+    """Staged (add_documents) index over ``documents``, then ONE partial
+    ``update_documents`` pass exercising both merge paths (reference
+    client.py:214-249 update-by-primary-key semantics): doc_id%5==0 gets a
+    text suffix appended (retokenize), doc_id%7==3 (and not %5==0) gets
+    lang='xx' with NO text (metadata-only: term rows re-staged, tokenizer
+    never runs).  The oracles recompute over the COALESCE-merged corpus."""
+    key = sf_dir + ":updated"
+    if key in _IDX_CACHE:
+        return _IDX_CACHE[key]
+    import tempfile
+
+    from meilisearch_thai_spark.streaming.ingest import add_documents, update_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url")
+    pages = docs.select(
+        url,
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    out = tempfile.mkdtemp(prefix="drv_idx_upd_")
+    add_documents(spark, pages, out)
+    partial = docs.filter(
+        (F.col("doc_id") % 5 == 0) | (F.col("doc_id") % 7 == 3)
+    ).select(
+        url,
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(_UPD_SUFFIX))
+        ).alias("text"),
+        F.when(
+            (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 3), F.lit("xx")
+        ).alias("lang"),
+    )
+    update_documents(spark, partial, out)
+    _IDX_CACHE[key] = out
     return out
 
 
@@ -860,6 +906,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_phone",
         )
 
+    def s2_update_documents(spark, sf):
+        # partial document updates (reference client.py:214-249): BM25 search
+        # over the UPDATED staged index must equal DuckDB BM25 over the
+        # COALESCE-merged corpus — text merges retokenized, postings rebuilt
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index_updated(spark, sf), cache_postings=False)
+        hits = eng.search_terms(_BM25_QUERY, k=20)
+        return hits.select(
+            F.col("url").cast("long").alias("doc_key"),
+            F.round("score", 4).alias("score"),
+            F.col("terms_matched").cast("long").alias("terms_matched"),
+        ).orderBy(F.desc("score"), F.asc("doc_key"))
+
+    def s2_update_metadata(spark, sf):
+        # the metadata-only merge path of the same update batch: lang='xx'
+        # merged for doc_id%7==3 (no text supplied → no retokenization),
+        # every other field kept — read back through the public document
+        # listing (doc_id order, first 200)
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index_updated(spark, sf), cache_postings=False)
+        return eng.list_documents(limit=200, fields=["url", "lang"]).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "url", "lang"
+        )
+
     def agg_partial_q1(spark, sf):
         li = _t(spark, sf, "lineitem")
         return (
@@ -938,6 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r3_exact_boost": r3_exact_boost,
         "r5_tiebreak_sort": r5_tiebreak_sort,
         "mm_binary_meta": mm_binary_meta,
+        "s2_update_documents": s2_update_documents,
+        "s2_update_metadata": s2_update_metadata,
     }
 
 
@@ -954,6 +1028,22 @@ def oracle_sql() -> dict[str, str]:
         "r11_search_on_title": adhoc.bm25f_topk_sql_oracle(
             "documents", "doc_id", "text", _BM25_QUERY, k=20, search_fields=[0]
         ),
+        "s2_update_documents": adhoc.bm25_topk_sql_oracle(
+            # the COALESCE-merged corpus: text merge for doc_id%5==0,
+            # everything else kept — last-writer-wins per column
+            f"(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || '{_UPD_SUFFIX}'"
+            " ELSE text END AS text FROM documents) m",
+            "doc_id",
+            "text",
+            _BM25_QUERY,
+            k=20,
+        ),
+        "s2_update_metadata": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       lpad(CAST(doc_id AS VARCHAR), 12, '0') AS url,
+       CASE WHEN doc_id % 7 = 3 AND doc_id % 5 <> 0 THEN 'xx' ELSE lang END AS lang
+FROM documents ORDER BY doc_id LIMIT 200
+""",
         "r11_bm25_conjunctive": adhoc.bm25_topk_sql_oracle(
             "documents", "doc_id", "text", _BM25_CONJ, k=20, matching="all"
         ),

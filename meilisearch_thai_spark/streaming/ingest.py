@@ -377,32 +377,11 @@ def add_documents(
     )
 
 
-def finalize_streamed_index(
-    spark: SparkSession,
-    out_dir: str,
-    block_size: int | None = None,
-    bucket_span: int | None = None,
-    params: BM25Params | None = None,
-) -> IndexMeta:
-    """Turn accumulated stream shards into the queryable index.
-
-    Re-crawl dedup: keep each url's rows from its LATEST batch only, then
-    assign deterministic doc ids from the surviving url set and run the
-    shared phase-2 finalize.  Safe to re-run any time (all writes overwrite);
-    the stream can keep appending and a later finalize picks up the new docs.
-
-    ``block_size``/``bucket_span``/``params`` default to the EXISTING index's
-    meta.json values (same contract as :func:`add_documents`), so the
-    documented trickle flow — ``add_documents(..., finalize=False)`` then
-    ``finalize_streamed_index`` — can never silently reset a non-default
-    layout or BM25 constants; pass them explicitly only to override.
-    """
-    from ..index.builder import url_doc_id_map
-
-    block_size, bucket_span, params = _resolve_layout(
-        out_dir, block_size, bucket_span, params
-    )
-
+def _surviving_tf(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The staged index's CURRENT document rows: tf shards minus
+    registry-deleted urls, latest-batch-wins per url (``batch_id`` dropped).
+    The single definition of "what the index holds right now", shared by
+    :func:`finalize_streamed_index` and :func:`update_documents`."""
     tf = spark.read.parquet(os.path.join(out_dir, "tf"))
     # staged-deletion registry: drop each deleted url's rows from batches at
     # or below the watermarks recorded when it was deleted — batches
@@ -435,7 +414,174 @@ def finalize_streamed_index(
             .drop("stream_wm", "adhoc_wm")
         )
     latest = tf.groupBy("url").agg(F.max("batch_id").alias("batch_id"))
-    tf_latest = tf.join(latest, ["url", "batch_id"]).drop("batch_id")
+    return tf.join(latest, ["url", "batch_id"]).drop("batch_id")
+
+
+def update_documents(
+    spark: SparkSession,
+    partial_docs: DataFrame,
+    out_dir: str,
+    n_shards: int = N_SHARDS_DEFAULT,
+    finalize: bool = True,
+) -> IndexMeta | None:
+    """Partial document updates — MeiliSearch's update-documents semantics
+    (reference src/meilisearch_integration/client.py:214-249
+    ``update_documents`` → update-by-primary-key, which MERGES the supplied
+    fields into the stored document; unsupplied fields keep their current
+    values).  Contrast :func:`add_documents`, which REPLACES the whole
+    document (reference client.py:177 add-or-replace).
+
+    ``partial_docs`` must carry ``url`` (the primary key; unique per call)
+    and any subset of the page fields (``text``, ``lang``, ``warc_ts``,
+    ``html``).  An absent column — or a NULL value in a present one — means
+    "keep the stored value".
+
+    Retokenization happens ONLY for documents whose searchable ``text`` is
+    supplied: metadata-only updates re-stage the url's existing term rows
+    (one broadcast-joined copy into the new batch partition, zero tokenizer
+    work), so a 100 TB index can re-tag language/metadata for a slice of
+    documents without re-segmenting them.  A url not in the index is an
+    insert with the supplied fields (MeiliSearch creates the document;
+    missing ``text`` indexes as empty).
+
+    Same single-writer contract, adhoc batch-id range, and lineage records
+    as :func:`add_documents`; the lineage record additionally carries
+    ``n_retokenized`` / ``n_metadata_only``.  Returns the new
+    :class:`IndexMeta` (or ``None`` with ``finalize=False``)."""
+    tf_dir = os.path.join(out_dir, "tf")
+    if not os.path.isdir(tf_dir):
+        raise ValueError(
+            "update_documents needs an existing staged index (add_documents "
+            "layout); bootstrap with add_documents first"
+        )
+    if "url" not in partial_docs.columns:
+        raise ValueError("partial_docs must carry the primary key column 'url'")
+    existing = spark.read.parquet(tf_dir)
+    if "batch_id" not in existing.columns:
+        raise ValueError(
+            "update_documents needs the batched staging layout "
+            "(streaming ingest / add_documents builds)"
+        )
+    positional = "positions" in existing.columns
+    # normalize the partial frame to the full page column set (absent column
+    # == all-NULL column: one merge rule for both spellings)
+    p = partial_docs
+    for c, t in (("warc_ts", "timestamp"), ("html", "binary"), ("text", "string"), ("lang", "string")):
+        if c not in p.columns:
+            p = p.withColumn(c, F.lit(None).cast(t))
+    p = p.select("url", "warc_ts", "html", "text", "lang")
+    n_updates = p.count()
+    if p.select("url").distinct().count() != n_updates:
+        raise ValueError(
+            "partial_docs has duplicate urls — DataFrames are unordered, so "
+            "last-writer-wins within one call is undefined; merge duplicates "
+            "before calling (one row per url)"
+        )
+    tf_cur = _surviving_tf(spark, out_dir)
+    cur_lang = (
+        tf_cur.select("url", F.col("lang").alias("_cur_lang")).dropDuplicates(["url"])
+    )
+    pj = p.join(cur_lang, "url", "left").select(
+        "url",
+        "warc_ts",
+        "html",
+        "text",
+        F.coalesce("lang", "_cur_lang").alias("lang"),
+        F.col("_cur_lang").isNotNull().alias("_exists"),
+    )
+    batch_id = _next_adhoc_batch_id(out_dir)
+    os.makedirs(os.path.join(out_dir, "lineage"), exist_ok=True)
+    shard = F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards)).cast("int")
+
+    # metadata-only updates of EXISTING docs: re-stage the current term rows
+    # under the new batch id with the merged metadata — no tokenizer work
+    meta_only = pj.filter(F.col("text").isNull() & F.col("_exists")).select(
+        "url", F.col("lang").alias("_new_lang")
+    )
+    reuse_cols = ["url", "term", "tf", "doc_len", "norm_hash"] + (
+        ["positions"] if positional else []
+    )
+    reused = (
+        tf_cur.join(F.broadcast(meta_only), "url")
+        .select(
+            shard.alias("shard"),
+            F.lit(batch_id).alias("batch_id"),
+            *[F.col(c) for c in reuse_cols],
+            F.col("_new_lang").alias("lang"),
+        )
+    )
+    # supplied-text updates and inserts of new urls: the normal tokenize path
+    retok_pages = pj.filter(F.col("text").isNotNull() | ~F.col("_exists")).select(
+        "url", "warc_ts", "html", F.coalesce("text", F.lit("")).alias("text"), "lang"
+    )
+    n_retok = retok_pages.count()
+    t0 = time.time()
+    new_tf = reused if n_retok == 0 else reused.unionByName(
+        _tf_rows(retok_pages, n_shards, batch_id, positional=positional)
+    )
+    (
+        new_tf.write.mode("overwrite")
+        .partitionBy("shard", "batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(tf_dir)
+    )
+    stats = (
+        spark.read.parquet(tf_dir)
+        .filter(F.col("batch_id") == batch_id)
+        .agg(
+            F.countDistinct("url").alias("n_docs"),
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_postings"),
+        )
+        .collect()[0]
+    )
+    with open(os.path.join(out_dir, "lineage", f"adhoc-batch-{batch_id}.json"), "w") as fh:
+        json.dump(
+            {
+                "batch_id": int(batch_id),
+                "kind": "update",
+                "batch_n_docs": int(stats["n_docs"] or 0),
+                "batch_n_tokens": int(stats["n_tokens"] or 0),
+                "batch_n_postings": int(stats["n_postings"] or 0),
+                "n_retokenized": int(n_retok),
+                "n_metadata_only": int(n_updates - n_retok),
+                "wall_sec": round(time.time() - t0, 3),
+                "ts": time.time(),
+            },
+            fh,
+        )
+    if not finalize:
+        return None
+    return finalize_streamed_index(spark, out_dir)
+
+
+def finalize_streamed_index(
+    spark: SparkSession,
+    out_dir: str,
+    block_size: int | None = None,
+    bucket_span: int | None = None,
+    params: BM25Params | None = None,
+) -> IndexMeta:
+    """Turn accumulated stream shards into the queryable index.
+
+    Re-crawl dedup: keep each url's rows from its LATEST batch only, then
+    assign deterministic doc ids from the surviving url set and run the
+    shared phase-2 finalize.  Safe to re-run any time (all writes overwrite);
+    the stream can keep appending and a later finalize picks up the new docs.
+
+    ``block_size``/``bucket_span``/``params`` default to the EXISTING index's
+    meta.json values (same contract as :func:`add_documents`), so the
+    documented trickle flow — ``add_documents(..., finalize=False)`` then
+    ``finalize_streamed_index`` — can never silently reset a non-default
+    layout or BM25 constants; pass them explicitly only to override.
+    """
+    from ..index.builder import url_doc_id_map
+
+    block_size, bucket_span, params = _resolve_layout(
+        out_dir, block_size, bucket_span, params
+    )
+
+    tf_latest = _surviving_tf(spark, out_dir)
 
     caches: list[DataFrame] = []
     urls = tf_latest.select("url", "lang").dropDuplicates(["url"])
