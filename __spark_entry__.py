@@ -906,6 +906,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_phone",
         )
 
+    def x13_facet_search(spark, sf):
+        # MeiliSearch POST /facet-search: prefix-matched facet VALUES with
+        # counts over the query's matching set (same INSET-pruned match set
+        # as facetDistribution), count-desc
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index(spark, sf), cache_postings=False)
+        return eng.facet_search("lang", facet_query="e", terms=_BM25_QUERY)
+
+    def x17_similar_documents(spark, sf):
+        # MeiliSearch GET /similar: embedding-cosine more-like-this through
+        # the engine (live-doc semi-join, broadcast query vector, k-row
+        # metadata join-back)
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index(spark, sf), cache_postings=False)
+        emb = _t(spark, sf, "embeddings").select(
+            F.lpad(F.col("vec_id").cast("string"), 12, "0").alias("url"), "embedding"
+        )
+        out = eng.similar_documents(emb, "0" * 12, k=20, fields=["lang"])
+        return out.select(
+            F.col("url").cast("long").alias("doc_key"), "lang", "cosine"
+        )
+
     def s2_update_documents(spark, sf):
         # partial document updates (reference client.py:214-249): BM25 search
         # over the UPDATED staged index must equal DuckDB BM25 over the
@@ -1012,6 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_binary_meta": mm_binary_meta,
         "s2_update_documents": s2_update_documents,
         "s2_update_metadata": s2_update_metadata,
+        "x13_facet_search": x13_facet_search,
+        "x17_similar_documents": x17_similar_documents,
     }
 
 
@@ -1043,6 +1069,34 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        lpad(CAST(doc_id AS VARCHAR), 12, '0') AS url,
        CASE WHEN doc_id % 7 = 3 AND doc_id % 5 <> 0 THEN 'xx' ELSE lang END AS lang
 FROM documents ORDER BY doc_id LIMIT 200
+""",
+        "x13_facet_search": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term FROM documents
+),
+m AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN ({", ".join("'" + t + "'" for t in _BM25_QUERY)})
+)
+SELECT lang AS value, CAST(COUNT(*) AS BIGINT) AS count
+FROM documents JOIN m USING (doc_id)
+WHERE lower(lang) LIKE 'e%'
+GROUP BY lang
+ORDER BY count DESC, value ASC
+LIMIT 100
+""",
+        "x17_similar_documents": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS doc_key, d.lang AS lang,
+       ROUND(list_dot_product(e.embedding, q.qv)
+             / (sqrt(list_dot_product(e.embedding, e.embedding))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM embeddings e
+JOIN documents d ON d.doc_id = e.vec_id
+CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, doc_key ASC
+LIMIT 20
 """,
         "r11_bm25_conjunctive": adhoc.bm25_topk_sql_oracle(
             "documents", "doc_id", "text", _BM25_CONJ, k=20, matching="all"

@@ -380,3 +380,48 @@ def swap_indexes(dir_a: str, dir_b: str) -> None:
     os.replace(b, a)     # b -> a's name
     os.replace(tmp, b)   # old a -> b's name
     os.remove(marker)
+
+
+def index_exists(index_dir: str) -> bool:
+    """MeiliSearch ``GET /indexes/:uid`` existence check (reference
+    client.py:125-150 ``index_exists``): True when the directory holds a
+    built index (meta.json) OR a staged one mid-build (tf/ shards from
+    add_documents/streaming ingest — MeiliSearch likewise creates the index
+    on the first document task, before it is searchable)."""
+    return os.path.exists(os.path.join(index_dir, "meta.json")) or os.path.isdir(
+        os.path.join(index_dir, "tf")
+    )
+
+
+def delete_index(index_dir: str, missing_ok: bool = False) -> bool:
+    """MeiliSearch ``DELETE /indexes/:uid`` (reference client.py:330-344
+    ``delete_index``): remove the whole index directory.
+
+    Refuses while a lifecycle operation is mid-flight — a ``_COMPACTING``
+    marker inside the directory or a ``.swapping``/``.swap_tmp`` beside it
+    means another writer's recovery data lives here; deleting now would
+    destroy the loud-crash guarantees those markers exist for.  Resolve the
+    interrupted operation first (the marker payloads say which renames hold
+    the data).  Same single-writer contract as compact/swap: no concurrent
+    builds or queries on the directory.
+
+    Returns True when an index was deleted; ``missing_ok=True`` turns the
+    not-an-index error into a False return (idempotent delete)."""
+    d = os.path.abspath(index_dir)
+    if not index_exists(d):
+        if missing_ok:
+            return False
+        raise ValueError(f"{index_dir} is not an index (no meta.json or tf/ staging)")
+    if os.path.exists(os.path.join(d, "_COMPACTING")):
+        raise RuntimeError(
+            f"{index_dir} has an in-progress/interrupted compaction "
+            "(_COMPACTING marker); recover or finish it before deleting"
+        )
+    for marker in (d + ".swapping", d + ".swap_tmp"):
+        if os.path.exists(marker):
+            raise RuntimeError(
+                f"{index_dir} is mid-swap ({os.path.basename(marker)} exists); "
+                "recover the interrupted swap before deleting"
+            )
+    shutil.rmtree(d)
+    return True

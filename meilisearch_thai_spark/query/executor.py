@@ -2116,6 +2116,104 @@ class SearchEngine:
             .filter(F.col("min_value").isNotNull())
         )
 
+    def facet_search(
+        self,
+        facet_name: str,
+        facet_query: str = "",
+        terms: list[str] | None = None,
+        filters: dict | None = None,
+        max_hits: int = 100,
+    ) -> DataFrame:
+        """MeiliSearch ``POST /indexes/:uid/facet-search``: search the VALUES
+        of one facet — case-insensitive prefix match of ``facet_query`` on
+        the value — within the documents matching the optional query
+        ``terms`` + ``filters``; → (value, count) ordered by count desc then
+        value asc, capped at ``max_hits`` (MeiliSearch caps facet-search
+        responses at 100 hits).
+
+        With no ``terms`` the counts cover the whole (filtered) corpus —
+        MeiliSearch's facet search without ``q``.  Plan shape: the same
+        INSET-pruned match set as facetDistribution (or a plain doc_stats
+        scan without terms), one map-side-combined groupBy on the value,
+        top-N via TakeOrderedAndProject — never a full sort."""
+        if facet_name not in self._public_fields():
+            raise ValueError(
+                f"unknown facet field {facet_name!r}; available {self._public_fields()}"
+            )
+        self._check_declared(
+            [facet_name], getattr(self.meta, "filterable_attributes", None),
+            "filterable fields",
+        )
+        if terms is not None:
+            qterms = list(dict.fromkeys(self._drop_stopwords(list(terms))))
+            if not qterms:
+                return self.spark.createDataFrame([], "value string, count long")
+            ds = self._facet_match_set(qterms, filters)
+        else:
+            from .requests import filters_to_column
+
+            ds = self._exclude_deleted(self.doc_stats)
+            if filters:
+                self._check_declared(
+                    filters.keys(),
+                    getattr(self.meta, "filterable_attributes", None),
+                    "filterable fields",
+                )
+                ds = ds.filter(filters_to_column(filters))
+        value = F.col(facet_name).cast("string")
+        out = ds.select(value.alias("value")).filter(F.col("value").isNotNull())
+        if facet_query:
+            out = out.filter(
+                F.lower(F.col("value")).startswith(facet_query.lower())
+            )
+        return (
+            out.groupBy("value")
+            .agg(F.count("*").cast("long").alias("count"))
+            .orderBy(F.desc("count"), F.asc("value"))
+            .limit(max_hits)
+        )
+
+    def similar_documents(
+        self,
+        embeddings: DataFrame,
+        target_url: str,
+        vec_col: str = "embedding",
+        k: int = 10,
+        fields: list[str] | None = None,
+    ) -> DataFrame:
+        """MeiliSearch ``GET /indexes/:uid/similar`` (the vector-store
+        more-like-this endpoint): the ``k`` documents whose embeddings are
+        most cosine-similar to ``target_url``'s, excluding the document
+        itself and tombstoned docs, each hit carrying the requested public
+        ``fields`` plus ``cosine``.
+
+        ``embeddings`` is a (url, vector) frame — the embedder's output table
+        sitting NEXT to the index, like MeiliSearch's vector store sits next
+        to the inverted index.  Plan: embeddings semi-joined to the live url
+        set (tombstones and unknown urls drop BEFORE ranking, so result
+        pages stay full), 1-row broadcast of the query vector, JVM-side
+        column-function dot products, TakeOrderedAndProject top-k, then one
+        k-row join back to doc_stats for the public fields.  The brute scan
+        is the exactness baseline; at 100 TB route candidate generation
+        through the LSH/IVF twins in ``pipeline.similarity`` and rerank the
+        pooled candidates here."""
+        from ..pipeline.similarity import cosine_topk_to_query
+
+        cols = self._check_attrs(fields) if fields else self._public_fields()
+        live = self._exclude_deleted(self.doc_stats)
+        emb = embeddings.select(F.col("url"), F.col(vec_col).alias("embedding")).join(
+            live.select("url"), "url"
+        )
+        if not emb.filter(F.col("url") == target_url).take(1):
+            raise ValueError(f"no embedding for document {target_url!r}")
+        top = cosine_topk_to_query(emb, "url", "embedding", target_url, k=k)
+        return (
+            top.withColumnRenamed("vec_key", "url")
+            .join(live, "url")
+            .select("url", *[c for c in cols if c != "url"], "cosine")
+            .orderBy(F.desc("cosine"), F.asc("url"))
+        )
+
     def batch_multi_variant_page(
         self,
         queries: list[str],

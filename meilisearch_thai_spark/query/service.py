@@ -469,6 +469,45 @@ class SearchService:
             out[r["facet"]][r["value"]] = int(r["n_docs"])
         return out
 
+    def facet_search(
+        self,
+        facet_name: str,
+        facet_query: str = "",
+        query: str | None = None,
+        filters: dict | None = None,
+        max_hits: int = 100,
+    ) -> list[dict]:
+        """MeiliSearch ``POST /indexes/:uid/facet-search``: autocomplete the
+        VALUES of one facet (case-insensitive prefix on ``facet_query``),
+        counted over the documents matching the optional ``query`` +
+        ``filters``.  Returns ``facetHits``-shaped rows
+        ``[{"value": v, "count": n}, ...]``, count-desc."""
+        terms = None
+        if query:
+            pq = process_query(query, synonyms=self.engine._synonyms or None)
+            if not pq.variants:
+                return []
+            terms = list(dict.fromkeys(t for v in pq.variants for t in v.terms))
+        rows = self.engine.facet_search(
+            facet_name, facet_query, terms=terms, filters=filters, max_hits=max_hits
+        ).collect()
+        return [{"value": r["value"], "count": int(r["count"])} for r in rows]
+
+    def similar_documents(
+        self,
+        embeddings,
+        target_url: str,
+        k: int = 10,
+        fields: list[str] | None = None,
+    ) -> list[dict]:
+        """MeiliSearch ``GET /indexes/:uid/similar``: the k documents most
+        similar to ``target_url`` by embedding cosine — eager hit rows
+        (url, requested fields, cosine), similarity-desc."""
+        rows = self.engine.similar_documents(
+            embeddings, target_url, k=k, fields=fields
+        ).collect()
+        return [r.asDict() for r in rows]
+
     def facet_stats(
         self, query: str, facets: list[str], filters: dict | None = None
     ) -> dict[str, dict[str, float]]:

@@ -202,3 +202,87 @@ def test_facet_stats_all_null_facet_omitted(spark, tmp_path):
     assert eng.facet_stats(["wakame"], ["views"]).collect() == []
     svc = SearchService(spark, out, cache_postings=False)
     assert svc.facet_stats("wakame", ["views"]) == {}
+
+
+def test_facet_search_prefix_and_counts(spark, idx):
+    """MeiliSearch facet-search: prefix-matched facet VALUES with counts over
+    the matching set, count-desc order, max_hits cap."""
+    eng = SearchEngine(spark, idx, cache_postings=False)
+    # no terms → whole corpus: th=1, en=2, fr=1
+    rows = eng.facet_search("lang").collect()
+    assert [(r["value"], r["count"]) for r in rows] == [("en", 2), ("fr", 1), ("th", 1)]
+    # case-insensitive prefix restricts the values
+    rows = eng.facet_search("lang", facet_query="E").collect()
+    assert [(r["value"], r["count"]) for r in rows] == [("en", 2)]
+    # query terms restrict the counted documents (doc 4 is fr and matches no term)
+    rows = eng.facet_search("lang", terms=["wakame", "salad"]).collect()
+    assert [(r["value"], r["count"]) for r in rows] == [("en", 2), ("th", 1)]
+    # filters compose; max_hits caps
+    rows = eng.facet_search(
+        "lang", terms=["wakame", "salad"], filters={"lang": {"$eq": "en"}}
+    ).collect()
+    assert [(r["value"], r["count"]) for r in rows] == [("en", 2)]
+    assert len(eng.facet_search("url", max_hits=2).collect()) == 2
+
+
+def test_facet_search_validation(spark, idx):
+    eng = SearchEngine(spark, idx, cache_postings=False)
+    with pytest.raises(ValueError, match="unknown facet"):
+        eng.facet_search("nope")
+
+
+def test_service_facet_search_hits_shape(spark, idx):
+    svc = SearchService(spark, idx, cache_postings=False)
+    hits = svc.facet_search("lang", facet_query="e", query="wakame salad recipe")
+    assert hits == [{"value": "en", "count": 2}]
+    assert svc.facet_search("lang", query="ไม่มีคำนี้") == []
+
+
+def test_similar_documents_more_like_this(spark, idx):
+    """MeiliSearch /similar: embedding-cosine neighbors of a document, self
+    excluded, tombstones excluded, public fields joined onto the hits."""
+    from meilisearch_thai_spark.index.maintenance import delete_docs
+
+    eng = SearchEngine(spark, idx, cache_postings=False)
+    emb = spark.createDataFrame(
+        [
+            ("https://t/1", [1.0, 0.0, 0.0]),
+            ("https://t/2", [0.9, 0.1, 0.0]),   # closest to t/1
+            ("https://t/3", [0.5, 0.5, 0.0]),
+            ("https://t/4", [0.0, 1.0, 0.0]),   # orthogonal
+            ("https://t/zz", [1.0, 0.0, 0.0]),  # no such document → dropped
+        ],
+        "url string, embedding array<double>",
+    )
+    rows = eng.similar_documents(emb, "https://t/1", k=3, fields=["lang"]).collect()
+    assert [r["url"] for r in rows] == ["https://t/2", "https://t/3", "https://t/4"]
+    assert rows[0]["cosine"] > rows[1]["cosine"] > rows[2]["cosine"]
+    assert rows[0]["lang"] == "en"
+    with pytest.raises(ValueError, match="no embedding"):
+        eng.similar_documents(emb, "https://t/zz")  # not a live document
+
+    # tombstoned neighbors drop BEFORE ranking (page stays full)
+    import shutil
+    import tempfile
+
+    d2 = tempfile.mkdtemp(prefix="facets_sim_")
+    try:
+        shutil.rmtree(d2)
+        shutil.copytree(idx, d2)
+        delete_docs(spark, d2, ["https://t/2"])
+        eng2 = SearchEngine(spark, d2, cache_postings=False)
+        rows = eng2.similar_documents(emb, "https://t/1", k=2).collect()
+        assert [r["url"] for r in rows] == ["https://t/3", "https://t/4"]
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_service_similar_documents(spark, idx):
+    svc = SearchService(spark, idx, cache_postings=False)
+    emb = spark.createDataFrame(
+        [("https://t/1", [1.0, 0.0]), ("https://t/2", [0.8, 0.2]), ("https://t/3", [0.0, 1.0])],
+        "url string, embedding array<double>",
+    )
+    hits = svc.similar_documents(emb, "https://t/1", k=2, fields=["lang"])
+    assert [h["url"] for h in hits] == ["https://t/2", "https://t/3"]
+    assert set(hits[0]) == {"url", "lang", "cosine"}

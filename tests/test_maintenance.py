@@ -224,3 +224,54 @@ def test_list_documents_pagination_and_deletes(spark, tmp_path):
         eng.list_documents(fields=["norm_hash"])
     with pytest.raises(ValueError, match="offset"):
         eng.list_documents(offset=-1)
+
+
+def test_index_exists_and_delete_index(spark, tmp_path):
+    """Index lifecycle completion (reference client.py:125-150, 330-344):
+    exists round-trips across build and delete; delete refuses mid-swap /
+    mid-compaction."""
+    import json
+
+    from meilisearch_thai_spark.index.maintenance import delete_index, index_exists
+
+    d = str(tmp_path / "idx_life")
+    assert not index_exists(d)
+    with pytest.raises(ValueError, match="not an index"):
+        delete_index(d)
+    assert delete_index(d, missing_ok=True) is False
+
+    build_index(spark, generate_pages(spark, 60, seed=5), d)
+    assert index_exists(d)
+
+    # refuses while a compaction marker is present
+    marker = os.path.join(d, "_COMPACTING")
+    with open(marker, "w") as fh:
+        json.dump({}, fh)
+    with pytest.raises(RuntimeError, match="compaction"):
+        delete_index(d)
+    os.remove(marker)
+
+    # refuses while a swap marker sits beside the directory
+    swap_marker = d + ".swapping"
+    with open(swap_marker, "w") as fh:
+        json.dump({}, fh)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        delete_index(d)
+    os.remove(swap_marker)
+
+    assert delete_index(d) is True
+    assert not index_exists(d)
+    assert not os.path.exists(d)
+
+
+def test_index_exists_staged_layout(spark, tmp_path):
+    """A staged-but-unfinalized add_documents dir EXISTS (MeiliSearch creates
+    the index on the first document task) and deletes cleanly."""
+    from meilisearch_thai_spark.index.maintenance import delete_index, index_exists
+    from meilisearch_thai_spark.streaming.ingest import add_documents
+
+    d = str(tmp_path / "idx_staged")
+    add_documents(spark, generate_pages(spark, 40, seed=6), d, finalize=False)
+    assert index_exists(d)
+    assert delete_index(d) is True
+    assert not index_exists(d)
