@@ -170,6 +170,31 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _docs_sharded(spark: SparkSession, sf_dir: str, n_shards: int = 2) -> str:
+    """Hash-sharded index family over ``documents`` (index.sharded): global
+    BM25 statistics, per-shard postings — the horizontal-scale serving
+    layout whose federated top-k must equal the monolithic oracle."""
+    key = f"{sf_dir}:sharded{n_shards}"
+    if key in _IDX_CACHE:
+        return _IDX_CACHE[key]
+    import tempfile
+
+    from meilisearch_thai_spark.index.sharded import build_sharded_index
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    out = tempfile.mkdtemp(prefix="drv_idx_shrd_")
+    build_sharded_index(spark, pages, out, n_shards)
+    _IDX_CACHE[key] = out
+    return out
+
+
 def _docs_index_updated(spark: SparkSession, sf_dir: str) -> str:
     """Staged (add_documents) index over ``documents``, then ONE partial
     ``update_documents`` pass exercising both merge paths (reference
@@ -906,6 +931,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_phone",
         )
 
+    def x18_sharded_search(spark, sf):
+        # sharded serving: 2 hash shards with GLOBAL stats (index.sharded),
+        # one federated Spark job (raw-score merge) — must equal the
+        # monolithic DuckDB BM25 top-k bit-for-bit
+        from meilisearch_thai_spark.index.sharded import shard_dir
+        from meilisearch_thai_spark.query.executor import SearchEngine
+        from meilisearch_thai_spark.query.federation import federated_search
+
+        root = _docs_sharded(spark, sf)
+        engines = {
+            f"s{s}": SearchEngine(spark, shard_dir(root, s), cache_postings=False)
+            for s in range(2)
+        }
+        out = federated_search(engines, _BM25_QUERY, k=20, normalize=False)
+        return out.select(
+            F.col("url").cast("long").alias("doc_key"),
+            F.col("federated_score").alias("score"),
+        )
+
     def x13_facet_search(spark, sf):
         # MeiliSearch POST /facet-search: prefix-matched facet VALUES with
         # counts over the query's matching set (same INSET-pruned match set
@@ -1038,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_update_metadata": s2_update_metadata,
         "x13_facet_search": x13_facet_search,
         "x17_similar_documents": x17_similar_documents,
+        "x18_sharded_search": x18_sharded_search,
     }
 
 
@@ -1085,6 +1130,14 @@ GROUP BY lang
 ORDER BY count DESC, value ASC
 LIMIT 100
 """,
+        "x18_sharded_search": (
+            # sharded-serving parity: the federated raw-score merge must equal
+            # the monolithic corpus BM25 (score column only: terms_matched is
+            # a per-hit detail the federation row shape doesn't carry)
+            "SELECT doc_key, score FROM ("
+            + adhoc.bm25_topk_sql_oracle("documents", "doc_id", "text", _BM25_QUERY, k=20)
+            + ") o"
+        ),
         "x17_similar_documents": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id AS doc_key, d.lang AS lang,

@@ -115,6 +115,11 @@ class IndexMeta:
     # enforced — undeclared fields are a request error, matching the 400.
     filterable_attributes: list[str] | None = None
     sortable_attributes: list[str] | None = None
+    # set on shards produced by index.sharded.build_sharded_index:
+    # {"n_shards": N, "shard": s} — n_docs/avgdl above are then the GLOBAL
+    # corpus values and postings carry GLOBAL df, so every shard scores with
+    # corpus-wide BM25 statistics (exact parity with the single index)
+    sharding: dict | None = None
 
     def public_fields(self, available_columns) -> list[str]:
         """The retrievable/facetable/distinct-able document fields: the

@@ -30,6 +30,7 @@ def federated_search(
     k: int = 10,
     weights: dict[str, float] | None = None,
     pool_k: int | None = None,
+    normalize: bool = True,
 ) -> DataFrame:
     """One ranked hit list across many indexes →
     (index_uid, url, doc_id, score, federated_score).
@@ -42,7 +43,15 @@ def federated_search(
 
     The per-index max is a window over the pooled candidates (the pool's
     best IS the index's best: per-index top-k is score-ordered), so the
-    whole federation stays one lazy plan — no eager per-index collect."""
+    whole federation stays one lazy plan — no eager per-index collect.
+
+    ``normalize=False`` merges RAW scores (``federated_score = weight *
+    score``) — the sharded-serving mode: shards built by
+    ``index.sharded.build_sharded_index`` score with GLOBAL corpus
+    statistics, so raw scores are already cross-shard comparable and the
+    merged top-k reproduces the monolithic index's ranking exactly;
+    max-normalizing would DESTROY that parity.  Keep the default for
+    federating unrelated corpora, whose raw BM25 ranges differ."""
     if not engines:
         raise ValueError("federated_search needs at least one engine")
     weights = weights or {}
@@ -72,13 +81,20 @@ def federated_search(
     allp = pools[0]
     for p in pools[1:]:
         allp = allp.unionByName(p)
-    mx = Window.partitionBy("index_uid")
+    if normalize:
+        mx = Window.partitionBy("index_uid")
+        fed = F.round(F.col("_w") * F.col("score") / F.max("score").over(mx), 4)
+        # ties group by index first: normalized scores are per-index scales
+        order = [F.desc("federated_score"), F.asc("index_uid"), F.asc("doc_id")]
+    else:
+        fed = F.round(F.col("_w") * F.col("score"), 4)
+        # raw sharded mode: doc ids are GLOBAL (one corpus), so the
+        # monolithic engine's tie-break (doc id asc) must win over shard uid
+        # for exact rank parity
+        order = [F.desc("federated_score"), F.asc("doc_id"), F.asc("index_uid")]
     return (
-        allp.withColumn(
-            "federated_score",
-            F.round(F.col("_w") * F.col("score") / F.max("score").over(mx), 4),
-        )
+        allp.withColumn("federated_score", fed)
         .drop("_w")
-        .orderBy(F.desc("federated_score"), F.asc("index_uid"), F.asc("doc_id"))
+        .orderBy(*order)
         .limit(k)
     )
