@@ -1016,44 +1016,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("l_returnflag", "l_linestatus")
         )
 
+    # ------------------------------------------------------------------
+    # REGISTRY ORDER IS THE DRIVER-GATE BUDGET (COVERAGE.md §rotation): the
+    # driver runs the FIRST 50 entries per round.  Order: (1) entries with
+    # no green row yet (never gated / new this round), (2) entries whose
+    # last green row is oldest, (3) long-stable entries — the tail past 50
+    # RESTS this round and re-gates next round (no entry may rest twice in
+    # a row).  Rested entries stay pytest-covered.
+    # ------------------------------------------------------------------
     return {
+        # -- never driver-gated before round 4 (registered+oracled in r3)
+        "s7_index_stats": s7_index_stats,
+        "x16_federated_search": x16_federated_search,
+        "warc_parse": warc_parse,
+        "weburl_normalize": weburl_normalize,
+        "weburl_host_stats": weburl_host_stats,
+        # -- new in round 4
+        "s2_update_documents": s2_update_documents,
+        "s2_update_metadata": s2_update_metadata,
+        "x13_facet_search": x13_facet_search,
+        "x17_similar_documents": x17_similar_documents,
+        "x18_sharded_search": x18_sharded_search,
+        # -- last green row is round 2 (fell past the 50-cap in r3)
+        "e1_highlight_extract": e1_highlight_extract,
+        "e1_highlight_generate": e1_highlight_generate,
+        "r7_rank_algorithm": r7_rank_algorithm,
+        "r3_exact_boost": r3_exact_boost,
+        "r5_tiebreak_sort": r5_tiebreak_sort,
+        "mm_binary_meta": mm_binary_meta,
+        # -- round-3-green, re-gated this round
         "r11_bm25_topk": r11_bm25_topk,
         "r11_indexed_bm25": r11_indexed_bm25,
         "r11_fielded_bm25": r11_fielded_bm25,
-        "r11_search_on_title": r11_search_on_title,
-        "r11_phrase_search": r11_phrase_search,
         "r11_bm25_conjunctive": r11_bm25_conjunctive,
         "p4_filtered_search": p4_filtered_search,
         "p6_sorted_search": p6_sorted_search,
-        "x4_dedup_best_per_key": x4_dedup_best_per_key,
-        "x5_content_signature_dedup": x5_content_signature_dedup,
         "x6_hybrid_dedup": x6_hybrid_dedup,
-        "x8_distribution": x8_distribution,
         "x9_enrichment": x9_enrichment,
-        "p4_filter_translation": p4_filter_translation,
-        "r4_position_decay": r4_position_decay,
-        "r6_score_normalization": r6_score_normalization,
-        "r10_topk_pagination": r10_topk_pagination,
         "dedup_exact": dedup_exact,
-        "dedup_fingerprint": dedup_fingerprint,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_components": dedup_components,
-        "dedup_simhash": dedup_simhash,
         "dedup_span_ngrams": dedup_span_ngrams,
         "hybrid_search_topk": hybrid_search_topk,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_embedding_lsh": dedup_embedding_lsh,
-        "stats_token": stats_token,
         "stats_quality": stats_quality,
         "stats_langid": stats_langid,
-        "s6_session_stats": s6_session_stats,
         "s6_query_patterns": s6_query_patterns,
         "s6_popular_searches": s6_popular_searches,
-        "s6_trending": s6_trending,
         "agg_partial_q1": agg_partial_q1,
         "q10_suffix_completion": q10_suffix_completion,
         "q10_fuzzy_expansion": q10_fuzzy_expansion,
@@ -1066,23 +1079,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_contamination": webtext_contamination,
         "webtext_lm_quality": webtext_lm_quality,
         "webtext_html_extract": webtext_html_extract,
+        # ---------------- position 51+: RESTING this round (r3-green,
+        # code untouched in r4, sibling coverage noted in COVERAGE.md);
+        # all re-gate in round 5
+        "r11_search_on_title": r11_search_on_title,
+        "r11_phrase_search": r11_phrase_search,
+        "x4_dedup_best_per_key": x4_dedup_best_per_key,
+        "x5_content_signature_dedup": x5_content_signature_dedup,
+        "x8_distribution": x8_distribution,
+        "p4_filter_translation": p4_filter_translation,
+        "r4_position_decay": r4_position_decay,
+        "r6_score_normalization": r6_score_normalization,
+        "r10_topk_pagination": r10_topk_pagination,
+        "dedup_fingerprint": dedup_fingerprint,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "stats_token": stats_token,
+        "s6_session_stats": s6_session_stats,
+        "s6_trending": s6_trending,
         "sample_stratified": sample_stratified,
-        "s7_index_stats": s7_index_stats,
-        "x16_federated_search": x16_federated_search,
-        "warc_parse": warc_parse,
-        "weburl_normalize": weburl_normalize,
-        "weburl_host_stats": weburl_host_stats,
-        "e1_highlight_extract": e1_highlight_extract,
-        "e1_highlight_generate": e1_highlight_generate,
-        "r7_rank_algorithm": r7_rank_algorithm,
-        "r3_exact_boost": r3_exact_boost,
-        "r5_tiebreak_sort": r5_tiebreak_sort,
-        "mm_binary_meta": mm_binary_meta,
-        "s2_update_documents": s2_update_documents,
-        "s2_update_metadata": s2_update_metadata,
-        "x13_facet_search": x13_facet_search,
-        "x17_similar_documents": x17_similar_documents,
-        "x18_sharded_search": x18_sharded_search,
     }
 
 
