@@ -3,9 +3,13 @@ so the north rule's Iceberg target maps to a single class swap."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
+from meilisearch_thai_spark.index.builder import build_index
 from meilisearch_thai_spark.index.sinks import IcebergSink, ParquetSink
+from meilisearch_thai_spark.sources.pages import generate_pages
 
 
 def test_parquet_sink_round_trip(spark, tmp_path):
@@ -50,3 +54,63 @@ def test_iceberg_sink_fails_actionably_without_catalog(spark):
     with pytest.raises(RuntimeError, match="Iceberg catalog"):
         sink.write(df, "postings")
     assert sink.location("postings") == "nocat.db.idx_postings"
+
+
+def _find_iceberg_jar() -> str | None:
+    """The iceberg-spark-runtime jar, if one is reachable: $SPARK_ICEBERG_JAR
+    first, then pyspark's bundled jars dir.  This sandbox ships neither
+    (verified round 4: no *iceberg* jar anywhere on disk, and installs are
+    out of scope), so the real round-trip below records the attempt and
+    skips with the probe result; on a cluster with the runtime jar it runs
+    as-is."""
+    import glob
+
+    env = os.environ.get("SPARK_ICEBERG_JAR")
+    if env and os.path.exists(env):
+        return env
+    import pyspark
+
+    jars = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars", "*iceberg*.jar")
+    )
+    return jars[0] if jars else None
+
+
+def test_iceberg_sink_real_roundtrip(tmp_path):
+    """build_index(sink=IcebergSink(...)) against a local hadoop catalog:
+    postings/doc_stats must equal the ParquetSink build bit-for-bit.
+    Requires iceberg-spark-runtime on the classpath (own session: catalog
+    configs are session-wide)."""
+    jar = _find_iceberg_jar()
+    if jar is None:
+        pytest.skip(
+            "no iceberg-spark-runtime jar available (probed $SPARK_ICEBERG_JAR "
+            "and pyspark/jars; this container has none and package installs "
+            "are out of scope) — IcebergSink's mapping is exercised by "
+            "test_iceberg_sink_fails_actionably_without_catalog instead"
+        )
+    from pyspark.sql import SparkSession
+
+    wh = str(tmp_path / "iceberg_wh")
+    spark2 = (
+        SparkSession.builder.master("local[4]")
+        .appName("iceberg-sink-test")
+        .config("spark.jars", jar)
+        .config("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.local.type", "hadoop")
+        .config("spark.sql.catalog.local.warehouse", wh)
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    try:
+        pages = generate_pages(spark2, 80, seed=9)
+        pq_dir = str(tmp_path / "pq_idx")
+        build_index(spark2, pages, pq_dir)
+        spark2.sql("CREATE NAMESPACE IF NOT EXISTS local.db")
+        ice = IcebergSink("local.db.idx")
+        build_index(spark2, pages, str(tmp_path / "ice_meta"), sink=ice)
+        a = spark2.read.parquet(f"{pq_dir}/postings")
+        b = ice.read(spark2, "postings").select(a.columns)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    finally:
+        spark2.stop()
