@@ -974,6 +974,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("url").cast("long").alias("doc_key"), "lang", "cosine"
         )
 
+    def webtext_unicode_fix(spark, sf):
+        # ftfy-lite normalization under the driver gate: inject CRLF, a
+        # decomposed e+combining-acute, and (every 3rd doc) BEL+BOM onto the
+        # corpus text — identical construction in the DuckDB twin, which
+        # must produce byte-identical fixed text (md5 + codepoint count)
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit("\r\ncafe\u0301 "),  # decomposed: NFC composes it
+                F.when(F.col("doc_id") % 3 == 0, F.lit("\x07\ufeff")).otherwise(
+                    F.lit("")
+                ),
+            ).alias("text"),
+        )
+        out = wtx.unicode_fix(docs, "doc_id", "text")
+        return out.select(
+            "doc_key",
+            F.md5("fixed_text").alias("fixed_md5"),
+            F.length("fixed_text").cast("long").alias("n_chars"),
+        )
+
     def s2_update_documents(spark, sf):
         # partial document updates (reference client.py:214-249): BM25 search
         # over the UPDATED staged index must equal DuckDB BM25 over the
@@ -1037,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_facet_search": x13_facet_search,
         "x17_similar_documents": x17_similar_documents,
         "x18_sharded_search": x18_sharded_search,
+        "webtext_unicode_fix": webtext_unicode_fix,
         # -- last green row is round 2 (fell past the 50-cap in r3)
         "e1_highlight_extract": e1_highlight_extract,
         "e1_highlight_generate": e1_highlight_generate,
@@ -1053,7 +1076,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_sorted_search": p6_sorted_search,
         "x6_hybrid_dedup": x6_hybrid_dedup,
         "x9_enrichment": x9_enrichment,
-        "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_components": dedup_components,
@@ -1082,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- position 51+: RESTING this round (r3-green,
         # code untouched in r4, sibling coverage noted in COVERAGE.md);
         # all re-gate in round 5
+        "dedup_exact": dedup_exact,
         "r11_search_on_title": r11_search_on_title,
         "r11_phrase_search": r11_phrase_search,
         "x4_dedup_best_per_key": x4_dedup_best_per_key,
@@ -1144,6 +1167,28 @@ WHERE lower(lang) LIKE 'e%'
 GROUP BY lang
 ORDER BY count DESC, value ASC
 LIMIT 100
+""",
+        "webtext_unicode_fix": """
+WITH messy AS (
+  SELECT doc_id,
+         text || chr(13) || chr(10) || 'cafe' || chr(769) || ' '
+              || CASE WHEN doc_id % 3 = 0 THEN chr(7) || chr(65279) ELSE '' END AS text
+  FROM documents
+),
+fixed AS (
+  SELECT doc_id AS doc_key,
+         nfc_normalize(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '\\r\\n|\\r', chr(10), 'g'),
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '', 'g'),
+             '[\\x{feff}\\x{ad}]', '', 'g')
+         ) AS fixed_text
+  FROM messy
+)
+SELECT doc_key, md5(fixed_text) AS fixed_md5,
+       CAST(length(fixed_text) AS BIGINT) AS n_chars
+FROM fixed
 """,
         "x18_sharded_search": (
             # sharded-serving parity: the federated raw-score merge must equal

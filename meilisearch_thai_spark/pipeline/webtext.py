@@ -686,3 +686,58 @@ SELECT d.{id_col} AS doc_key,
        COALESCE(a.mean_logprob, 0.0) AS mean_logprob
 FROM {table} d LEFT JOIN agg a ON d.{id_col} = a.doc_key
 """
+
+
+# ---------------------------------------------------------------- unicode fix
+
+# C0 controls except \t(09)/\n(0a), plus DEL + C1 (the cp1252-mojibake band).
+# Literal \x escapes: Java regex and RE2 both parse them, so the SAME pattern
+# text runs in Spark and in the DuckDB twin.
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]"
+# BOM + soft hyphen: invisible chars crawls inherit from editors/CMSes.
+# ZWSP (​) is deliberately KEPT — it is a Thai word-boundary signal the
+# tokenizer consumes (T9 joining), not noise.
+_INVISIBLE_RE = r"[\x{feff}\x{ad}]"
+
+
+def unicode_fix(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """ftfy-lite text normalization for crawled corpora →
+    (doc_key, fixed_text): newline canonicalization (\\r\\n and \\r → \\n),
+    C0/C1 control-character strip (tab/newline kept), BOM/soft-hyphen
+    removal, then Unicode NFC composition — the standard first stage of a
+    web-text training pipeline (every downstream exact/fuzzy dedup keys on
+    bytes, so two crawls of the same page must normalize identically).
+
+    Everything except NFC is pure Column codegen; NFC runs in ONE
+    Arrow-batched pandas UDF (Spark has no built-in normalizer) — at 100 TB
+    this is the narrow per-row map it looks like: no shuffle, no state,
+    vectorized batches.  The DuckDB twin uses ``nfc_normalize`` — both sides
+    implement Unicode NFC, so parity is exact."""
+    def _nfc_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    _nfc = F.pandas_udf(_nfc_fn, "string")  # scalar Arrow-batched series→series
+
+    t = F.regexp_replace(F.col(text_col), r"\r\n|\r", "\n")
+    t = F.regexp_replace(t, _CTRL_RE, "")
+    t = F.regexp_replace(t, _INVISIBLE_RE, "")
+    return docs.select(F.col(id_col).alias("doc_key"), _nfc(t).alias("fixed_text"))
+
+
+def unicode_fix_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`unicode_fix` (same regex literals, RE2-parsed)."""
+    return f"""
+SELECT {id_col} AS doc_key,
+       nfc_normalize(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace({text_col}, '\\r\\n|\\r', chr(10), 'g'),
+             '{_CTRL_RE}', '', 'g'),
+           '{_INVISIBLE_RE}', '', 'g')
+       ) AS fixed_text
+FROM {table}
+"""

@@ -237,3 +237,45 @@ def test_unigram_logprob_semantics(spark):
     assert got[2] == (2, round(lp_oov, 4))
     assert got[3] == (0, 0.0)
     assert got[1][1] > got[2][1]  # in-reference text scores higher
+
+
+def test_unicode_fix_semantics(spark):
+    """ftfy-lite: newline canonicalization, C0/C1 strip (tab/newline kept),
+    BOM/soft-hyphen removal, NFC composition; ZWSP survives (Thai signal)."""
+    from meilisearch_thai_spark.pipeline.webtext import unicode_fix
+
+    rows = [
+        (1, "a\r\nb\rc\nd"),                       # newlines canonicalize
+        (2, "x\x00y\x07z\tk\x9fq"),                # controls out, tab stays
+        (3, "﻿café ­soft"),        # BOM/soft-hyphen out, NFC
+        (4, "ไทย​คำ"),                        # ZWSP kept
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_key"]: r["fixed_text"] for r in unicode_fix(df, "doc_id", "text").collect()}
+    assert got[1] == "a\nb\nc\nd"
+    assert got[2] == "xyz\tkq"
+    assert got[3] == "café soft"
+    assert got[4] == "ไทย​คำ"
+    assert got[5] is None
+
+
+def test_unicode_fix_duckdb_parity(spark):
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.webtext import unicode_fix, unicode_fix_sql
+
+    rows = [
+        (1, "a\r\nb\rc"),
+        (2, "ctrl\x01\x02\x7f\x80end"),
+        (3, "é + ﻿­ + ไทย​"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_key"]: r["fixed_text"] for r in unicode_fix(df, "doc_id", "text").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        k: v for k, v in con.execute(unicode_fix_sql("t", "doc_id", "text")).fetchall()
+    }
+    assert got == want
