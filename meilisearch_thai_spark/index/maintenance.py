@@ -425,3 +425,57 @@ def delete_index(index_dir: str, missing_ok: bool = False) -> bool:
             )
     shutil.rmtree(d)
     return True
+
+
+def snapshot_index(index_dir: str, snapshot_dir: str) -> str:
+    """MeiliSearch snapshots (``POST /snapshots``: an exact copy of the
+    instance's data, restorable as-is): copy the whole index directory —
+    final tables, meta.json, tombstones, and any tf/ staging — to
+    ``snapshot_dir``.
+
+    Refuses mid-compaction/mid-swap (same marker contract as
+    :func:`delete_index`): a snapshot of a half-swapped index would restore
+    to the inconsistent state the markers exist to make loud.  Single-writer
+    contract: no concurrent writes during the copy (MeiliSearch likewise
+    snapshots under its update lock).  Returns ``snapshot_dir``."""
+    d = os.path.abspath(index_dir)
+    if not index_exists(d):
+        raise ValueError(f"{index_dir} is not an index (no meta.json or tf/ staging)")
+    if os.path.exists(os.path.join(d, "_COMPACTING")):
+        raise RuntimeError(f"{index_dir} has an in-progress/interrupted compaction")
+    for marker in (d + ".swapping", d + ".swap_tmp"):
+        if os.path.exists(marker):
+            raise RuntimeError(f"{index_dir} is mid-swap ({os.path.basename(marker)})")
+    if os.path.exists(snapshot_dir):
+        raise ValueError(f"snapshot target {snapshot_dir} already exists")
+    # stage + rename: a crashed copy never looks like a complete snapshot
+    tmp = snapshot_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(d, tmp)
+    os.replace(tmp, snapshot_dir)
+    return snapshot_dir
+
+
+def restore_index(snapshot_dir: str, index_dir: str, overwrite: bool = False) -> None:
+    """Restore a :func:`snapshot_index` copy to ``index_dir``.  The target
+    must not exist unless ``overwrite=True`` (which replaces it atomically:
+    the old index is moved aside and removed only after the copy lands).
+    Live engines on the target must be reconstructed afterwards — the same
+    contract as swap/compact."""
+    if not index_exists(snapshot_dir):
+        raise ValueError(f"{snapshot_dir} is not a snapshot of an index")
+    d = os.path.abspath(index_dir)
+    if os.path.exists(d):
+        if not overwrite:
+            raise ValueError(f"{index_dir} exists; pass overwrite=True to replace it")
+        aside = d + ".restore_replaced"
+        shutil.rmtree(aside, ignore_errors=True)
+        os.replace(d, aside)
+    else:
+        aside = None
+    tmp = d + ".restore_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(snapshot_dir, tmp)
+    os.replace(tmp, d)
+    if aside:
+        shutil.rmtree(aside, ignore_errors=True)

@@ -275,3 +275,46 @@ def test_index_exists_staged_layout(spark, tmp_path):
     assert index_exists(d)
     assert delete_index(d) is True
     assert not index_exists(d)
+
+
+def test_snapshot_and_restore_round_trip(spark, tmp_path):
+    """MeiliSearch snapshots: copy-out, delete, restore, search again —
+    results identical; marker contracts enforced; staged-copy atomicity."""
+    import json
+
+    from meilisearch_thai_spark.index.maintenance import (
+        delete_index,
+        restore_index,
+        snapshot_index,
+    )
+
+    d = str(tmp_path / "idx")
+    build_index(spark, generate_pages(spark, 80, seed=7), d)
+    eng = SearchEngine(spark, d, cache_postings=False)
+    before = [(r["url"], round(r["score"], 6)) for r in eng.search("ปัญญาประดิษฐ์", k=5).collect()]
+
+    snap = str(tmp_path / "snap")
+    assert snapshot_index(d, snap) == snap
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_index(d, snap)
+    marker = os.path.join(d, "_COMPACTING")
+    with open(marker, "w") as fh:
+        json.dump({}, fh)
+    with pytest.raises(RuntimeError, match="compaction"):
+        snapshot_index(d, str(tmp_path / "snap2"))
+    os.remove(marker)
+
+    delete_index(d)
+    with pytest.raises(ValueError, match="exists"):
+        restore_index(snap, snap)  # target exists (the snapshot itself)
+    restore_index(snap, d)
+    eng2 = SearchEngine(spark, d, cache_postings=False)
+    after = [(r["url"], round(r["score"], 6)) for r in eng2.search("ปัญญาประดิษฐ์", k=5).collect()]
+    assert after == before
+
+    # overwrite mode replaces an existing index
+    build_index(spark, generate_pages(spark, 40, seed=8), d)
+    restore_index(snap, d, overwrite=True)
+    eng3 = SearchEngine(spark, d, cache_postings=False)
+    assert [(r["url"], round(r["score"], 6)) for r in eng3.search("ปัญญาประดิษฐ์", k=5).collect()] == before
+    assert not os.path.exists(d + ".restore_replaced")
