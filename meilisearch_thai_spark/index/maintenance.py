@@ -373,13 +373,24 @@ def swap_indexes(dir_a: str, dir_b: str) -> None:
     tmp = a + ".swap_tmp"
     if os.path.exists(tmp):
         raise RuntimeError(f"{tmp} exists — a previous swap was interrupted; recover it first")
-    marker = a + ".swapping"
-    with open(marker, "w") as fh:
-        json.dump({"a": a, "b": b, "tmp": tmp}, fh)
+    for stale in (a + ".swapping", b + ".swapping"):
+        if os.path.exists(stale):
+            raise RuntimeError(
+                f"{stale} exists — a previous swap was interrupted; recover it first"
+            )
+    # markers beside BOTH directories: delete_index/snapshot_index guard on
+    # the marker NEXT TO their target, so a one-sided marker would leave the
+    # other side of an interrupted swap unprotected (its directory is the
+    # recovery data the next rename needs)
+    markers = [a + ".swapping", b + ".swapping"]
+    for marker in markers:
+        with open(marker, "w") as fh:
+            json.dump({"a": a, "b": b, "tmp": tmp}, fh)
     os.replace(a, tmp)   # a -> tmp
     os.replace(b, a)     # b -> a's name
     os.replace(tmp, b)   # old a -> b's name
-    os.remove(marker)
+    for marker in markers:
+        os.remove(marker)
 
 
 def index_exists(index_dir: str) -> bool:
@@ -465,17 +476,19 @@ def restore_index(snapshot_dir: str, index_dir: str, overwrite: bool = False) ->
     if not index_exists(snapshot_dir):
         raise ValueError(f"{snapshot_dir} is not a snapshot of an index")
     d = os.path.abspath(index_dir)
-    if os.path.exists(d):
-        if not overwrite:
-            raise ValueError(f"{index_dir} exists; pass overwrite=True to replace it")
-        aside = d + ".restore_replaced"
-        shutil.rmtree(aside, ignore_errors=True)
-        os.replace(d, aside)
-    else:
-        aside = None
+    if os.path.exists(d) and not overwrite:
+        raise ValueError(f"{index_dir} exists; pass overwrite=True to replace it")
+    # copy FIRST, swap LAST: the live index stays present and servable for
+    # the whole (slow) copy; a crash mid-copy leaves only .restore_tmp
+    # litter and an untouched index, never a missing one
     tmp = d + ".restore_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.copytree(snapshot_dir, tmp)
+    aside = None
+    if os.path.exists(d):
+        aside = d + ".restore_replaced"
+        shutil.rmtree(aside, ignore_errors=True)
+        os.replace(d, aside)
     os.replace(tmp, d)
     if aside:
         shutil.rmtree(aside, ignore_errors=True)

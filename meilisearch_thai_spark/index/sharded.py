@@ -39,10 +39,18 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# doc_stats column types (matches build_index's stat_cols selection from
+# tokenized_docs) — used to write a well-formed EMPTY table for shards that
+# received no documents
+_EMPTY_STATS_SCHEMA = (
+    "doc_id long, url string, lang string, doc_len int, norm_hash string"
+)
 
 from ..dictionary import dictionary_fingerprint
 from .builder import (
@@ -125,7 +133,18 @@ def build_sharded_index(
     for s in range(n_shards):
         d = shard_dir(out_root, s)
         os.makedirs(d, exist_ok=True)
-        os.replace(os.path.join(stats_stage, f"shard={s}"), os.path.join(d, "doc_stats"))
+        staged = os.path.join(stats_stage, f"shard={s}")
+        target = os.path.join(d, "doc_stats")
+        shutil.rmtree(target, ignore_errors=True)  # idempotent re-build into out_root
+        if os.path.isdir(staged):
+            os.replace(staged, target)
+        else:
+            # an empty shard (n_shards > matching docs) gets an empty but
+            # well-formed doc_stats table — the shard is servable, returns
+            # nothing, and the federation union stays total
+            spark.createDataFrame([], _EMPTY_STATS_SCHEMA).write.mode(
+                "overwrite"
+            ).parquet(target)
         rows_s = posting_rows.filter(F.pmod(F.col("doc_id"), F.lit(n_shards)) == s)
         postings = encode_postings(
             rows_s, n_docs, avgdl, params, block_size,
@@ -157,7 +176,5 @@ def build_sharded_index(
             json.dump(asdict(meta), fh, indent=1)
         metas.append(meta)
     posting_rows.unpersist()
-    import shutil
-
     shutil.rmtree(stats_stage, ignore_errors=True)  # only _SUCCESS remains
     return metas

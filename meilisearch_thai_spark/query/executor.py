@@ -1049,15 +1049,24 @@ class SearchEngine:
         budget = 2 if len(token) >= cfg["two_typos"] else 1
         self.vocabulary()
         ascii_tok = token.isascii()
+        # EDIT-DISTANCE-ORDERED: all 1-edit candidates precede any 2-edit
+        # candidate, so a bounded pool (max_expansions) can never truncate
+        # away a closer correction in favor of a farther one met earlier in
+        # length-band scan order (MeiliSearch's typo rule likewise ranks
+        # 1-typo matches above 2-typo) — suggest() and the typo variants
+        # both depend on this ordering
         out: list[str] = []
-        for length in range(len(token) - budget, len(token) + budget + 1):
-            for t in self._vocab_by_len.get(length, ()):
-                if t == token or t.isascii() != ascii_tok:
-                    continue
-                if _edit_distance_within(token, t, budget):
-                    out.append(t)
-                    if len(out) >= max_expansions:
-                        return out
+        seen: set[str] = set()
+        for b in range(1, budget + 1):
+            for length in range(len(token) - b, len(token) + b + 1):
+                for t in self._vocab_by_len.get(length, ()):
+                    if t == token or t in seen or t.isascii() != ascii_tok:
+                        continue
+                    if _edit_distance_within(token, t, b):
+                        seen.add(t)
+                        out.append(t)
+                        if len(out) >= max_expansions:
+                            return out
         return out
 
     def _typo_config(self) -> dict:
@@ -2204,7 +2213,12 @@ class SearchEngine:
         emb = embeddings.select(F.col("url"), F.col(vec_col).alias("embedding")).join(
             live.select("url"), "url"
         )
-        if not emb.filter(F.col("url") == target_url).take(1):
+        # existence check as a POINT lookup on each side separately (url
+        # predicate pushes to both scans) — not a take(1) over the full
+        # join, which would scan embeddings×doc_stats just to word an error
+        if not embeddings.filter(F.col("url") == target_url).take(1):
+            raise ValueError(f"no embedding for document {target_url!r}")
+        if not live.filter(F.col("url") == target_url).take(1):
             raise ValueError(f"no embedding for document {target_url!r}")
         top = cosine_topk_to_query(emb, "url", "embedding", target_url, k=k)
         return (

@@ -470,16 +470,15 @@ def update_documents(
         if c not in p.columns:
             p = p.withColumn(c, F.lit(None).cast(t))
     p = p.select("url", "warc_ts", "html", "text", "lang")
-    n_updates = p.count()
-    if p.select("url").distinct().count() != n_updates:
-        raise ValueError(
-            "partial_docs has duplicate urls — DataFrames are unordered, so "
-            "last-writer-wins within one call is undefined; merge duplicates "
-            "before calling (one row per url)"
-        )
     tf_cur = _surviving_tf(spark, out_dir)
+    # existence is a LITERAL flag, never inferred from a stored column's
+    # nullability: a document whose stored lang is NULL is still an existing
+    # document (inferring from _cur_lang would misroute its metadata-only
+    # update into the retokenize path with text='' and wipe its postings)
     cur_lang = (
-        tf_cur.select("url", F.col("lang").alias("_cur_lang")).dropDuplicates(["url"])
+        tf_cur.select("url", F.col("lang").alias("_cur_lang"))
+        .dropDuplicates(["url"])
+        .withColumn("_exists", F.lit(True))
     )
     pj = p.join(cur_lang, "url", "left").select(
         "url",
@@ -487,8 +486,26 @@ def update_documents(
         "html",
         "text",
         F.coalesce("lang", "_cur_lang").alias("lang"),
-        F.col("_cur_lang").isNotNull().alias("_exists"),
-    )
+        F.coalesce("_exists", F.lit(False)).alias("_exists"),
+    ).persist()
+    # one aggregate answers size, dup-check, and the retok/meta split (the
+    # partial frame is caller-supplied: evaluate its lineage ONCE)
+    agg0 = pj.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("url").alias("nu"),
+        F.sum(
+            (F.col("text").isNull() & F.col("_exists")).cast("long")
+        ).alias("n_meta"),
+    ).collect()[0]
+    n_updates, n_meta = int(agg0["n"]), int(agg0["n_meta"] or 0)
+    n_retok = n_updates - n_meta
+    if int(agg0["nu"]) != n_updates:
+        pj.unpersist()
+        raise ValueError(
+            "partial_docs has duplicate urls — DataFrames are unordered, so "
+            "last-writer-wins within one call is undefined; merge duplicates "
+            "before calling (one row per url)"
+        )
     batch_id = _next_adhoc_batch_id(out_dir)
     os.makedirs(os.path.join(out_dir, "lineage"), exist_ok=True)
     shard = F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards)).cast("int")
@@ -514,7 +531,6 @@ def update_documents(
     retok_pages = pj.filter(F.col("text").isNotNull() | ~F.col("_exists")).select(
         "url", "warc_ts", "html", F.coalesce("text", F.lit("")).alias("text"), "lang"
     )
-    n_retok = retok_pages.count()
     t0 = time.time()
     new_tf = reused if n_retok == 0 else reused.unionByName(
         _tf_rows(retok_pages, n_shards, batch_id, positional=positional)
@@ -525,6 +541,7 @@ def update_documents(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(tf_dir)
     )
+    pj.unpersist()
     stats = (
         spark.read.parquet(tf_dir)
         .filter(F.col("batch_id") == batch_id)
@@ -544,7 +561,7 @@ def update_documents(
                 "batch_n_tokens": int(stats["n_tokens"] or 0),
                 "batch_n_postings": int(stats["n_postings"] or 0),
                 "n_retokenized": int(n_retok),
-                "n_metadata_only": int(n_updates - n_retok),
+                "n_metadata_only": int(n_meta),
                 "wall_sec": round(time.time() - t0, 3),
                 "ts": time.time(),
             },

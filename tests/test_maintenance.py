@@ -318,3 +318,34 @@ def test_snapshot_and_restore_round_trip(spark, tmp_path):
     eng3 = SearchEngine(spark, d, cache_postings=False)
     assert [(r["url"], round(r["score"], 6)) for r in eng3.search("ปัญญาประดิษฐ์", k=5).collect()] == before
     assert not os.path.exists(d + ".restore_replaced")
+
+
+def test_interrupted_swap_protects_both_sides(spark, tmp_path):
+    """Review regression: swap markers must sit beside BOTH directories so
+    delete/snapshot of EITHER side of an interrupted swap refuses."""
+    import json
+
+    from meilisearch_thai_spark.index.maintenance import (
+        delete_index,
+        snapshot_index,
+        swap_indexes,
+    )
+
+    a = str(tmp_path / "swp_a")
+    b = str(tmp_path / "swp_b")
+    build_index(spark, generate_pages(spark, 30, seed=1), a)
+    build_index(spark, generate_pages(spark, 30, seed=2), b)
+    # simulate the mid-dance state: markers written, first rename done
+    for m in (a + ".swapping", b + ".swapping"):
+        with open(m, "w") as fh:
+            json.dump({"a": a, "b": b}, fh)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        delete_index(b)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        snapshot_index(b, str(tmp_path / "s"))
+    with pytest.raises(RuntimeError, match="interrupted"):
+        swap_indexes(a, b)  # a fresh swap refuses too
+    for m in (a + ".swapping", b + ".swapping"):
+        os.remove(m)
+    swap_indexes(a, b)  # clean swap succeeds and clears both markers
+    assert not os.path.exists(a + ".swapping") and not os.path.exists(b + ".swapping")

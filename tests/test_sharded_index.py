@@ -99,3 +99,29 @@ def test_federated_normalized_mode_unchanged(spark, built):
     for r in rows:
         best.setdefault(r["index_uid"], r["federated_score"])
     assert all(v == 1.0 for v in best.values())
+
+
+def test_empty_shards_and_rebuild_into_same_root(spark, tmp_path):
+    """Review regression: n_shards > n_docs leaves some shards empty (they
+    must still be well-formed, servable, and federable), and re-building
+    into the same out_root must not crash on existing doc_stats dirs."""
+    root = str(tmp_path / "tiny_shards")
+    pages = generate_pages(spark, 3, seed=3)
+    metas = build_sharded_index(spark, pages, root, 5)
+    assert len(metas) == 5
+    engines = {}
+    for s in range(5):
+        d = shard_dir(root, s)
+        assert spark.read.parquet(f"{d}/doc_stats").columns == [
+            "doc_id", "url", "lang", "doc_len", "norm_hash",
+        ]
+        engines[f"s{s}"] = SearchEngine(spark, d, cache_postings=False)
+    total = sum(
+        spark.read.parquet(f"{shard_dir(root, s)}/doc_stats").count() for s in range(5)
+    )
+    assert total == 3
+    # empty shards federate without error
+    federated_search(engines, ["ปัญญาประดิษฐ์"], k=5, normalize=False).collect()
+    # idempotent rebuild into the same root
+    metas2 = build_sharded_index(spark, pages, root, 5)
+    assert [m.n_docs for m in metas2] == [3] * 5

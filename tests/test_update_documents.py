@@ -173,3 +173,39 @@ def test_requires_staged_layout(spark, tmp_path_factory):
         update_documents(
             spark, _partial(spark, [("a", "x")], "url string, text string"), out
         )
+
+
+def test_metadata_update_of_null_lang_doc_keeps_postings(spark, tmp_path_factory):
+    """Review regression: existence must be a literal flag, not inferred from
+    lang's nullability — a stored doc with lang=NULL getting a metadata-only
+    update must keep its postings (it was previously misrouted to the
+    retokenize path with text='' and wiped)."""
+    out = str(tmp_path_factory.mktemp("upd_nulllang") / "idx")
+    pages = spark.createDataFrame(
+        [("u1", "alpha beta gamma", None), ("u2", "delta epsilon", "en")],
+        "url string, text string, lang string",
+    ).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+    add_documents(spark, pages, out, n_shards=2)
+    before = {
+        r["url"]: r["doc_len"]
+        for r in spark.read.parquet(f"{out}/doc_stats").collect()
+    }
+    assert before["u1"] > 0
+    meta = update_documents(
+        spark,
+        spark.createDataFrame([("u1", "th")], "url string, lang string"),
+        out,
+        n_shards=2,
+    )
+    assert meta.n_docs == 2
+    after = {
+        (r["url"]): (r["doc_len"], r["lang"])
+        for r in spark.read.parquet(f"{out}/doc_stats").collect()
+    }
+    assert after["u1"] == (before["u1"], "th")  # postings intact, lang merged
