@@ -155,3 +155,44 @@ def test_remove_boilerplate_flagged_side_broadcasts(spark):
     txt = _final_plan(out)
     assert "BroadcastHashJoin" in txt or "BroadcastNestedLoopJoin" not in txt
     assert "SortMergeJoin" not in txt
+
+
+def test_unicode_fix_single_arrow_stage_no_shuffle(spark):
+    """unicode_fix: one scan → codegen regexps → ONE ArrowEvalPython (the
+    NFC pandas UDF) — no Exchange, no extra Python stages."""
+    from meilisearch_thai_spark.pipeline.webtext import unicode_fix
+
+    df = spark.createDataFrame([(1, "a\r\nb"), (2, "x\x07y")], "doc_id long, text string")
+    out = unicode_fix(df, "doc_id", "text")
+    out.collect()
+    txt = _final_plan(out)
+    assert "Exchange" not in txt
+    assert txt.count("ArrowEvalPython") == 1
+    assert "MapInPandas" not in txt
+
+
+def test_facet_search_termless_pure_jvm(spark, warm_engine):
+    """facet_search without query terms: a doc_stats scan + one partial-agg
+    groupBy + TakeOrderedAndProject — no Python stage anywhere."""
+    out = warm_engine.facet_search("lang", max_hits=10)
+    out.collect()
+    txt = _final_plan(out)
+    query_part = txt.split("InMemoryRelation")[0]
+    assert "ArrowEvalPython" not in query_part and "MapInPandas" not in query_part
+    assert "TakeOrderedAndProject" in txt
+
+
+def test_similar_documents_no_python_and_broadcast_query_vector(spark, warm_engine):
+    """similar_documents: JVM dot products (no Python stage) and the 1-row
+    query vector arrives via BroadcastExchange/BroadcastNestedLoopJoin."""
+    urls = [r["url"] for r in warm_engine.doc_stats.select("url").limit(3).collect()]
+    emb = spark.createDataFrame(
+        [(u, [float(i + 1), 1.0]) for i, u in enumerate(urls)],
+        "url string, embedding array<double>",
+    )
+    out = warm_engine.similar_documents(emb, urls[0], k=2)
+    out.collect()
+    txt = _final_plan(out)
+    query_part = txt.split("InMemoryRelation")[0]
+    assert "ArrowEvalPython" not in query_part and "MapInPandas" not in query_part
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastExchange" in txt
