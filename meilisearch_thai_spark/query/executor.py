@@ -1719,6 +1719,29 @@ class SearchEngine:
                 [*parse_sort(sort, self.doc_stats.columns)] if sort else []
             ) + [F.desc("score"), F.asc("doc_id")]
             return joined.orderBy(*order).limit(k).select(*out_cols)
+        topk = self._scored_topk_expanded(qterms, required, prefixes, k, filters)
+        return self._finalize_hits(topk, attributes=attributes_to_retrieve)
+
+    def scored_topk(
+        self,
+        terms: list[str],
+        k: int = 10,
+        matching: str = "best",
+        filters: dict | None = None,
+    ) -> DataFrame:
+        """The scoring core of :meth:`search_terms` WITHOUT the metadata
+        join → (doc_id, score, terms_matched), same top-k and order.
+
+        The federation building block: merging N indexes' pools as bare
+        scores and resolving urls with ONE pooled join afterwards drops the
+        federation's exchange count from N broadcasts to one (local latency
+        is scoring-bound either way — measured)."""
+        uniq, prefixes, qterms, required = self._expand_matching(terms, matching)
+        return self._scored_topk_expanded(qterms, required, prefixes, k, filters)
+
+    def _scored_topk_expanded(
+        self, qterms, required, prefixes, k: int, filters: dict | None
+    ) -> DataFrame:
         if filters:
             scored = self.score_variants_topk_filtered(
                 qterms, k=k, allowed=self.allowed_docs(filters), required_terms=required
@@ -1730,12 +1753,11 @@ class SearchEngine:
             scored = self.score_variants_topk(qterms, k=k, required_terms=required)
         if len(prefixes) > 1:
             scored = self._dedup_best_per_doc(scored)
-        topk = (
+        return (
             scored.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .select("doc_id", "score", "terms_matched")
         )
-        return self._finalize_hits(topk, attributes=attributes_to_retrieve)
 
     def search_phrase(self, terms: list[str], k: int = 10) -> DataFrame:
         """Exact-adjacency phrase search (MeiliSearch quoted-phrase

@@ -59,15 +59,19 @@ def federated_search(
     if bad:
         raise ValueError(f"weights name unknown indexes {bad}")
     pool_k = pool_k or k
+    # branches contribute BARE scores (scored_topk) — urls resolve with ONE
+    # pooled join after the cut, instead of one broadcast join per index.
+    # Local latency is unchanged (measured: the per-branch scoring stages
+    # dominate), but the exchange count drops from N broadcasts to 1 —
+    # the shape that matters when N is tens of shards on a real cluster.
     pools = []
     for uid in sorted(engines):
         w = float(weights.get(uid, 1.0))
         pool = (
             engines[uid]
-            .search_terms(terms, k=pool_k)
+            .scored_topk(terms, k=pool_k)
             .select(
                 F.lit(uid).alias("index_uid"),
-                "url",
                 "doc_id",
                 # presentation-precision (4-decimal) scores BEFORE the
                 # normalization ratio: both the ratio's inputs are then
@@ -92,9 +96,20 @@ def federated_search(
         # monolithic engine's tie-break (doc id asc) must win over shard uid
         # for exact rank parity
         order = [F.desc("federated_score"), F.asc("doc_id"), F.asc("index_uid")]
+    winners = (
+        allp.withColumn("federated_score", fed).drop("_w").orderBy(*order).limit(k)
+    )
+    # ONE url lookup for the whole federation: per-index doc_stats tagged
+    # with the uid (keys are (index_uid, doc_id) — doc-id collisions across
+    # unrelated indexes stay disambiguated), k-row side broadcast
+    stats = None
+    for uid in sorted(engines):
+        s = engines[uid].doc_stats.select(
+            F.lit(uid).alias("index_uid"), "doc_id", "url"
+        )
+        stats = s if stats is None else stats.unionByName(s)
     return (
-        allp.withColumn("federated_score", fed)
-        .drop("_w")
+        stats.join(F.broadcast(winners), ["index_uid", "doc_id"])
+        .select("index_uid", "url", "doc_id", "score", "federated_score")
         .orderBy(*order)
-        .limit(k)
     )
