@@ -1732,10 +1732,10 @@ class SearchEngine:
         """The scoring core of :meth:`search_terms` WITHOUT the metadata
         join → (doc_id, score, terms_matched), same top-k and order.
 
-        The federation building block: merging N indexes' pools as bare
-        scores and resolving urls with ONE pooled join afterwards drops the
-        federation's exchange count from N broadcasts to one (local latency
-        is scoring-bound either way — measured)."""
+        Useful when the caller resolves metadata itself (or not at all);
+        federation measured FASTER with per-branch `search_terms` joins
+        (see query/federation.py), so this is a building block, not the
+        federation's current shape."""
         uniq, prefixes, qterms, required = self._expand_matching(terms, matching)
         return self._scored_topk_expanded(qterms, required, prefixes, k, filters)
 

@@ -59,19 +59,22 @@ def federated_search(
     if bad:
         raise ValueError(f"weights name unknown indexes {bad}")
     pool_k = pool_k or k
-    # branches contribute BARE scores (scored_topk) — urls resolve with ONE
-    # pooled join after the cut, instead of one broadcast join per index.
-    # Local latency is unchanged (measured: the per-branch scoring stages
-    # dominate), but the exchange count drops from N broadcasts to 1 —
-    # the shape that matters when N is tens of shards on a real cluster.
+    # Per-branch url resolution (search_terms' broadcast join) is the FASTER
+    # shape here, measured: a pooled single-join alternative (bare
+    # scored_topk branches + one broadcast join against uid-tagged unioned
+    # doc_stats) was tried and is ~35% slower interleaved-min A/B — the
+    # winners' broadcast stage serializes BEFORE the stats scan stage,
+    # while per-branch joins overlap their tiny broadcasts with branch
+    # execution.  Fewer exchanges lost to stage serialization.
     pools = []
     for uid in sorted(engines):
         w = float(weights.get(uid, 1.0))
         pool = (
             engines[uid]
-            .scored_topk(terms, k=pool_k)
+            .search_terms(terms, k=pool_k)
             .select(
                 F.lit(uid).alias("index_uid"),
+                "url",
                 "doc_id",
                 # presentation-precision (4-decimal) scores BEFORE the
                 # normalization ratio: both the ratio's inputs are then
@@ -96,20 +99,9 @@ def federated_search(
         # monolithic engine's tie-break (doc id asc) must win over shard uid
         # for exact rank parity
         order = [F.desc("federated_score"), F.asc("doc_id"), F.asc("index_uid")]
-    winners = (
-        allp.withColumn("federated_score", fed).drop("_w").orderBy(*order).limit(k)
-    )
-    # ONE url lookup for the whole federation: per-index doc_stats tagged
-    # with the uid (keys are (index_uid, doc_id) — doc-id collisions across
-    # unrelated indexes stay disambiguated), k-row side broadcast
-    stats = None
-    for uid in sorted(engines):
-        s = engines[uid].doc_stats.select(
-            F.lit(uid).alias("index_uid"), "doc_id", "url"
-        )
-        stats = s if stats is None else stats.unionByName(s)
     return (
-        stats.join(F.broadcast(winners), ["index_uid", "doc_id"])
-        .select("index_uid", "url", "doc_id", "score", "federated_score")
+        allp.withColumn("federated_score", fed)
+        .drop("_w")
         .orderBy(*order)
+        .limit(k)
     )
