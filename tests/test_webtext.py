@@ -279,3 +279,39 @@ def test_unicode_fix_duckdb_parity(spark):
         k: v for k, v in con.execute(unicode_fix_sql("t", "doc_id", "text")).fetchall()
     }
     assert got == want
+
+
+def test_unicode_fix_parity_property(spark):
+    """Property: for 120 random strings over the interesting alphabet
+    (latin, combining marks, Thai incl. ZWSP, C0/C1 controls,
+    BOM/soft-hyphen, CR/LF), the Spark unicode_fix and its DuckDB twin
+    agree byte-for-byte."""
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.webtext import unicode_fix, unicode_fix_sql
+
+    # fixed-seed sampling rather than @given: each example would need its
+    # own Spark job, so the property runs as ONE batched cross-engine check
+    import random
+
+    rng = random.Random(1234)
+    chars = (
+        list("abcXYZ ")
+        + ["́", "ก", "ิ", "​", "é", "e"]
+        + ["\r", "\n", "\t", "\x00", "\x07", "\x1f", "\x7f", "\x80", "\x9f"]
+        + ["﻿", "­"]
+    )
+    rows = [
+        (i, "".join(rng.choice(chars) for _ in range(rng.randrange(0, 60))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_key"]: r["fixed_text"]
+        for r in unicode_fix(df, "doc_id", "text").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(con.execute(unicode_fix_sql("t", "doc_id", "text")).fetchall())
+    assert got == want
