@@ -494,6 +494,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def stats_quality(spark, sf):
         return ts.quality_score(_t(spark, sf, "documents"), "doc_id", "text")
 
+    def stats_source_mixture(spark, sf):
+        # training-mixture accounting: per (source, lang) doc/token/byte
+        # counts + integer-bp share of the corpus token budget — the table a
+        # mixture designer reweights against (Chinchilla-style budgeting)
+        return ts.source_mixture(_t(spark, sf, "documents"), ["source", "lang"], "text")
+
     def stats_langid(spark, sf):
         return ts.language_id(_t(spark, sf, "documents"), "doc_id", "text")
 
@@ -1060,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x17_similar_documents": x17_similar_documents,
         "x18_sharded_search": x18_sharded_search,
         "webtext_unicode_fix": webtext_unicode_fix,
+        "stats_source_mixture": stats_source_mixture,
         # -- last green row is round 2 (fell past the 50-cap in r3)
         "e1_highlight_extract": e1_highlight_extract,
         "e1_highlight_generate": e1_highlight_generate,
@@ -1100,10 +1107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_pii_mask": webtext_pii_mask,
         "webtext_contamination": webtext_contamination,
         "webtext_lm_quality": webtext_lm_quality,
-        "webtext_html_extract": webtext_html_extract,
         # ---------------- position 51+: RESTING this round (r3-green,
         # code untouched in r4, sibling coverage noted in COVERAGE.md);
         # all re-gate in round 5
+        "webtext_html_extract": webtext_html_extract,
         "dedup_exact": dedup_exact,
         "r11_search_on_title": r11_search_on_title,
         "r11_phrase_search": r11_phrase_search,
@@ -1168,6 +1175,9 @@ GROUP BY lang
 ORDER BY count DESC, value ASC
 LIMIT 100
 """,
+        "stats_source_mixture": ts.source_mixture_sql(
+            "documents", ["source", "lang"], "text"
+        ),
         "webtext_unicode_fix": """
 WITH messy AS (
   SELECT doc_id,

@@ -160,3 +160,61 @@ SELECT {id_col} AS doc_key,
        md5(array_to_string(list_sort(list_distinct(list_filter(string_split({text_col}, ' '), x -> x <> ''))), chr(1))) AS fingerprint
 FROM {table}
 """
+
+
+def source_mixture(
+    docs: DataFrame, group_cols: list[str], text_col: str
+) -> DataFrame:
+    """Training-mixture accounting: per group (e.g. [source, lang]) —
+    document count, token count, byte count, and each group's share of the
+    corpus token budget in integer basis points (Chinchilla-style data
+    budgeting: the table a mixture designer reweights against, and the
+    denominator for stratified-sampling fractions in
+    ``pipeline.sampling``).
+
+    One map-side-combined groupBy plus a tiny broadcast of the scalar
+    totals — the grouped rollup is bounded by (source × lang) cardinality,
+    never corpus size.  Token = whitespace token (the ``token_stats``
+    convention); swap in a BPE-ish regex upstream for model-specific
+    budgets."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    per = docs.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.sum(F.octet_length(text_col)).cast("long").alias("n_bytes"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("_t")).select(
+        F.col("_t").cast("double").alias("_t")
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            *group_cols,
+            "n_docs",
+            "n_tokens",
+            "n_bytes",
+            F.floor(F.col("n_tokens") * 10000 / F.col("_t"))
+            .cast("long")
+            .alias("share_bp"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def source_mixture_sql(table: str, group_cols: list[str], text_col: str) -> str:
+    """DuckDB twin of :func:`source_mixture`."""
+    gc = ", ".join(group_cols)
+    return f"""
+WITH per AS (
+  SELECT {gc},
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split({text_col}, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
+         CAST(SUM(strlen({text_col})) AS BIGINT) AS n_bytes
+  FROM {table} GROUP BY {gc}
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM per)
+SELECT {gc}, n_docs, n_tokens, n_bytes,
+       CAST(FLOOR(n_tokens * 10000 / tot.t) AS BIGINT) AS share_bp
+FROM per, tot
+ORDER BY {gc}
+"""

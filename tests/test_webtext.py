@@ -315,3 +315,25 @@ def test_unicode_fix_parity_property(spark):
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
     want = dict(con.execute(unicode_fix_sql("t", "doc_id", "text")).fetchall())
     assert got == want
+
+
+def test_source_mixture_accounting(spark):
+    """Mixture table: per-(source,lang) doc/token/byte counts and integer-bp
+    token share; shares floor-sum to <= 10000."""
+    from meilisearch_thai_spark.pipeline.textstats import source_mixture
+
+    rows = [
+        (1, "a b c", "web", "en"),      # 3 tokens
+        (2, "d e", "web", "en"),        # 2
+        (3, "f g h i", "web", "th"),    # 4
+        (4, "j", "books", "en"),        # 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    got = {
+        (r["source"], r["lang"]): (r["n_docs"], r["n_tokens"], r["n_bytes"], r["share_bp"])
+        for r in source_mixture(df, ["source", "lang"], "text").collect()
+    }
+    assert got[("web", "en")] == (2, 5, 8, 5000)
+    assert got[("web", "th")] == (1, 4, 7, 4000)
+    assert got[("books", "en")] == (1, 1, 1, 1000)
+    assert sum(v[3] for v in got.values()) <= 10000
