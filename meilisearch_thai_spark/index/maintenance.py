@@ -492,3 +492,38 @@ def restore_index(snapshot_dir: str, index_dir: str, overwrite: bool = False) ->
     os.replace(tmp, d)
     if aside:
         shutil.rmtree(aside, ignore_errors=True)
+
+
+def list_indexes(root_dir: str) -> list[dict]:
+    """MeiliSearch ``GET /indexes`` over a directory of index dirs: every
+    child directory that :func:`index_exists` (built OR mid-build staging),
+    with its uid (dir name), document count, and lifecycle state.
+
+    Driver-side fs walk + meta.json reads only — no Spark jobs: the listing
+    endpoint must stay cheap enough to poll.  ``n_docs`` is -1 for a staged
+    index with no finalize yet (count unknown without a job, matching the
+    'not yet searchable' state)."""
+    out: list[dict] = []
+    if not os.path.isdir(root_dir):
+        return out
+    for name in sorted(os.listdir(root_dir)):
+        d = os.path.join(root_dir, name)
+        if not os.path.isdir(d) or not index_exists(d):
+            continue
+        state = "available"
+        if os.path.exists(os.path.join(d, "_COMPACTING")):
+            state = "compacting"
+        elif os.path.exists(d + ".swapping") or os.path.exists(d + ".swap_tmp"):
+            state = "swapping"
+        meta_path = os.path.join(d, "meta.json")
+        n_docs = -1
+        if os.path.exists(meta_path):
+            try:
+                with open(meta_path) as fh:
+                    n_docs = int(json.load(fh).get("n_docs", -1))
+            except (OSError, ValueError):
+                state = "corrupt-meta"
+        else:
+            state = "staging"
+        out.append({"uid": name, "path": d, "n_docs": n_docs, "state": state})
+    return out

@@ -349,3 +349,31 @@ def test_interrupted_swap_protects_both_sides(spark, tmp_path):
         os.remove(m)
     swap_indexes(a, b)  # clean swap succeeds and clears both markers
     assert not os.path.exists(a + ".swapping") and not os.path.exists(b + ".swapping")
+
+
+def test_list_indexes_states(spark, tmp_path):
+    """GET /indexes over a root dir: built, staged, compacting, and
+    non-index children are classified; no Spark jobs run."""
+    import json
+
+    from meilisearch_thai_spark.index.maintenance import list_indexes
+    from meilisearch_thai_spark.streaming.ingest import add_documents
+
+    root = str(tmp_path / "indexes")
+    os.makedirs(root)
+    build_index(spark, generate_pages(spark, 30, seed=11), os.path.join(root, "idx_a"))
+    add_documents(
+        spark, generate_pages(spark, 20, seed=12), os.path.join(root, "idx_b"),
+        finalize=False,
+    )
+    os.makedirs(os.path.join(root, "not_an_index"))
+    build_index(spark, generate_pages(spark, 10, seed=13), os.path.join(root, "idx_c"))
+    with open(os.path.join(root, "idx_c", "_COMPACTING"), "w") as fh:
+        json.dump({}, fh)
+
+    got = {e["uid"]: e for e in list_indexes(root)}
+    assert set(got) == {"idx_a", "idx_b", "idx_c"}
+    assert got["idx_a"]["state"] == "available" and got["idx_a"]["n_docs"] == 30
+    assert got["idx_b"]["state"] == "staging" and got["idx_b"]["n_docs"] == -1
+    assert got["idx_c"]["state"] == "compacting"
+    assert list_indexes(str(tmp_path / "missing")) == []
