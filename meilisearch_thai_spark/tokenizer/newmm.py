@@ -31,6 +31,7 @@ import re
 import time
 from dataclasses import dataclass, field
 
+from .trie import END_MARK as _TRIE_END
 from .trie import Trie
 
 # Thai block boundaries (reference: src/tokenizer/thai_segmenter.py:314-316).
@@ -45,6 +46,7 @@ _COMBINING = frozenset(
     chr(c) for c in [0x0E31, 0x0E33, *range(0x0E34, 0x0E3B), *range(0x0E47, 0x0E4F)]
 )
 
+_THAI_RE = re.compile(rf"[{THAI_LO}-{THAI_HI}]+")
 _LATIN_RE = re.compile(r"[A-Za-z]+")
 _DIGIT_RE = re.compile(r"[0-9๐-๙]+(?:[.,][0-9๐-๙]+)*")
 _SPACE_RE = re.compile(r"\s+")
@@ -115,19 +117,28 @@ def _segment_thai_run(run: str, trie: Trie, exclude_full: bool = False) -> list[
     dp[n] = 0
     steps = [1] * (n + 1)
     knowns = [False] * (n + 1)
-    prefixes_at = trie.prefixes_at
+    root = trie.root
     lead, comb = _LEAD_VOWELS, _COMBINING
     for i in range(n - 1, -1, -1):
         best = INF
         best_step, best_known = 1, False
-        # longest dictionary word first => maximal-matching tie-break
-        for L in reversed(prefixes_at(run, i)):
-            if exclude_full and i == 0 and L == n:
-                continue
-            cand = dp[i + L] + 1
-            if cand < best:
-                best = cand
-                best_step, best_known = L, True
+        # trie walk inlined (ascending length, `<=` keeps the longest among
+        # equal costs — same winner as the longest-first strict-< scan, but
+        # without a per-position function call + list build, the measured
+        # hot spot of the whole index build)
+        node = root.get(run[i])
+        j2 = i + 1
+        while node is not None:
+            if _TRIE_END in node:
+                if not (exclude_full and i == 0 and j2 == n):
+                    cand = dp[j2] + 1
+                    if cand <= best:
+                        best = cand
+                        best_step, best_known = j2 - i, True
+            if j2 >= n:
+                break
+            node = node.get(run[j2])
+            j2 += 1
         # unknown cluster step (always available so DP cannot dead-end);
         # cluster-boundary scan inlined (_cluster_end semantics)
         j = i
@@ -188,13 +199,10 @@ class NewmmSegmenter:
         n = len(text)
         i = 0
         while i < n:
-            ch = text[i]
-            if is_thai_char(ch):
-                j = i
-                while j < n and is_thai_char(text[j]):
-                    j += 1
-                tokens.extend(t for t, _ in _segment_thai_run(text[i:j], self.trie))
-                i = j
+            m = _THAI_RE.match(text, i)  # maximal Thai run, scanned in C
+            if m:
+                tokens.extend(t for t, _ in _segment_thai_run(m.group(), self.trie))
+                i = m.end()
                 continue
             m = _SPACE_RE.match(text, i)
             if m:
@@ -207,7 +215,7 @@ class NewmmSegmenter:
                 tokens.append(m.group())
                 i = m.end()
                 continue
-            tokens.append(ch)  # punctuation / symbol: single-char token
+            tokens.append(text[i])  # punctuation / symbol: single-char token
             i += 1
         return tokens
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from collections.abc import Iterable
 
 _END = "\0"
+END_MARK = _END
 
 
 class Trie:
@@ -37,6 +38,15 @@ class Trie:
 
     def __contains__(self, word: str) -> bool:
         return word in self._words
+
+    @property
+    def root(self) -> dict:
+        """Raw node dict for inlined walks (``END_MARK`` keys terminate words).
+
+        The DP segmenter walks this directly in its inner loop — the
+        per-position ``prefixes_at`` call + list build was the single
+        hottest line of the whole index build."""
+        return self._root
 
     def __len__(self) -> int:
         return len(self._words)
