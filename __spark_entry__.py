@@ -27,6 +27,7 @@ from meilisearch_thai_spark.pipeline import textstats as ts
 from meilisearch_thai_spark.pipeline import webtext as wtx
 from meilisearch_thai_spark.pipeline import weburl as wu
 from meilisearch_thai_spark.pipeline import sampling as smp
+from meilisearch_thai_spark.pipeline import packing as pk
 from meilisearch_thai_spark.query import adhoc
 from meilisearch_thai_spark.query import ranker as rk
 
@@ -37,6 +38,10 @@ _BM25_CONJ = ["key", "value", "hash"]
 # DuckDB CASE): carries two _BM25_QUERY terms so merged postings move the
 # top-k, proving the update actually retokenized
 _UPD_SUFFIX = " merge join refresh"
+
+# hosts dropped by the weburl_blocklist entry (5 of _synth_urls' 20 hosts;
+# same literals in the DuckDB twin)
+_BLOCKED_HOSTS = [f"www.site{i}.example.com" for i in (0, 3, 7, 11, 19)]
 
 # injected boilerplate lines for the webtext_* entries (identical strings in
 # the DuckDB oracle)
@@ -759,6 +764,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("url"),
         )
 
+    def pack_sequences(spark, sf):
+        # training-sequence packing (concat-and-chunk, shard-local so no
+        # global sort): per-sequence fill stats; every non-final sequence
+        # per shard holds exactly seq_len tokens
+        return pk.pack_sequences(
+            _t(spark, sf, "documents"), "doc_id", "text", seq_len=256, n_shards=8
+        )
+
+    def chunk_documents(spark, sf):
+        # RAG/embedding prep: sliding 64-token windows with 16-token overlap,
+        # document-local array Columns — zero shuffle
+        return pk.chunk_documents(
+            _t(spark, sf, "documents"), "doc_id", "text", chunk_len=64, overlap=16
+        )
+
+    def keywords_tfidf(spark, sf):
+        # per-doc top-3 keywords by smoothed TF-IDF; idf ln() rounded to 9
+        # decimals pre-multiply so ranking is engine-identical
+        return ts.keywords_tfidf(_t(spark, sf, "documents"), "doc_id", "text", k=3)
+
+    def weburl_blocklist(spark, sf):
+        # domain/host blocklist gate over canonicalized crawl urls — the
+        # pre-tokenization safety filter; blocks 5 of the 20 synthetic hosts
+        return wu.filter_blocklist(
+            wu.normalize_urls(_synth_urls(spark, sf), "doc_id", "url"),
+            _BLOCKED_HOSTS,
+            "host",
+        )
+
     def sample_stratified(spark, sf):
         # deterministic hash-based stratified sampling (mixture construction:
         # per-language keep fractions) — bit-reproducible on any engine or
@@ -1067,6 +1101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x18_sharded_search": x18_sharded_search,
         "webtext_unicode_fix": webtext_unicode_fix,
         "stats_source_mixture": stats_source_mixture,
+        "pack_sequences": pack_sequences,
+        "chunk_documents": chunk_documents,
+        "keywords_tfidf": keywords_tfidf,
+        "weburl_blocklist": weburl_blocklist,
         # -- last green row is round 2 (fell past the 50-cap in r3)
         "e1_highlight_extract": e1_highlight_extract,
         "e1_highlight_generate": e1_highlight_generate,
@@ -1178,6 +1216,25 @@ LIMIT 100
         "stats_source_mixture": ts.source_mixture_sql(
             "documents", ["source", "lang"], "text"
         ),
+        "pack_sequences": pk.pack_sequences_sql(
+            "documents", "doc_id", "text", seq_len=256, n_shards=8
+        ),
+        "chunk_documents": pk.chunk_documents_sql(
+            "documents", "doc_id", "text", chunk_len=64, overlap=16
+        ),
+        "keywords_tfidf": ts.keywords_tfidf_sql("documents", "doc_id", "text", k=3),
+        "weburl_blocklist": f"""
+WITH synth AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Site' || (doc_id % 20) || '.Example.COM:443/Path/' || (doc_id % 100)
+         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' ELSE '?id=' END
+         || (doc_id % 100)
+         || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+q AS ({wu.filter_blocklist_sql(wu.normalize_urls_sql('synth', 'doc_id', 'url'), _BLOCKED_HOSTS, 'host')})
+SELECT * FROM q
+""",
         "webtext_unicode_fix": """
 WITH messy AS (
   SELECT doc_id,

@@ -218,3 +218,78 @@ SELECT {gc}, n_docs, n_tokens, n_bytes,
 FROM per, tot
 ORDER BY {gc}
 """
+
+
+def keywords_tfidf(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document top-``k`` keywords by smoothed TF-IDF:
+    (doc_key, term, rank, tfidf).
+
+    tf = in-doc term count over lowercased split-on-space tokens; idf =
+    round(ln((N+1)/(df+1)), 9) + 1 with N = #docs having >=1 token.  The
+    idf ln() is rounded to 9 decimals BEFORE the tf multiply so ranking is
+    bit-identical across engines (libm vs JVM log differ at ulp scale);
+    ranking and the k-cut then use the full product, ties broken by term.
+    Two hash shuffles ((doc,term) tf agg, term df agg) + one broadcast-sized
+    scalar; the per-doc window rides the (doc,term) partitioning.  At 100 TB
+    the df table is Zipf-heavy but small (vocab-sized), broadcast-joinable.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("doc_key", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_key").cast("long").alias("df"))
+    ndocs = toks.select(F.countDistinct("doc_key").cast("long").alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "idf",
+            F.round(F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 9) + F.lit(1.0),
+        )
+        .withColumn("score", F.col("tf") * F.col("idf"))
+    )
+    w = Window.partitionBy("doc_key").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_key",
+            "term",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 4).alias("tfidf"),
+        )
+    )
+
+
+def keywords_tfidf_sql(table: str, id_col: str, text_col: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`keywords_tfidf` (same pre-multiply idf
+    rounding, same tie-break)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_key,
+         unnest(list_filter(string_split(lower({text_col}), ' '), x -> x <> '')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_key, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_key)::BIGINT AS df FROM toks GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_key)::BIGINT AS n_docs FROM toks),
+scored AS (
+  SELECT tf.doc_key, tf.term, tf.tf,
+         tf.tf * (ROUND(LN((nd.n_docs + 1) / (dfreq.df + 1)), 9) + 1.0) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_key, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_key ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_key, term, rank::BIGINT AS rank, ROUND(score, 4) AS tfidf
+FROM ranked WHERE rank <= {k}
+"""

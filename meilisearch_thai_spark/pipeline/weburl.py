@@ -142,3 +142,29 @@ SELECT host, domain,
        CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_urls
 FROM u GROUP BY 1, 2
 """
+
+
+def filter_blocklist(
+    urls: DataFrame, blocked: list[str], col: str = "host"
+) -> DataFrame:
+    """Drop crawl rows whose ``col`` (host or registrable domain, as
+    produced by :func:`normalize_urls`) is on ``blocked`` — the standard
+    URL-level safety/quality gate (adult/malware/spam domain lists) run
+    before any tokenization spend.
+
+    The blocklist is a literal IN-set (real lists are ~1e5-1e6 entries:
+    still a broadcast; swap to a broadcast anti-join above ~1e7).  Pure
+    Column predicate on the scan — zero shuffle, pushdown-friendly.
+    """
+    if col not in ("host", "domain"):
+        raise ValueError(f"col must be 'host' or 'domain', got {col!r}")
+    return urls.filter(~F.col(col).isin(blocked))
+
+
+def filter_blocklist_sql(urls_sql: str, blocked: list[str], col: str = "host") -> str:
+    """DuckDB twin of :func:`filter_blocklist`."""
+    in_list = ", ".join("'" + b.replace("'", "''") + "'" for b in blocked)
+    return f"""
+WITH u AS ({urls_sql})
+SELECT * FROM u WHERE {col} NOT IN ({in_list})
+"""

@@ -63,3 +63,59 @@ def test_domain_excludes_nondefault_port(spark):
     r = _norm(spark, "http://a.example.com:8080/x")
     assert r["host"] == "a.example.com:8080"
     assert r["domain"] == "example.com"
+
+
+def test_filter_blocklist_by_host_and_domain(spark):
+    from meilisearch_thai_spark.pipeline.weburl import filter_blocklist
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://bad.example.com/x"),
+            (2, "https://good.example.com/y"),
+            (3, "https://anything.evil.net/z"),
+        ],
+        "id long, url string",
+    )
+    urls = normalize_urls(df, "id", "url")
+    by_host = filter_blocklist(urls, ["bad.example.com"], "host")
+    assert {r["doc_key"] for r in by_host.collect()} == {2, 3}
+    by_domain = filter_blocklist(urls, ["evil.net"], "domain")
+    assert {r["doc_key"] for r in by_domain.collect()} == {1, 2}
+    with pytest.raises(ValueError):
+        filter_blocklist(urls, ["x"], "path")
+
+
+def test_filter_blocklist_duckdb_parity(spark):
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.weburl import (
+        filter_blocklist,
+        filter_blocklist_sql,
+        normalize_urls_sql,
+    )
+
+    rows = [
+        (i, f"https://www.site{i % 5}.example.com/p/{i}?id={i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    blocked = ["www.site1.example.com", "www.site4.example.com"]
+    got = sorted(
+        r["doc_key"]
+        for r in filter_blocklist(normalize_urls(df, "id", "url"), blocked).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{u}')" for i, u in rows)
+        + ") v(id, url)"
+    )
+    want = [
+        r[0]
+        for r in con.execute(
+            filter_blocklist_sql(normalize_urls_sql("t", "id", "url"), blocked)
+            + " ORDER BY doc_key"
+        ).fetchall()
+    ]
+    assert got == want and len(got) == 24
