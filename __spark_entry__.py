@@ -1141,13 +1141,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x10_facet_distribution": x10_facet_distribution,
         "x12_facet_stats": x12_facet_stats,
         "webtext_boilerplate": webtext_boilerplate,
+        # ---------------- position 51+: RESTING this round (r3-green,
+        # code untouched in r4, sibling coverage noted in COVERAGE.md);
+        # all re-gate in round 5.  The first four fell past the cap when
+        # the pack/chunk/keywords/blocklist entries joined the r4 head.
         "webtext_gopher_quality": webtext_gopher_quality,
         "webtext_pii_mask": webtext_pii_mask,
         "webtext_contamination": webtext_contamination,
         "webtext_lm_quality": webtext_lm_quality,
-        # ---------------- position 51+: RESTING this round (r3-green,
-        # code untouched in r4, sibling coverage noted in COVERAGE.md);
-        # all re-gate in round 5
         "webtext_html_extract": webtext_html_extract,
         "dedup_exact": dedup_exact,
         "r11_search_on_title": r11_search_on_title,

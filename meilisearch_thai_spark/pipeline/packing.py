@@ -26,11 +26,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from meilisearch_thai_spark.pipeline.textstats import ws_tokens
+
 
 def _toks(text_col: str) -> Column:
-    """Non-empty split-on-space tokens — the repo-wide token convention
-    (textstats.token_stats)."""
-    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    """Non-empty split-on-space tokens — the repo-wide convention, defined
+    once in textstats.ws_tokens."""
+    return ws_tokens(F.col(text_col))
 
 
 def _shard_expr(id_col: str, n_shards: int, seed: str) -> Column:
@@ -62,6 +64,11 @@ def pack_assignments(
     occupies sequences ``first_seq..last_seq`` of that shard.  Empty
     documents (0 tokens) are dropped — they contribute nothing to any
     sequence.  One hash shuffle on ``shard``; window is shard-local.
+
+    Keys need not be unique: the window orders by (doc_key, n_tokens), so
+    duplicate keys with different lengths still get deterministic offsets,
+    and exact-duplicate rows are interchangeable (either order yields the
+    same multiset of assignments).
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
@@ -76,7 +83,7 @@ def pack_assignments(
     ).filter(F.col("n_tokens") > 0)
     w = (
         Window.partitionBy("shard")
-        .orderBy("doc_key")
+        .orderBy("doc_key", "n_tokens")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     withoff = base.withColumn("tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
@@ -143,7 +150,7 @@ nonempty AS (SELECT * FROM toks WHERE n_tokens > 0),
 offs AS (
   SELECT doc_key, shard, n_tokens,
          COALESCE(SUM(n_tokens) OVER (
-           PARTITION BY shard ORDER BY doc_key
+           PARTITION BY shard ORDER BY doc_key, n_tokens
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_offset
   FROM nonempty
 ),

@@ -15,10 +15,17 @@ from pyspark.sql import functions as F
 EN_STOPWORDS = ["a", "the", "and", "of", "to", "in", "is", "on", "for", "with"]
 
 
+def ws_tokens(col):
+    """Split-on-space, drop-empty token array — THE repo-wide token
+    convention (SQL twins use ``list_filter(string_split(x, ' '), ...)``).
+    Every operator that counts or slices "tokens" must call this so the
+    definition can only change in one place."""
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
 def token_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace token counting + lexical-diversity stats (round 4)."""
-    toks = F.split(F.col(text_col), " ")
-    toks = F.filter(toks, lambda t: t != "")
+    toks = ws_tokens(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc_key"),
         F.size(toks).alias("n_tokens"),
@@ -51,7 +58,7 @@ FROM t
 def quality_score(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic doc-quality score in [0,1]: length band + stopword presence
     + lexical diversity (rounded; identical formula in the SQL oracle)."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    toks = ws_tokens(F.col(text_col))
     n = F.size(toks).cast("long")
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     stop_cnt = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).cast("long")
@@ -231,23 +238,23 @@ def keywords_tfidf(
     idf ln() is rounded to 9 decimals BEFORE the tf multiply so ranking is
     bit-identical across engines (libm vs JVM log differ at ulp scale);
     ranking and the k-cut then use the full product, ties broken by term.
-    Two hash shuffles ((doc,term) tf agg, term df agg) + one broadcast-sized
-    scalar; the per-doc window rides the (doc,term) partitioning.  At 100 TB
-    the df table is Zipf-heavy but small (vocab-sized), broadcast-joinable.
+    One explode pass feeds the (doc,term) tf agg; df and N are derived from
+    the ALREADY-DEDUPED tf relation (df = tf's per-term row count, N = tf's
+    distinct doc count) instead of re-scanning raw tokens.  The tf↔df join
+    strategy is left to Catalyst/AQE — a 100 TB web vocabulary (hashes,
+    urls, junk tokens) is far past broadcast size, so no broadcast hint.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_key"),
-        F.explode(F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")).alias(
-            "term"
-        ),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("term"),
     )
     tf = toks.groupBy("doc_key", "term").agg(F.count("*").cast("long").alias("tf"))
-    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_key").cast("long").alias("df"))
-    ndocs = toks.select(F.countDistinct("doc_key").cast("long").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    ndocs = tf.select(F.countDistinct("doc_key").cast("long").alias("n_docs"))
     from pyspark.sql.window import Window
 
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(ndocs))
         .withColumn(
             "idf",
@@ -278,8 +285,8 @@ WITH toks AS (
   FROM {table}
 ),
 tf AS (SELECT doc_key, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-dfreq AS (SELECT term, COUNT(DISTINCT doc_key)::BIGINT AS df FROM toks GROUP BY 1),
-nd AS (SELECT COUNT(DISTINCT doc_key)::BIGINT AS n_docs FROM toks),
+dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_key)::BIGINT AS n_docs FROM tf),
 scored AS (
   SELECT tf.doc_key, tf.term, tf.tf,
          tf.tf * (ROUND(LN((nd.n_docs + 1) / (dfreq.df + 1)), 9) + 1.0) AS score

@@ -158,11 +158,18 @@ def filter_blocklist(
     """
     if col not in ("host", "domain"):
         raise ValueError(f"col must be 'host' or 'domain', got {col!r}")
+    if not blocked:
+        # an empty list is almost always a failed blocklist load — refusing
+        # beats silently switching the gate off (and the SQL twin's IN ()
+        # would not even parse)
+        raise ValueError("blocked must be non-empty; pass the gate through explicitly if no blocklist applies")
     return urls.filter(~F.col(col).isin(blocked))
 
 
 def filter_blocklist_sql(urls_sql: str, blocked: list[str], col: str = "host") -> str:
     """DuckDB twin of :func:`filter_blocklist`."""
+    if not blocked:
+        raise ValueError("blocked must be non-empty; pass the gate through explicitly if no blocklist applies")
     in_list = ", ".join("'" + b.replace("'", "''") + "'" for b in blocked)
     return f"""
 WITH u AS ({urls_sql})

@@ -82,7 +82,7 @@ def test_packing_conserves_tokens(docs):
     s = pack_sequences(docs, "doc_id", "text", SEQ_LEN, SHARDS).toPandas()
     assert a["n_tokens"].sum() == s["n_tokens"].sum()
     # offsets tile each shard's stream exactly: next offset = prev offset + n
-    for _, g in a.sort_values(["shard", "doc_key"]).groupby("shard"):
+    for _, g in a.sort_values(["shard", "doc_key", "n_tokens"]).groupby("shard"):
         expected = g["n_tokens"].cumsum().shift(fill_value=0)
         assert (g["tok_offset"].values == expected.values).all()
 
@@ -112,6 +112,20 @@ def test_empty_docs_dropped_and_validation(spark):
         pack_assignments(df, "doc_id", "text", 0, 1)
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "text", 4, 0)
+
+
+def test_duplicate_keys_get_deterministic_offsets(spark):
+    # same key, different lengths: (doc_key, n_tokens) tie-break pins the
+    # order, so offsets are a deterministic multiset
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (1, "x y"), (2, "p q r")], ["doc_id", "text"]
+    )
+    got = sorted(
+        (r["doc_key"], r["n_tokens"], r["tok_offset"])
+        for r in pack_assignments(df, "doc_id", "text", 4, 1).collect()
+    )
+    by_key1 = [t for t in got if t[0] == 1]
+    assert by_key1 == [(1, 2, 0), (1, 5, 2)]  # shorter row first
 
 
 def test_doc_spanning_sequence_boundary(spark):
@@ -154,9 +168,11 @@ def test_chunk_windows_and_overlap(spark):
 
 
 def test_chunk_reconstruction_covers_doc(docs):
-    # overlap=0 chunks concatenate back to the token stream
+    # overlap=0 chunks concatenate back to the token stream (fixed key range,
+    # not limit(): two unordered limit(50) scans may pick different rows)
+    sub = docs.filter(F.col("doc_id") < 50)
     joined = (
-        chunk_documents(docs.limit(50), "doc_id", "text", 32, 0)
+        chunk_documents(sub, "doc_id", "text", 32, 0)
         .groupBy("doc_key")
         .agg(
             F.array_join(
@@ -168,7 +184,7 @@ def test_chunk_reconstruction_covers_doc(docs):
             ).alias("rebuilt")
         )
     )
-    orig = docs.limit(50).select(
+    orig = sub.select(
         F.col("doc_id").alias("doc_key"),
         F.array_join(
             F.filter(F.split(F.col("text"), " "), lambda t: t != ""), " "

@@ -119,3 +119,19 @@ def test_filter_blocklist_duckdb_parity(spark):
         ).fetchall()
     ]
     assert got == want and len(got) == 24
+
+
+def test_filter_blocklist_rejects_empty_list(spark):
+    import pytest
+
+    from meilisearch_thai_spark.pipeline.weburl import (
+        filter_blocklist,
+        filter_blocklist_sql,
+    )
+
+    df = spark.createDataFrame([(1, "https://a.example.com/x")], "id long, url string")
+    urls = normalize_urls(df, "id", "url")
+    with pytest.raises(ValueError):
+        filter_blocklist(urls, [])
+    with pytest.raises(ValueError):
+        filter_blocklist_sql("SELECT 1", [])
