@@ -178,6 +178,12 @@ def main() -> None:
         "x10_facet_distribution",
         "x16_federated_search",
         "x18_sharded_search",
+        # round-4 training-data shaping ops (chunk_documents is excluded:
+        # its output is corpus-sized text, so a timed .collect() would
+        # measure Arrow transfer to the driver, not the operator)
+        "pack_sequences",
+        "keywords_tfidf",
+        "weburl_blocklist",
     ]
     for name in names[6:]:
         qs[name](spark, SF_DIR).collect()  # untimed: builds the memoized index

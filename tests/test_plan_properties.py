@@ -196,3 +196,41 @@ def test_similar_documents_no_python_and_broadcast_query_vector(spark, warm_engi
     query_part = txt.split("InMemoryRelation")[0]
     assert "ArrowEvalPython" not in query_part and "MapInPandas" not in query_part
     assert "BroadcastNestedLoopJoin" in txt or "BroadcastExchange" in txt
+
+
+def test_pack_sequences_single_shard_shuffle_no_global_sort(spark, sf_dir):
+    from meilisearch_thai_spark.pipeline.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = pack_sequences(docs, "doc_id", "text", 256, 8)
+    df.collect()  # finalize AQE
+    txt = _final_plan(df)
+    # the running-offset window must be shard-partitioned, never a
+    # single-partition global sort
+    assert "SinglePartition" not in txt
+    assert "hashpartitioning(shard" in txt
+    assert "MapInPandas" not in txt and "BatchEvalPython" not in txt
+    # partial aggregation before the (shard,seq) rollup's exchange
+    assert "partial_count" in txt or "partial" in txt.lower()
+
+
+def test_chunk_documents_zero_shuffle_pure_jvm(spark, sf_dir):
+    from meilisearch_thai_spark.pipeline.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = chunk_documents(docs, "doc_id", "text", 64, 16)
+    txt = _final_plan(df)
+    assert "Exchange" not in txt
+    assert "MapInPandas" not in txt and "BatchEvalPython" not in txt
+
+
+def test_blocklist_filter_sits_on_scan(spark, sf_dir):
+    from meilisearch_thai_spark.pipeline.weburl import filter_blocklist, normalize_urls
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"), F.lit(".x.com/p")).alias("url")
+    )
+    df = filter_blocklist(normalize_urls(docs, "doc_id", "url"), ["h1.x.com"], "host")
+    txt = _final_plan(df)
+    assert "Exchange" not in txt
+    assert "MapInPandas" not in txt and "BatchEvalPython" not in txt
