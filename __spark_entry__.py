@@ -200,6 +200,39 @@ def _docs_sharded(spark: SparkSession, sf_dir: str, n_shards: int = 2) -> str:
     return out
 
 
+def _docs_index_merged(spark: SparkSession, sf_dir: str) -> str:
+    """Two disjoint half-corpus indexes (crc32(url)%2 split) merged by
+    ``index.maintenance.merge_indexes`` — no retokenization; the merged
+    tables equal a fresh build over the union, so the MONOLITHIC DuckDB
+    BM25 oracle gates the whole decode→remap→re-encode path."""
+    key = sf_dir + ":merged"
+    if key in _IDX_CACHE:
+        return _IDX_CACHE[key]
+    import tempfile
+
+    from meilisearch_thai_spark.index.builder import build_index
+    from meilisearch_thai_spark.index.maintenance import merge_indexes
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    root = tempfile.mkdtemp(prefix="drv_idx_merge_")
+    import os as _os
+
+    half = F.crc32(F.col("url")) % 2
+    build_index(spark, pages.filter(half == 0), _os.path.join(root, "a"))
+    build_index(spark, pages.filter(half == 1), _os.path.join(root, "b"))
+    out = _os.path.join(root, "merged")
+    merge_indexes(spark, [_os.path.join(root, "a"), _os.path.join(root, "b")], out)
+    _IDX_CACHE[key] = out
+    return out
+
+
 def _docs_index_updated(spark: SparkSession, sf_dir: str) -> str:
     """Staged (add_documents) index over ``documents``, then ONE partial
     ``update_documents`` pass exercising both merge paths (reference
@@ -793,6 +826,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "host",
         )
 
+    def s8_merged_index_search(spark, sf):
+        # segment-merge path: two half-corpus indexes merged WITHOUT
+        # retokenizing (decode → id re-rank → df/avgdl recompute →
+        # re-encode); searching the merged index must equal the monolithic
+        # plain-SQL BM25 bit-for-bit
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index_merged(spark, sf), cache_postings=False)
+        hits = eng.search_terms(_BM25_QUERY, k=20)
+        return hits.select(
+            F.col("url").cast("long").alias("doc_key"),
+            F.round("score", 4).alias("score"),
+            F.col("terms_matched").cast("long").alias("terms_matched"),
+        ).orderBy(F.desc("score"), F.asc("doc_key"))
+
     def sample_stratified(spark, sf):
         # deterministic hash-based stratified sampling (mixture construction:
         # per-language keep fractions) — bit-reproducible on any engine or
@@ -1105,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": chunk_documents,
         "keywords_tfidf": keywords_tfidf,
         "weburl_blocklist": weburl_blocklist,
+        "s8_merged_index_search": s8_merged_index_search,
         # -- last green row is round 2 (fell past the 50-cap in r3)
         "e1_highlight_extract": e1_highlight_extract,
         "e1_highlight_generate": e1_highlight_generate,
@@ -1175,6 +1224,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "r11_bm25_topk": adhoc.bm25_topk_sql_oracle("documents", "doc_id", "text", _BM25_QUERY, k=20),
         "r11_indexed_bm25": adhoc.bm25_topk_sql_oracle(
+            "documents", "doc_id", "text", _BM25_QUERY, k=20
+        ),
+        # merged-index search == monolithic BM25 over the union corpus (the
+        # merge parity contract), so the SAME plain-SQL oracle gates it
+        "s8_merged_index_search": adhoc.bm25_topk_sql_oracle(
             "documents", "doc_id", "text", _BM25_QUERY, k=20
         ),
         "r11_fielded_bm25": adhoc.bm25f_topk_sql_oracle(

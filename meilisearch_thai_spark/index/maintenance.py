@@ -205,6 +205,40 @@ def _make_block_unpacker(excluded: list[int], positional: bool):
     return unpack
 
 
+def _field_avgdl_from_tf(
+    tf, meta: IndexMeta, n_docs: int
+) -> tuple[list[float], dict[str, tuple[float, float]] | None]:
+    """Per-field avgdl of a corpus recovered from decoded tf rows (used by
+    compaction and merging, which have postings but not the source pages):
+    dl is constant per (doc, field), and fields with no postings for a doc
+    contribute 0 — so sum(distinct dl)/n_docs is the zero-inclusive mean,
+    matching build_index's flens-based stat.  Returns ([], None) for
+    unfielded indexes."""
+    if not getattr(meta, "fields", None):
+        return [], None
+    from .builder import FIELD_SEP
+
+    sums = {
+        r["fid"]: float(r["s"] or 0.0)
+        for r in tf.select(
+            F.substring_index("term", FIELD_SEP, 1).alias("fid"), "doc_id", "doc_len"
+        )
+        .distinct()
+        .groupBy("fid")
+        .agg(F.sum("doc_len").alias("s"))
+        .collect()
+    }
+    field_avgdl = [
+        max(sums.get(str(i), 0.0) / max(n_docs, 1), 1e-9)
+        for i in range(len(meta.fields))
+    ]
+    field_params = {
+        str(i): (float(meta.field_weights[i]), field_avgdl[i])
+        for i in range(len(meta.fields))
+    }
+    return field_avgdl, field_params
+
+
 def compact_index(
     spark: SparkSession,
     index_dir: str,
@@ -277,33 +311,7 @@ def compact_index(
     posting_rows = tf.join(df_tbl, "term").withColumn(
         "bucket", (F.col("doc_id") / F.lit(meta.bucket_span)).cast("long")
     )
-    field_params = None
-    field_avgdl: list[float] = []
-    if getattr(meta, "fields", None):
-        # per-field avgdl of the SURVIVING corpus, recovered from the decoded
-        # tf rows: dl is constant per (doc, field), and fields with no
-        # postings for a doc contribute 0 — so sum(distinct dl)/n_docs is the
-        # zero-inclusive mean, matching build_index's flens-based stat
-        from .builder import FIELD_SEP
-
-        sums = {
-            r["fid"]: float(r["s"] or 0.0)
-            for r in tf.select(
-                F.substring_index("term", FIELD_SEP, 1).alias("fid"), "doc_id", "doc_len"
-            )
-            .distinct()
-            .groupBy("fid")
-            .agg(F.sum("doc_len").alias("s"))
-            .collect()
-        }
-        field_avgdl = [
-            max(sums.get(str(i), 0.0) / max(n_docs, 1), 1e-9)
-            for i in range(len(meta.fields))
-        ]
-        field_params = {
-            str(i): (float(meta.field_weights[i]), field_avgdl[i])
-            for i in range(len(meta.fields))
-        }
+    field_avgdl, field_params = _field_avgdl_from_tf(tf, meta, n_docs)
     parts = spark.sparkContext.defaultParallelism
     postings = encode_postings(
         posting_rows, n_docs, avgdl, params, meta.block_size, parts, field_params
@@ -344,6 +352,187 @@ def compact_index(
     os.remove(marker)
     for prev in aside:
         shutil.rmtree(prev, ignore_errors=True)
+    return meta
+
+
+_MERGE_META_KEYS = (
+    "block_size",
+    "bucket_span",
+    "k1",
+    "b",
+    "positional",
+    "dictionary_fingerprint",
+    "stopwords_fingerprint",
+    "stopwords_build",
+    "fields",
+    "field_weights",
+    "stored_fields",
+    "synonyms_fingerprint",
+)
+
+
+def merge_indexes(
+    spark: SparkSession,
+    src_dirs: list[str],
+    out_dir: str,
+    postings_partitions: int | None = None,
+) -> IndexMeta:
+    """Merge N built indexes into one WITHOUT retokenizing (the Lucene
+    segment-merge analogue; tokenization is >50% of build cost, so merging
+    per-partition/per-day indexes beats rebuilding the union).
+
+    Semantics: the result is equal, table-for-table, to ``build_index`` over
+    the union of the sources' corpora — doc ids are re-ranked to the global
+    url rank of the union, per-term df/n_docs/avgdl (and per-field avgdl)
+    are recomputed, and posting blocks re-encode with the merged stats so
+    block-max pruning bounds stay exact.  Source tombstones are applied
+    during the merge (the output starts clean, like compaction).
+
+    Requirements, checked loudly: >=2 sources, identical engine settings
+    (block/bucket/BM25 params, tokenizer dictionary, stop-words, fields,
+    synonyms — fingerprint compare), DISJOINT url sets (overlapping docs
+    have no defined winner here; de-duplicate first), no shard-of-a-corpus
+    indexes (their meta carries global stats already — serve those
+    federated), no in-flight compaction/swap, and a fresh ``out_dir``.
+
+    Scale shape: urls-only range shuffle for the rank (the builder's own
+    two-pass pattern), one decode pass per source (mapInPandas over posting
+    blocks), a hash join on doc_id against the remap table, one df agg, and
+    the standard salted (term,bucket) encode — strictly cheaper than a
+    rebuild by the whole tokenize stage.
+    """
+    from pyspark import StorageLevel
+
+    from .builder import url_doc_id_map
+
+    if len(src_dirs) < 2:
+        raise ValueError(f"merge_indexes needs >=2 sources, got {len(src_dirs)}")
+    out_dir = os.path.abspath(out_dir)
+    if os.path.exists(out_dir):
+        raise ValueError(f"out_dir already exists: {out_dir}")
+    metas = []
+    for d in src_dirs:
+        if os.path.exists(os.path.join(d, "_COMPACTING")):
+            raise RuntimeError(f"{d} has an in-progress/interrupted compaction")
+        for marker in (os.path.abspath(d) + ".swapping", os.path.abspath(d) + ".swap_tmp"):
+            if os.path.exists(marker):
+                raise RuntimeError(f"{d} is mid-swap ({os.path.basename(marker)})")
+        metas.append(load_meta(d))
+    first = metas[0]
+    for d, m in zip(src_dirs[1:], metas[1:]):
+        for key in _MERGE_META_KEYS:
+            if getattr(m, key, None) != getattr(first, key, None):
+                raise ValueError(
+                    f"incompatible indexes: {d} differs from {src_dirs[0]} "
+                    f"on {key} ({getattr(m, key, None)!r} != {getattr(first, key, None)!r})"
+                )
+    if any(getattr(m, "sharding", None) for m in metas):
+        raise ValueError(
+            "sources are shards of one corpus (meta.sharding set) — serve "
+            "them with federated_search; merging would double-count stats"
+        )
+    positional = bool(getattr(first, "positional", False))
+    parts = postings_partitions or spark.sparkContext.defaultParallelism
+
+    # surviving doc_stats per source (tombstones applied), tagged with the
+    # source ordinal so old doc ids stay resolvable per index
+    survivors = []
+    excluded_per_src: list[list[int]] = []
+    for i, d in enumerate(src_dirs):
+        ds = spark.read.parquet(os.path.join(d, "doc_stats"))
+        t_urls = _tombstone_urls(spark, d)
+        excluded_per_src.append(tombstoned_ids(spark, d))
+        if t_urls is not None:
+            ds = ds.join(t_urls, "url", "left_anti")
+        survivors.append(ds.withColumn("_src", F.lit(i)))
+    all_ds = survivors[0]
+    for ds in survivors[1:]:
+        all_ds = all_ds.unionByName(ds)
+    all_ds = all_ds.persist(StorageLevel.MEMORY_AND_DISK)
+
+    dup = all_ds.groupBy("url").count().filter(F.col("count") > 1).limit(5).collect()
+    if dup:
+        all_ds.unpersist()
+        raise ValueError(
+            "sources share urls (first few: "
+            + ", ".join(r["url"] for r in dup)
+            + ") — de-duplicate before merging"
+        )
+
+    g = all_ds.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 1.0)
+
+    # new ids = global url rank of the union — exactly build_index's
+    # assignment, so the merged tables equal a fresh build over the union
+    caches: list = []
+    new_ids = url_doc_id_map(all_ds.select("url"), parts, _caches=caches)
+    remap = (
+        all_ds.select("url", "_src", F.col("doc_id").alias("_old_id"))
+        .join(new_ids, "url")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    os.makedirs(out_dir)
+    ds_cols = [c for c in all_ds.columns if c not in ("_src", "doc_id")]
+    merged_ds = all_ds.drop("doc_id").join(
+        remap.select("url", "doc_id"), "url"
+    ).select("doc_id", *ds_cols)
+    merged_ds.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
+
+    cols = ["term", "df", "doc_bytes", "tf_bytes", "dl_bytes"] + (
+        ["pos_bytes"] if positional else []
+    )
+    decoded = []
+    for i, d in enumerate(src_dirs):
+        tf_i = (
+            spark.read.parquet(os.path.join(d, "postings"))
+            .select(*cols)
+            .mapInPandas(
+                _make_block_unpacker(excluded_per_src[i], positional),
+                _tf_schema(positional),
+            )
+            .withColumnRenamed("doc_id", "_old_id")
+            .join(
+                remap.filter(F.col("_src") == i).select("_old_id", "doc_id"),
+                "_old_id",
+            )
+            .drop("_old_id")
+        )
+        decoded.append(tf_i)
+    tf = decoded[0]
+    for t in decoded[1:]:
+        tf = tf.unionByName(t)
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)  # feeds df agg + field stats + join
+
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    posting_rows = tf.join(df_tbl, "term").withColumn(
+        "bucket", (F.col("doc_id") / F.lit(first.bucket_span)).cast("long")
+    )
+    field_avgdl, field_params = _field_avgdl_from_tf(tf, first, n_docs)
+    params = BM25Params(k1=first.k1, b=first.b)
+    postings = encode_postings(
+        posting_rows, n_docs, avgdl, params, first.block_size, parts, field_params
+    )
+    postings.repartition(parts, "term").sortWithinPartitions(
+        "term", "bucket", "block_id"
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
+    tf.unpersist()
+    remap.unpersist()
+    all_ds.unpersist()
+    for c in caches:
+        c.unpersist()
+
+    pst = spark.read.parquet(os.path.join(out_dir, "postings"))
+    agg = pst.agg(F.countDistinct("term").alias("nt"), F.sum("n_docs").alias("np")).collect()[0]
+    meta = IndexMeta(**asdict(first))
+    meta.n_docs, meta.avgdl = n_docs, avgdl
+    if field_avgdl:
+        meta.field_avgdl = field_avgdl
+    meta.n_terms, meta.n_postings = int(agg["nt"]), int(agg["np"])
+    # meta.json written LAST: a crashed merge leaves a meta-less directory,
+    # which index_exists/SearchEngine refuse — loud, never half-served
+    with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+        json.dump(asdict(meta), fh, indent=1)
     return meta
 
 
