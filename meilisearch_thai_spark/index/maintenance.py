@@ -205,6 +205,38 @@ def _make_block_unpacker(excluded: list[int], positional: bool):
     return unpack
 
 
+def _reencode_postings(
+    tf,
+    bucket_span: int,
+    block_size: int,
+    n_docs: int,
+    avgdl: float,
+    params: BM25Params,
+    parts: int,
+    field_params: dict[str, tuple[float, float]] | None,
+):
+    """Decoded tf rows → term-sorted compressed posting blocks (the shared
+    re-encode tail of compaction and merging): per-term df recount, bucket
+    assignment, salted (term,bucket) encode, final term sort."""
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    posting_rows = tf.join(df_tbl, "term").withColumn(
+        "bucket", (F.col("doc_id") / F.lit(bucket_span)).cast("long")
+    )
+    postings = encode_postings(
+        posting_rows, n_docs, avgdl, params, block_size, parts, field_params
+    )
+    return postings.repartition(parts, "term").sortWithinPartitions(
+        "term", "bucket", "block_id"
+    )
+
+
+def _postings_counts(pst) -> tuple[int, int]:
+    """(n_terms, n_postings) of a written postings table; 0s when empty
+    (F.sum over no rows is null)."""
+    agg = pst.agg(F.countDistinct("term").alias("nt"), F.sum("n_docs").alias("np")).collect()[0]
+    return int(agg["nt"] or 0), int(agg["np"] or 0)
+
+
 def _field_avgdl_from_tf(
     tf, meta: IndexMeta, n_docs: int
 ) -> tuple[list[float], dict[str, tuple[float, float]] | None]:
@@ -307,17 +339,12 @@ def compact_index(
         .persist(StorageLevel.MEMORY_AND_DISK)  # feeds BOTH df agg and join —
         # without it the full varbyte decode would run twice
     )
-    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
-    posting_rows = tf.join(df_tbl, "term").withColumn(
-        "bucket", (F.col("doc_id") / F.lit(meta.bucket_span)).cast("long")
-    )
     field_avgdl, field_params = _field_avgdl_from_tf(tf, meta, n_docs)
     parts = spark.sparkContext.defaultParallelism
-    postings = encode_postings(
-        posting_rows, n_docs, avgdl, params, meta.block_size, parts, field_params
-    )
     sink.write(
-        postings.repartition(parts, "term").sortWithinPartitions("term", "bucket", "block_id"),
+        _reencode_postings(
+            tf, meta.bucket_span, meta.block_size, n_docs, avgdl, params, parts, field_params
+        ),
         "postings_compacting",
     )
     tf.unpersist()
@@ -340,12 +367,11 @@ def compact_index(
         final = os.path.join(index_dir, table)
         os.replace(final + "_compacting", final)
     pst = sink.read(spark, "postings")
-    agg = pst.agg(F.countDistinct("term").alias("nt"), F.sum("n_docs").alias("np")).collect()[0]
     meta.k1, meta.b = params.k1, params.b  # must match the block_max encoding
     meta.n_docs, meta.avgdl = n_docs, avgdl
     if field_avgdl:
         meta.field_avgdl = field_avgdl  # must match the re-encoded block_max
-    meta.n_terms, meta.n_postings = int(agg["nt"]), int(agg["np"])
+    meta.n_terms, meta.n_postings = _postings_counts(pst)
     with open(os.path.join(index_dir, "meta.json"), "w") as fh:
         json.dump(asdict(meta), fh, indent=1)
     clear_tombstones(index_dir)
@@ -368,6 +394,11 @@ _MERGE_META_KEYS = (
     "field_weights",
     "stored_fields",
     "synonyms_fingerprint",
+    # query-side settings travel with the index too — silent drift between
+    # sources would change merged query behavior
+    "typo_tolerance",
+    "filterable_attributes",
+    "sortable_attributes",
 )
 
 
@@ -388,12 +419,19 @@ def merge_indexes(
     block-max pruning bounds stay exact.  Source tombstones are applied
     during the merge (the output starts clean, like compaction).
 
-    Requirements, checked loudly: >=2 sources, identical engine settings
-    (block/bucket/BM25 params, tokenizer dictionary, stop-words, fields,
-    synonyms — fingerprint compare), DISJOINT url sets (overlapping docs
+    Requirements, checked loudly: >=2 sources, identical engine AND query
+    settings (block/bucket/BM25 params, tokenizer dictionary, stop-words,
+    fields, synonyms, typoTolerance, filterable/sortable declarations),
+    identical doc_stats schemas (catches a store_text_crop presence
+    mismatch; crop LENGTH is not recorded in meta and cannot be checked —
+    keep it uniform across sources), DISJOINT url sets (overlapping docs
     have no defined winner here; de-duplicate first), no shard-of-a-corpus
     indexes (their meta carries global stats already — serve those
-    federated), no in-flight compaction/swap, and a fresh ``out_dir``.
+    federated), no in-flight compaction/swap, no detectable unfinalized
+    staged documents (a ``tf/`` staging url absent from doc_stats ∪
+    tombstones — merge carries the finalized, SEARCHABLE state only, so
+    finalize sources first), a non-empty surviving corpus, and a fresh
+    ``out_dir``.
 
     Scale shape: urls-only range shuffle for the rank (the builder's own
     two-pass pattern), one decode pass per source (mapInPandas over posting
@@ -419,9 +457,15 @@ def merge_indexes(
                 raise RuntimeError(f"{d} is mid-swap ({os.path.basename(marker)})")
         metas.append(load_meta(d))
     first = metas[0]
+
+    def _norm(v):
+        # None / [] / {} all mean "setting absent" — builders differ in
+        # which empty they record (plain build: [], staged finalize: None)
+        return None if v in (None, [], {}) else v
+
     for d, m in zip(src_dirs[1:], metas[1:]):
         for key in _MERGE_META_KEYS:
-            if getattr(m, key, None) != getattr(first, key, None):
+            if _norm(getattr(m, key, None)) != _norm(getattr(first, key, None)):
                 raise ValueError(
                     f"incompatible indexes: {d} differs from {src_dirs[0]} "
                     f"on {key} ({getattr(m, key, None)!r} != {getattr(first, key, None)!r})"
@@ -435,13 +479,44 @@ def merge_indexes(
     parts = postings_partitions or spark.sparkContext.defaultParallelism
 
     # surviving doc_stats per source (tombstones applied), tagged with the
-    # source ordinal so old doc ids stay resolvable per index
+    # source ordinal so old doc ids stay resolvable per index.  Tombstoned
+    # POSTINGS need no unpacker exclusion list: the inner remap join below
+    # is built from survivors only, so their rows drop there.
     survivors = []
-    excluded_per_src: list[list[int]] = []
+    schema0: list[str] | None = None
     for i, d in enumerate(src_dirs):
         ds = spark.read.parquet(os.path.join(d, "doc_stats"))
+        if schema0 is None:
+            schema0 = sorted(ds.columns)
+        elif sorted(ds.columns) != schema0:
+            raise ValueError(
+                f"incompatible doc_stats schemas: {d} has {sorted(ds.columns)}, "
+                f"{src_dirs[0]} has {schema0} (store_text_crop / stored_fields "
+                "must match across sources)"
+            )
         t_urls = _tombstone_urls(spark, d)
-        excluded_per_src.append(tombstoned_ids(spark, d))
+        tf_stage = os.path.join(d, "tf")
+        if os.path.isdir(tf_stage):
+            # staged-layout source: refuse if tf/ holds urls the searchable
+            # state doesn't know (unfinalized add_documents batches — merge
+            # would silently drop them)
+            known = ds.select("url")
+            if t_urls is not None:
+                known = known.unionByName(t_urls)
+            pending = (
+                spark.read.parquet(tf_stage)
+                .select("url")
+                .distinct()
+                .join(known, "url", "left_anti")
+                .limit(1)
+                .count()
+            )
+            if pending:
+                raise ValueError(
+                    f"{d} has staged documents not yet finalized into its "
+                    "searchable state (tf/ urls absent from doc_stats ∪ "
+                    "tombstones) — finalize_index first, or rebuild"
+                )
         if t_urls is not None:
             ds = ds.join(t_urls, "url", "left_anti")
         survivors.append(ds.withColumn("_src", F.lit(i)))
@@ -450,90 +525,89 @@ def merge_indexes(
         all_ds = all_ds.unionByName(ds)
     all_ds = all_ds.persist(StorageLevel.MEMORY_AND_DISK)
 
-    dup = all_ds.groupBy("url").count().filter(F.col("count") > 1).limit(5).collect()
-    if dup:
-        all_ds.unpersist()
-        raise ValueError(
-            "sources share urls (first few: "
-            + ", ".join(r["url"] for r in dup)
-            + ") — de-duplicate before merging"
-        )
-
-    g = all_ds.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 1.0)
-
-    # new ids = global url rank of the union — exactly build_index's
-    # assignment, so the merged tables equal a fresh build over the union
     caches: list = []
-    new_ids = url_doc_id_map(all_ds.select("url"), parts, _caches=caches)
-    remap = (
-        all_ds.select("url", "_src", F.col("doc_id").alias("_old_id"))
-        .join(new_ids, "url")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
-    os.makedirs(out_dir)
-    ds_cols = [c for c in all_ds.columns if c not in ("_src", "doc_id")]
-    merged_ds = all_ds.drop("doc_id").join(
-        remap.select("url", "doc_id"), "url"
-    ).select("doc_id", *ds_cols)
-    merged_ds.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
-
-    cols = ["term", "df", "doc_bytes", "tf_bytes", "dl_bytes"] + (
-        ["pos_bytes"] if positional else []
-    )
-    decoded = []
-    for i, d in enumerate(src_dirs):
-        tf_i = (
-            spark.read.parquet(os.path.join(d, "postings"))
-            .select(*cols)
-            .mapInPandas(
-                _make_block_unpacker(excluded_per_src[i], positional),
-                _tf_schema(positional),
+    persisted: list = [all_ds]
+    wrote_out = False
+    try:
+        dup = all_ds.groupBy("url").count().filter(F.col("count") > 1).limit(5).collect()
+        if dup:
+            raise ValueError(
+                "sources share urls (first few: "
+                + ", ".join(r["url"] for r in dup)
+                + ") — de-duplicate before merging"
             )
-            .withColumnRenamed("doc_id", "_old_id")
-            .join(
-                remap.filter(F.col("_src") == i).select("_old_id", "doc_id"),
-                "_old_id",
+
+        g = all_ds.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")).collect()[0]
+        n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 1.0)
+        if n_docs == 0:
+            raise ValueError(
+                "nothing to merge: every source document is tombstoned"
             )
-            .drop("_old_id")
+
+        # new ids = global url rank of the union — exactly build_index's
+        # assignment, so the merged tables equal a fresh build over the union
+        new_ids = url_doc_id_map(all_ds.select("url"), parts, _caches=caches)
+        remap = all_ds.select("url", "_src", F.col("doc_id").alias("_old_id")).join(
+            new_ids, "url"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(remap)
+
+        os.makedirs(out_dir)
+        wrote_out = True
+        ds_cols = [c for c in all_ds.columns if c not in ("_src", "doc_id")]
+        merged_ds = all_ds.drop("doc_id").join(
+            remap.select("url", "doc_id"), "url"
+        ).select("doc_id", *ds_cols)
+        merged_ds.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
+
+        cols = ["term", "df", "doc_bytes", "tf_bytes", "dl_bytes"] + (
+            ["pos_bytes"] if positional else []
         )
-        decoded.append(tf_i)
-    tf = decoded[0]
-    for t in decoded[1:]:
-        tf = tf.unionByName(t)
-    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)  # feeds df agg + field stats + join
+        decoded = []
+        for i, d in enumerate(src_dirs):
+            tf_i = (
+                spark.read.parquet(os.path.join(d, "postings"))
+                .select(*cols)
+                .mapInPandas(_make_block_unpacker([], positional), _tf_schema(positional))
+                .withColumnRenamed("doc_id", "_old_id")
+                .join(
+                    remap.filter(F.col("_src") == i).select("_old_id", "doc_id"),
+                    "_old_id",
+                )
+                .drop("_old_id")
+            )
+            decoded.append(tf_i)
+        tf = decoded[0]
+        for t in decoded[1:]:
+            tf = tf.unionByName(t)
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)  # df agg + field stats + join
+        persisted.append(tf)
 
-    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
-    posting_rows = tf.join(df_tbl, "term").withColumn(
-        "bucket", (F.col("doc_id") / F.lit(first.bucket_span)).cast("long")
-    )
-    field_avgdl, field_params = _field_avgdl_from_tf(tf, first, n_docs)
-    params = BM25Params(k1=first.k1, b=first.b)
-    postings = encode_postings(
-        posting_rows, n_docs, avgdl, params, first.block_size, parts, field_params
-    )
-    postings.repartition(parts, "term").sortWithinPartitions(
-        "term", "bucket", "block_id"
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
-    tf.unpersist()
-    remap.unpersist()
-    all_ds.unpersist()
-    for c in caches:
-        c.unpersist()
+        field_avgdl, field_params = _field_avgdl_from_tf(tf, first, n_docs)
+        params = BM25Params(k1=first.k1, b=first.b)
+        _reencode_postings(
+            tf, first.bucket_span, first.block_size, n_docs, avgdl, params, parts, field_params
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
 
-    pst = spark.read.parquet(os.path.join(out_dir, "postings"))
-    agg = pst.agg(F.countDistinct("term").alias("nt"), F.sum("n_docs").alias("np")).collect()[0]
-    meta = IndexMeta(**asdict(first))
-    meta.n_docs, meta.avgdl = n_docs, avgdl
-    if field_avgdl:
-        meta.field_avgdl = field_avgdl
-    meta.n_terms, meta.n_postings = int(agg["nt"]), int(agg["np"])
-    # meta.json written LAST: a crashed merge leaves a meta-less directory,
-    # which index_exists/SearchEngine refuse — loud, never half-served
-    with open(os.path.join(out_dir, "meta.json"), "w") as fh:
-        json.dump(asdict(meta), fh, indent=1)
-    return meta
+        pst = spark.read.parquet(os.path.join(out_dir, "postings"))
+        meta = IndexMeta(**asdict(first))
+        meta.n_docs, meta.avgdl = n_docs, avgdl
+        if field_avgdl:
+            meta.field_avgdl = field_avgdl
+        meta.n_terms, meta.n_postings = _postings_counts(pst)
+        # meta.json written LAST: a crashed merge leaves a meta-less
+        # directory, which index_exists/SearchEngine refuse — loud, never
+        # half-served
+        with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+            json.dump(asdict(meta), fh, indent=1)
+        return meta
+    except BaseException:
+        if wrote_out and not os.path.exists(os.path.join(out_dir, "meta.json")):
+            shutil.rmtree(out_dir, ignore_errors=True)  # never leave half an index
+        raise
+    finally:
+        for c in persisted + caches:
+            c.unpersist()
 
 
 def swap_indexes(dir_a: str, dir_b: str) -> None:

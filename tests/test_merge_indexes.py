@@ -110,3 +110,60 @@ def test_merge_validations(spark, tmp_path):
     build_index(spark, a, dd)
     with pytest.raises(ValueError, match="share urls"):
         merge_indexes(spark, [da, dd], str(tmp_path / "w"))
+
+
+def test_merge_refuses_all_tombstoned(spark, tmp_path):
+    pages = generate_pages(spark, 40, seed=5)
+    a, b = _split(pages)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, a, da)
+    build_index(spark, b, db)
+    delete_docs(spark, da, [r["url"] for r in a.select("url").collect()])
+    delete_docs(spark, db, [r["url"] for r in b.select("url").collect()])
+    with pytest.raises(ValueError, match="nothing to merge"):
+        merge_indexes(spark, [da, db], str(tmp_path / "m"))
+    assert not os.path.exists(str(tmp_path / "m"))  # no half-index left
+
+
+def test_merge_refuses_doc_stats_schema_drift(spark, tmp_path):
+    pages = generate_pages(spark, 40, seed=9)
+    a, b = _split(pages)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, a, da, store_text_crop=100)
+    build_index(spark, b, db)  # no crop -> doc_stats schema differs
+    with pytest.raises(ValueError, match="doc_stats schemas"):
+        merge_indexes(spark, [da, db], str(tmp_path / "m"))
+
+
+def test_merge_refuses_unfinalized_staged_docs(spark, tmp_path):
+    from meilisearch_thai_spark.streaming.ingest import add_documents
+
+    pages = generate_pages(spark, 60, seed=13)
+    a, b = _split(pages)
+    extra = generate_pages(spark, 80, seed=13).subtract(pages)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    add_documents(spark, a, da, finalize=True)
+    build_index(spark, b, db)
+    # stage new docs WITHOUT finalizing: merging now would silently drop them
+    add_documents(spark, extra.limit(5), da, finalize=False)
+    with pytest.raises(ValueError, match="staged documents not yet finalized"):
+        merge_indexes(spark, [da, db], str(tmp_path / "m"))
+    # a FINALIZED staged-layout source merges fine
+    from meilisearch_thai_spark.streaming.ingest import finalize_streamed_index
+
+    finalize_streamed_index(spark, da)
+    merge_indexes(spark, [da, db], str(tmp_path / "m"))
+    assert os.path.exists(os.path.join(str(tmp_path / "m"), "meta.json"))
+
+
+def test_merge_refuses_query_settings_drift(spark, tmp_path):
+    from meilisearch_thai_spark.index.settings import update_typo_tolerance
+
+    pages = generate_pages(spark, 40, seed=17)
+    a, b = _split(pages)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, a, da)
+    build_index(spark, b, db)
+    update_typo_tolerance(db, {"enabled": False})
+    with pytest.raises(ValueError, match="typo_tolerance"):
+        merge_indexes(spark, [da, db], str(tmp_path / "m"))
