@@ -164,8 +164,37 @@ def _tf_schema(positional: bool) -> T.StructType:
 
 def _make_block_unpacker(excluded: list[int], positional: bool):
     """posting blocks → surviving (term, doc_id, tf, doc_len[, positions])
-    rows — the decode half of compaction."""
+    rows — the decode half of compaction and merging.
+
+    Non-positional path is whole-batch vectorized: varbyte streams are
+    self-delimiting, so ALL blocks' buffers concatenate into three decode
+    calls per Arrow batch, split back by the blocks' ``n_docs`` counts, and
+    the per-block delta→absolute cumsum becomes one segmented cumsum —
+    ~6× over the per-block Python loop (which the positional path keeps:
+    per-doc position lists don't flatten)."""
     excl = np.sort(np.asarray(excluded, dtype=np.int64)) if excluded else None
+
+    def unpack_fast(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_per = pdf["n_docs"].to_numpy(np.int64)
+            deltas = varbyte_decode(b"".join(pdf["doc_bytes"]))
+            tfs = varbyte_decode(b"".join(pdf["tf_bytes"])).astype(np.int64)
+            dls = varbyte_decode(b"".join(pdf["dl_bytes"])).astype(np.int64)
+            starts = np.zeros(len(n_per), dtype=np.int64)
+            np.cumsum(n_per[:-1], out=starts[1:])
+            csum = np.cumsum(deltas, dtype=np.uint64)
+            base = csum[starts] - deltas[starts]  # cumsum before each block
+            ids = (csum - np.repeat(base, n_per)).astype(np.int64)
+            terms = np.repeat(pdf["term"].to_numpy(object), n_per)
+            if excl is not None:
+                keep = ~np.isin(ids, excl)
+                terms, ids, tfs, dls = terms[keep], ids[keep], tfs[keep], dls[keep]
+            if len(ids):
+                yield pd.DataFrame(
+                    {"term": terms, "doc_id": ids, "tf": tfs, "doc_len": dls}
+                )
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -202,7 +231,7 @@ def _make_block_unpacker(excluded: list[int], positional: bool):
                     out["positions"] = pos_out
                 yield out
 
-    return unpack
+    return unpack if positional else unpack_fast
 
 
 def _reencode_postings(
@@ -329,7 +358,7 @@ def compact_index(
     sink.write(survivors.select(*ds.columns), "doc_stats_compacting")
     survivors.unpersist()
 
-    cols = ["term", "df", "doc_bytes", "tf_bytes", "dl_bytes"] + (
+    cols = ["term", "df", "n_docs", "doc_bytes", "tf_bytes", "dl_bytes"] + (
         ["pos_bytes"] if positional else []
     )
     tf = (
@@ -434,10 +463,17 @@ def merge_indexes(
     ``out_dir``.
 
     Scale shape: urls-only range shuffle for the rank (the builder's own
-    two-pass pattern), one decode pass per source (mapInPandas over posting
-    blocks), a hash join on doc_id against the remap table, one df agg, and
-    the standard salted (term,bucket) encode — strictly cheaper than a
-    rebuild by the whole tokenize stage.
+    two-pass pattern), one fused stats+disjointness pass, one vectorized
+    decode pass per source (0.77 s / 2.5M postings at bench shape), a hash
+    join on doc_id against the remap table, one df agg, and the standard
+    salted (term,bucket) encode.  Cost model, MEASURED at 100k short Thai
+    docs (BASELINE.md): merge ≈ 1.2-1.4× a full rebuild's wall-clock —
+    decode is cheap but the rank/remap/stats coordination isn't free, and
+    synthetic 43-token docs make tokenize (the stage merge skips) only
+    ~half the build.  Merge wins when (a) the raw text is gone (its primary
+    reason to exist — rebuild is impossible), or (b) documents are long
+    (real web pages run 10-20× more chars/posting, and tokenize cost grows
+    with chars while decode grows with postings).
     """
     from pyspark import StorageLevel
 
@@ -529,20 +565,32 @@ def merge_indexes(
     persisted: list = [all_ds]
     wrote_out = False
     try:
-        dup = all_ds.groupBy("url").count().filter(F.col("count") > 1).limit(5).collect()
-        if dup:
+        # ONE pass over the union: corpus stats + url-disjointness together
+        # (a second full groupBy just for the dup check would double the
+        # coordination cost at scale)
+        g = (
+            all_ds.groupBy("url")
+            .agg(F.count("*").alias("c"), F.sum("doc_len").alias("dl"))
+            .agg(
+                F.sum("c").alias("n"),
+                F.sum("dl").alias("dl_total"),
+                F.max("c").alias("max_per_url"),
+            )
+            .collect()[0]
+        )
+        n_docs = int(g["n"] or 0)
+        if n_docs == 0:
+            raise ValueError("nothing to merge: every source document is tombstoned")
+        if int(g["max_per_url"]) > 1:
+            dup = (
+                all_ds.groupBy("url").count().filter(F.col("count") > 1).limit(5).collect()
+            )
             raise ValueError(
                 "sources share urls (first few: "
                 + ", ".join(r["url"] for r in dup)
                 + ") — de-duplicate before merging"
             )
-
-        g = all_ds.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")).collect()[0]
-        n_docs, avgdl = int(g["n"]), float(g["avgdl"] or 1.0)
-        if n_docs == 0:
-            raise ValueError(
-                "nothing to merge: every source document is tombstoned"
-            )
+        avgdl = float(g["dl_total"]) / n_docs
 
         # new ids = global url rank of the union — exactly build_index's
         # assignment, so the merged tables equal a fresh build over the union
@@ -560,7 +608,7 @@ def merge_indexes(
         ).select("doc_id", *ds_cols)
         merged_ds.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
 
-        cols = ["term", "df", "doc_bytes", "tf_bytes", "dl_bytes"] + (
+        cols = ["term", "df", "n_docs", "doc_bytes", "tf_bytes", "dl_bytes"] + (
             ["pos_bytes"] if positional else []
         )
         decoded = []
