@@ -826,6 +826,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "host",
         )
 
+    def webtext_line_dedup(spark, sf):
+        # within-doc exact line dedup (CCNet/C4 crawl-artifact cleaner):
+        # injected nav/footer repeats must collapse to first occurrence,
+        # order preserved — pure array Columns, zero shuffle
+        messy = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("nav menu\n"),
+                F.col("text"),
+                F.lit("\nnav menu\nfooter\nfooter"),
+            ).alias("text"),
+        )
+        return wtx.dedup_lines(messy, "doc_id", "text")
+
+    def stats_length_quantiles(spark, sf):
+        # per-source EXACT length quantiles (truncation budgets / length
+        # cuts) — F.percentile, bit-identical to DuckDB quantile_cont
+        return ts.length_quantiles(_t(spark, sf, "documents"), "source", "n_chars")
+
     def s8_merged_index_search(spark, sf):
         # segment-merge path: two half-corpus indexes merged WITHOUT
         # retokenizing (decode → id re-rank → df/avgdl recompute →
@@ -1154,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords_tfidf": keywords_tfidf,
         "weburl_blocklist": weburl_blocklist,
         "s8_merged_index_search": s8_merged_index_search,
+        "webtext_line_dedup": webtext_line_dedup,
+        "stats_length_quantiles": stats_length_quantiles,
         # -- last green row is round 2 (fell past the 50-cap in r3)
         "e1_highlight_extract": e1_highlight_extract,
         "e1_highlight_generate": e1_highlight_generate,
@@ -1278,6 +1299,16 @@ LIMIT 100
             "documents", "doc_id", "text", chunk_len=64, overlap=16
         ),
         "keywords_tfidf": ts.keywords_tfidf_sql("documents", "doc_id", "text", k=3),
+        "webtext_line_dedup": wtx.dedup_lines_sql(
+            "(SELECT doc_id, 'nav menu' || chr(10) || text || chr(10) || "
+            "'nav menu' || chr(10) || 'footer' || chr(10) || 'footer' AS text "
+            "FROM documents) messy",
+            "doc_id",
+            "text",
+        ),
+        "stats_length_quantiles": ts.length_quantiles_sql(
+            "documents", "source", "n_chars"
+        ),
         "weburl_blocklist": f"""
 WITH synth AS (
   SELECT doc_id,

@@ -154,7 +154,7 @@ FROM t
 def doc_fingerprint(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set — detects bag-of-words-identical documents."""
-    toks = F.array_sort(F.array_distinct(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")))
+    toks = F.array_sort(F.array_distinct(ws_tokens(F.col(text_col))))
     return docs.select(
         F.col(id_col).alias("doc_key"),
         F.md5(F.concat_ws(chr(1), toks)).alias("fingerprint"),
@@ -184,7 +184,7 @@ def source_mixture(
     never corpus size.  Token = whitespace token (the ``token_stats``
     convention); swap in a BPE-ish regex upstream for model-specific
     budgets."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    toks = ws_tokens(F.col(text_col))
     per = docs.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.size(toks)).cast("long").alias("n_tokens"),
@@ -299,4 +299,37 @@ ranked AS (
 )
 SELECT doc_key, term, rank::BIGINT AS rank, ROUND(score, 4) AS tfidf
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def length_quantiles(
+    docs: DataFrame, group_col: str, len_col: str, qs: tuple = (0.1, 0.5, 0.9)
+) -> DataFrame:
+    """Per-group EXACT length quantiles + count — the corpus diagnostic
+    behind truncation budgets and length-based mixture cuts.
+
+    Uses ``F.percentile`` (exact, linear interpolation — bit-identical to
+    DuckDB's ``quantile_cont``), not ``percentile_approx``: a diagnostic
+    whose numbers feed data decisions should not drift run-to-run.  Exact
+    percentile sorts within groups; at 100 TB run it per partition-pruned
+    slice or switch to approx_percentile CONSCIOUSLY (and the oracle gate
+    is then off).  One hash agg, map-side combined.
+    """
+    aggs = [F.count("*").cast("long").alias("n_docs")] + [
+        F.round(F.percentile(F.col(len_col), q), 4).alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return docs.groupBy(F.col(group_col).alias("grp")).agg(*aggs).orderBy("grp")
+
+
+def length_quantiles_sql(
+    table: str, group_col: str, len_col: str, qs: tuple = (0.1, 0.5, 0.9)
+) -> str:
+    """DuckDB twin of :func:`length_quantiles`."""
+    cols = ", ".join(
+        f"ROUND(quantile_cont({len_col}, {q}), 4) AS p{int(q * 100)}" for q in qs
+    )
+    return f"""
+SELECT {group_col} AS grp, COUNT(*)::BIGINT AS n_docs, {cols}
+FROM {table} GROUP BY 1 ORDER BY 1
 """

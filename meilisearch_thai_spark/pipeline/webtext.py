@@ -741,3 +741,46 @@ SELECT {id_col} AS doc_key,
        ) AS fixed_text
 FROM {table}
 """
+
+
+def dedup_lines(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document exact line deduplication (the CCNet/C4 crawl-artifact
+    cleaner: nav menus, cookie banners, and footers repeat VERBATIM inside a
+    page): keep each distinct line's FIRST occurrence, preserve order →
+    (doc_key, text).
+
+    Document-local array Columns — zero shuffle.  ``array_position`` makes
+    the keep test "is this the line's first index", which is O(lines²) per
+    document; web pages run hundreds of lines so this beats an
+    explode+window shuffle by orders of magnitude, but cap pathological
+    million-line docs upstream (gopher_quality's line limits) before this
+    at 100 TB.  Empty lines dedupe like any other (one survives).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
+    return docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.array_join(kept, "\n").alias("text"),
+    )
+
+
+def dedup_lines_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`dedup_lines` (explode + first-position window +
+    ordered string_agg — the shape the Spark version avoids via arrays)."""
+    return f"""
+WITH lines AS (
+  SELECT {id_col} AS doc_key,
+         unnest(string_split({text_col}, chr(10))) AS line,
+         generate_subscripts(string_split({text_col}, chr(10)), 1) AS pos
+  FROM {table}
+),
+firsts AS (
+  SELECT doc_key, line, pos,
+         MIN(pos) OVER (PARTITION BY doc_key, line) AS first_pos
+  FROM lines
+)
+SELECT doc_key,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos), '') AS text
+FROM firsts WHERE pos = first_pos
+GROUP BY doc_key
+"""

@@ -337,3 +337,72 @@ def test_source_mixture_accounting(spark):
     assert got[("web", "th")] == (1, 4, 7, 4000)
     assert got[("books", "en")] == (1, 1, 1, 1000)
     assert sum(v[3] for v in got.values()) <= 10000
+
+
+def test_dedup_lines_keeps_first_occurrence_in_order(spark):
+    from meilisearch_thai_spark.pipeline.webtext import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\n\nc\n\nb"), (2, "x"), (3, "")], ["doc_id", "text"]
+    )
+    got = {r["doc_key"]: r["text"] for r in dedup_lines(df, "doc_id", "text").collect()}
+    assert got == {1: "a\nb\n\nc", 2: "x", 3: ""}
+
+
+def test_dedup_lines_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.webtext import dedup_lines, dedup_lines_sql
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    messy = docs.select(
+        "doc_id",
+        F.concat(F.lit("top\n"), F.col("text"), F.lit("\ntop\nbot\nbot")).alias("text"),
+    )
+    a = (
+        dedup_lines(messy, "doc_id", "text")
+        .toPandas()
+        .sort_values("doc_key")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    b = (
+        con.execute(
+            dedup_lines_sql(
+                "(SELECT doc_id, 'top' || chr(10) || text || chr(10) || 'top' || "
+                "chr(10) || 'bot' || chr(10) || 'bot' AS text FROM documents) m",
+                "doc_id",
+                "text",
+            )
+        )
+        .df()
+        .sort_values("doc_key")
+        .reset_index(drop=True)
+    )
+    assert (a["text"].values == b["text"].values).all()
+
+
+def test_length_quantiles_exact_and_parity(spark, sf_dir):
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.textstats import (
+        length_quantiles,
+        length_quantiles_sql,
+    )
+
+    # hand-checked exact interpolation: values 1..5, p50=3, p90=4.6
+    df = spark.createDataFrame([("g", i) for i in range(1, 6)], ["src", "n"])
+    row = length_quantiles(df, "src", "n").collect()[0]
+    assert row["n_docs"] == 5 and row["p50"] == 3.0 and row["p90"] == 4.6
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = length_quantiles(docs, "source", "n_chars").toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    b = con.execute(length_quantiles_sql("documents", "source", "n_chars")).df()
+    assert (a[sorted(a.columns)].astype(str).values == b[sorted(b.columns)].astype(str).values).all()
