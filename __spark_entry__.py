@@ -845,6 +845,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cuts) — F.percentile, bit-identical to DuckDB quantile_cont
         return ts.length_quantiles(_t(spark, sf, "documents"), "source", "n_chars")
 
+    def weburl_recrawl_latest(spark, sf):
+        # re-crawl resolution: newest capture per url via one map-side
+        # combinable max_by agg (never a window sort); synthetic recrawls
+        # (50 urls, forced ts ties) exercise the deterministic tiebreak
+        crawls = _t(spark, sf, "documents").select(
+            F.concat(F.lit("https://site/"), (F.col("doc_id") % 50).cast("string")).alias("url"),
+            ((F.col("doc_id") * 37) % 11).cast("long").alias("ts"),
+            "doc_id",
+        )
+        return wu.recrawl_latest(crawls, "url", "ts", "doc_id")
+
+    def sample_hash_split(spark, sf):
+        # deterministic train/val/test carving: md5-bucket assignment, one
+        # split per row, engine/cluster-size independent
+        return smp.hash_split(
+            _t(spark, sf, "documents").select("doc_id"),
+            "doc_id",
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+        )
+
+    def dedup_incremental(spark, sf):
+        # monthly-dump shape: dedup the new batch (odd doc_ids) against the
+        # already-ingested snapshot (even doc_ids) by md5(text) anti-join
+        docs = _t(spark, sf, "documents")
+        snap = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+        new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+        return dd.against_snapshot(new, snap, "doc_id", "text").select("doc_id")
+
     def s8_merged_index_search(spark, sf):
         # segment-merge path: two half-corpus indexes merged WITHOUT
         # retokenizing (decode → id re-rank → df/avgdl recompute →
@@ -1175,6 +1203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_merged_index_search": s8_merged_index_search,
         "webtext_line_dedup": webtext_line_dedup,
         "stats_length_quantiles": stats_length_quantiles,
+        "weburl_recrawl_latest": weburl_recrawl_latest,
+        "sample_hash_split": sample_hash_split,
+        "dedup_incremental": dedup_incremental,
         # -- last green row is round 2 (fell past the 50-cap in r3)
         "e1_highlight_extract": e1_highlight_extract,
         "e1_highlight_generate": e1_highlight_generate,
@@ -1205,16 +1236,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_query_patterns": s6_query_patterns,
         "s6_popular_searches": s6_popular_searches,
         "agg_partial_q1": agg_partial_q1,
+        # ---------------- position 51+: RESTING this round (r3-green,
+        # code untouched in r4, sibling coverage noted in COVERAGE.md);
+        # all re-gate in round 5.  Entries above this line are the r4
+        # driver gate; each new head entry pushes one r3-green entry here.
         "q10_suffix_completion": q10_suffix_completion,
         "q10_fuzzy_expansion": q10_fuzzy_expansion,
         "x11_distinct_search": x11_distinct_search,
         "x10_facet_distribution": x10_facet_distribution,
         "x12_facet_stats": x12_facet_stats,
         "webtext_boilerplate": webtext_boilerplate,
-        # ---------------- position 51+: RESTING this round (r3-green,
-        # code untouched in r4, sibling coverage noted in COVERAGE.md);
-        # all re-gate in round 5.  The first four fell past the cap when
-        # the pack/chunk/keywords/blocklist entries joined the r4 head.
         "webtext_gopher_quality": webtext_gopher_quality,
         "webtext_pii_mask": webtext_pii_mask,
         "webtext_contamination": webtext_contamination,
@@ -1309,6 +1340,21 @@ LIMIT 100
         "stats_length_quantiles": ts.length_quantiles_sql(
             "documents", "source", "n_chars"
         ),
+        "weburl_recrawl_latest": wu.recrawl_latest_sql(
+            "SELECT 'https://site/' || CAST(doc_id % 50 AS VARCHAR) AS url, "
+            "CAST((doc_id * 37) % 11 AS BIGINT) AS ts, doc_id FROM documents",
+            "url", "ts", "doc_id", ["ts", "doc_id"],
+        ),
+        "sample_hash_split": smp.hash_split_sql(
+            "(SELECT doc_id FROM documents) d",
+            "doc_id",
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+        ),
+        "dedup_incremental": "SELECT doc_id FROM (" + dd.against_snapshot_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1",
+            "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+            "text",
+        ) + ") surviving",
         "weburl_blocklist": f"""
 WITH synth AS (
   SELECT doc_id,

@@ -453,3 +453,48 @@ reach(u, r) AS (
 )
 SELECT u AS node, MIN(r) AS component FROM reach GROUP BY 1
 """
+
+
+def against_snapshot(
+    new_docs: DataFrame, snapshot: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Incremental dedup: drop new documents whose text already exists in a
+    prior corpus SNAPSHOT (the monthly-crawl shape: each Common-Crawl dump
+    re-captures most of the web, so a pipeline deduplicates the new dump
+    against everything already ingested, not just within itself).
+
+    Digest-level LEFT ANTI join on ``md5(text)``: the snapshot side reduces
+    to its DISTINCT digests first (one narrow projection + the join's own
+    exchange — never the snapshot's text bytes), so the shuffle carries
+    16-byte keys.  At 100 TB the snapshot digest set is still huge; the
+    standard upgrades, in order: (a) AQE broadcasts it when it fits
+    (< ~8 GB as a compact digest column), (b) bucket BOTH corpora by digest
+    at write time so the anti-join is exchange-free, (c) a Bloom filter
+    over snapshot digests broadcast as a pre-filter (false positives drop
+    ~p of genuinely-new docs — acceptable for TRAINING dedup, never for
+    serving; Spark's own runtime-filter machinery
+    [spark.sql.optimizer.runtime.bloomFilter.enabled] injects exactly this
+    when statistics justify it).  Exact-equality variant of the
+    cross-snapshot MinHash path (near-dup across dumps = minhash_signatures
+    on both + band-bucket join, same shape as within-corpus LSH).
+
+    Returns the surviving new rows unchanged.
+    """
+    digest = F.md5(F.col(text_col))
+    seen = snapshot.select(digest.alias("_digest")).distinct()
+    return (
+        new_docs.withColumn("_digest", digest)
+        .join(seen, "_digest", "left_anti")
+        .drop("_digest")
+    )
+
+
+def against_snapshot_sql(new_sql: str, snapshot_sql: str, text_col: str) -> str:
+    """DuckDB twin of :func:`against_snapshot`."""
+    return f"""
+WITH new_docs AS ({new_sql}), snap AS ({snapshot_sql})
+SELECT * FROM new_docs n
+WHERE NOT EXISTS (
+  SELECT 1 FROM snap s WHERE md5(s.{text_col}) = md5(n.{text_col})
+)
+"""

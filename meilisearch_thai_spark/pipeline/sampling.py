@@ -108,3 +108,63 @@ SELECT * FROM {table}
 WHERE substring(md5('{seed}' || '|' || CAST({id_col} AS VARCHAR)), 1, 8)
       < CASE {cases} ELSE '{_threshold_hex(default_fraction)}' END
 """
+
+
+def hash_split(
+    docs: DataFrame, id_col: str, splits: dict[str, float], seed: str = "split"
+) -> DataFrame:
+    """Assign every row to exactly ONE named split (train/val/test carving —
+    the held-out-set step of any training-data pipeline): appends a
+    ``split`` column.
+
+    ``splits`` maps name → fraction in INSERTION order; fractions must sum
+    to 1 (±1e-9).  The row's md5 prefix is compared against the CUMULATIVE
+    thresholds, so membership is a pure function of (seed, id): stable
+    across runs, engines, cluster sizes, and — because the hash space is
+    shared with :func:`deterministic_sample` — a row's split never changes
+    when OTHER splits are re-proportioned around it (train can grow by
+    eating val without touching test).  Per-row CASE expression: zero
+    shuffle, survives scan pushdown when filtered to one split.
+    """
+    fracs = list(splits.values())
+    if len(splits) < 2:
+        raise ValueError("need at least two splits")
+    if any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must be >=0 and sum to 1, got {splits}")
+    hashv = F.substring(
+        F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))), 1, 8
+    )
+    names = list(splits.keys())
+    expr = F.lit(names[-1])  # last split takes the remainder (rounding-safe)
+    cum = 0.0
+    rules = []
+    for name, frac in zip(names[:-1], fracs[:-1]):
+        cum += frac
+        rules.append((name, _threshold_hex(cum)))
+    for name, thr in reversed(rules):
+        expr = F.when(hashv < F.lit(thr), F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
+def hash_split_sql(
+    table: str, id_col: str, splits: dict[str, float], seed: str = "split"
+) -> str:
+    """DuckDB twin of :func:`hash_split`."""
+    fracs = list(splits.values())
+    if len(splits) < 2:
+        raise ValueError("need at least two splits")
+    if any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must be >=0 and sum to 1, got {splits}")
+    names = list(splits.keys())
+    cum = 0.0
+    whens = []
+    for name, frac in zip(names[:-1], fracs[:-1]):
+        cum += frac
+        whens.append(f"WHEN h < '{_threshold_hex(cum)}' THEN '{name}'")
+    return f"""
+SELECT * EXCLUDE (h), CASE {' '.join(whens)} ELSE '{names[-1]}' END AS split
+FROM (
+  SELECT *, substring(md5('{seed}' || '|' || CAST({id_col} AS VARCHAR)), 1, 8) AS h
+  FROM {table}
+)
+"""

@@ -175,3 +175,53 @@ def filter_blocklist_sql(urls_sql: str, blocked: list[str], col: str = "host") -
 WITH u AS ({urls_sql})
 SELECT * FROM u WHERE {col} NOT IN ({in_list})
 """
+
+
+def recrawl_latest(
+    pages: DataFrame, url_col: str, ts_col: str, tie_col: str
+) -> DataFrame:
+    """Re-crawl resolution: keep the NEWEST capture of every url.
+
+    A Common-Crawl-style table (reference key: page url,
+    ``src/meilisearch_integration/document_processor.py``) carries the same
+    url once per crawl — (url, warc_ts) rows.  Indexing wants exactly one
+    row per url: the latest capture (MeiliSearch add-or-replace semantics,
+    reference ``client.py:177`` — the last write wins; this operator makes
+    "last" explicit as max ``ts_col``).
+
+    ONE hash aggregate with ``max_by`` over the total ordering key
+    ``struct(ts, tie)`` — map-side combinable (each partition keeps one
+    candidate row per url before the shuffle), so at 100 TB the exchange
+    carries ~|distinct urls| rows, not the corpus.  A window
+    ``row_number() OVER (PARTITION BY url ORDER BY ts DESC)`` computes the
+    same answer but must SORT every partition; the agg never sorts.
+    ``tie_col`` makes the key total so equal-timestamp re-crawls resolve
+    deterministically on any cluster size (max_by alone is free to return
+    either).
+    """
+    cols = [c for c in pages.columns if c != url_col]
+    key = F.struct(F.col(ts_col), F.col(tie_col))
+    winner = F.max_by(F.struct(*[F.col(c) for c in cols]), key).alias("w")
+    return pages.groupBy(F.col(url_col).alias("url")).agg(winner).select(
+        "url", *[F.col(f"w.{c}").alias(c) for c in cols]
+    )
+
+
+def recrawl_latest_sql(
+    pages_sql: str, url_col: str, ts_col: str, tie_col: str, cols: list[str]
+) -> str:
+    """DuckDB twin of :func:`recrawl_latest` (window form — same answer
+    because the ordering key is total; the Spark side deliberately avoids
+    the sort)."""
+    sel = ", ".join(cols)
+    return f"""
+WITH p AS ({pages_sql}),
+r AS (
+  SELECT {url_col} AS url, {sel},
+         row_number() OVER (
+           PARTITION BY {url_col} ORDER BY {ts_col} DESC, {tie_col} DESC
+         ) AS rn
+  FROM p
+)
+SELECT url, {sel} FROM r WHERE rn = 1
+"""

@@ -88,3 +88,102 @@ def test_cc_raises_on_nonconvergence_instead_of_wrong_labels(spark):
                                  "left_key long, right_key long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(path, max_iter=2)
+
+
+def test_hash_split_exhaustive_and_repropotion_stable(spark):
+    """Every row lands in exactly one split; re-proportioning train/val
+    around an untouched test fraction never moves a test row."""
+    from meilisearch_thai_spark.pipeline.sampling import hash_split
+
+    docs = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in
+         hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert len(a) == 3000
+    counts = {s: sum(1 for v in a.values() if v == s) for s in ("train", "val", "test")}
+    assert 0.75 < counts["train"] / 3000 < 0.85
+    assert 0.06 < counts["val"] / 3000 < 0.14
+    assert 0.06 < counts["test"] / 3000 < 0.14
+    b = {r["doc_id"]: r["split"] for r in
+         hash_split(docs, "doc_id", {"train": 0.85, "val": 0.05, "test": 0.1}).collect()}
+    assert {k for k, v in a.items() if v == "test"} == {k for k, v in b.items() if v == "test"}
+    # train only grew — no train row demoted to val
+    assert {k for k, v in a.items() if v == "train"} <= {k for k, v in b.items() if v == "train"}
+
+
+def test_hash_split_validation(spark):
+    import pytest
+
+    from meilisearch_thai_spark.pipeline.sampling import hash_split, hash_split_sql
+
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="two splits"):
+        hash_split(docs, "doc_id", {"a": 1.0})
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split_sql("t", "doc_id", {"a": 0.5, "b": 0.6})
+
+
+def test_hash_split_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.sampling import hash_split, hash_split_sql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = hash_split(docs, "doc_id", splits).toPandas().sort_values("doc_id")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    b = con.execute(
+        hash_split_sql("(SELECT doc_id FROM documents) d", "doc_id", splits)
+    ).df().sort_values("doc_id")
+    assert (a["split"].values == b["split"].values).all()
+
+
+def test_against_snapshot_drops_seen_texts_only(spark):
+    from meilisearch_thai_spark.pipeline.dedup import against_snapshot
+
+    snap = spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma")], "doc_id long, text string"
+    )
+    got = sorted(r["doc_id"] for r in against_snapshot(new, snap, "doc_id", "text").collect())
+    # beta seen in snapshot → dropped; gamma rows BOTH survive (within-batch
+    # dedup is exact_duplicates' job, not this operator's)
+    assert got == [11, 12]
+
+
+def test_against_snapshot_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.pipeline.dedup import (
+        against_snapshot,
+        against_snapshot_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    snap = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    a = (
+        against_snapshot(new, snap, "doc_id", "text")
+        .select("doc_id")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    b = con.execute(
+        against_snapshot_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1",
+            "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+            "text",
+        )
+    ).df()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+    assert (a["doc_id"].values == b["doc_id"].values).all() and len(a) > 0

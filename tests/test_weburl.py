@@ -135,3 +135,60 @@ def test_filter_blocklist_rejects_empty_list(spark):
         filter_blocklist(urls, [])
     with pytest.raises(ValueError):
         filter_blocklist_sql("SELECT 1", [])
+
+
+def test_recrawl_latest_keeps_newest_capture_per_url(spark):
+    from meilisearch_thai_spark.pipeline.weburl import recrawl_latest
+
+    rows = [
+        ("u1", 10, 1), ("u1", 30, 2), ("u1", 20, 3),   # newest ts wins
+        ("u2", 5, 4),                                   # singleton passes
+        ("u3", 7, 5), ("u3", 7, 6),                     # ts tie → max tiebreak
+    ]
+    df = spark.createDataFrame(rows, "url string, ts long, doc_id long")
+    got = {
+        r["url"]: (r["ts"], r["doc_id"])
+        for r in recrawl_latest(df, "url", "ts", "doc_id").collect()
+    }
+    assert got == {"u1": (30, 2), "u2": (5, 4), "u3": (7, 6)}
+
+
+def test_recrawl_latest_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.pipeline.weburl import (
+        recrawl_latest,
+        recrawl_latest_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    crawls = docs.select(
+        F.concat(F.lit("https://site/"), (F.col("doc_id") % 20).cast("string")).alias("url"),
+        ((F.col("doc_id") * 37) % 11).cast("long").alias("ts"),  # forced ts ties
+        "doc_id",
+    )
+    a = (
+        recrawl_latest(crawls, "url", "ts", "doc_id")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    b = (
+        con.execute(
+            recrawl_latest_sql(
+                "SELECT 'https://site/' || CAST(doc_id % 20 AS VARCHAR) AS url, "
+                "CAST((doc_id * 37) % 11 AS BIGINT) AS ts, doc_id FROM documents",
+                "url", "ts", "doc_id", ["ts", "doc_id"],
+            )
+        )
+        .df()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert (a[["url", "ts", "doc_id"]].values == b[["url", "ts", "doc_id"]].values).all()
