@@ -845,6 +845,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cuts) — F.percentile, bit-identical to DuckDB quantile_cont
         return ts.length_quantiles(_t(spark, sf, "documents"), "source", "n_chars")
 
+    def stats_top_ngrams(spark, sf):
+        # corpus-level top-k bigrams (boilerplate/contamination discovery):
+        # two-level agg — map-side-combined count, TakeOrderedAndProject
+        # top-k (never a global sort), ties broken on the gram string
+        return ts.top_ngrams(_t(spark, sf, "documents"), "text", n=2, k=25)
+
     def weburl_recrawl_latest(spark, sf):
         # re-crawl resolution: newest capture per url via one map-side
         # combinable max_by agg (never a window sort); synthetic recrawls
@@ -1206,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weburl_recrawl_latest": weburl_recrawl_latest,
         "sample_hash_split": sample_hash_split,
         "dedup_incremental": dedup_incremental,
+        "stats_top_ngrams": stats_top_ngrams,
         # -- last green row is round 2 (fell past the 50-cap in r3)
         "e1_highlight_extract": e1_highlight_extract,
         "e1_highlight_generate": e1_highlight_generate,
@@ -1235,11 +1242,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_langid": stats_langid,
         "s6_query_patterns": s6_query_patterns,
         "s6_popular_searches": s6_popular_searches,
-        "agg_partial_q1": agg_partial_q1,
         # ---------------- position 51+: RESTING this round (r3-green,
         # code untouched in r4, sibling coverage noted in COVERAGE.md);
         # all re-gate in round 5.  Entries above this line are the r4
         # driver gate; each new head entry pushes one r3-green entry here.
+        "agg_partial_q1": agg_partial_q1,
         "q10_suffix_completion": q10_suffix_completion,
         "q10_fuzzy_expansion": q10_fuzzy_expansion,
         "x11_distinct_search": x11_distinct_search,
@@ -1350,6 +1357,7 @@ LIMIT 100
             "doc_id",
             {"train": 0.9, "val": 0.05, "test": 0.05},
         ),
+        "stats_top_ngrams": ts.top_ngrams_sql("documents", "text", n=2, k=25),
         "dedup_incremental": "SELECT doc_id FROM (" + dd.against_snapshot_sql(
             "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1",
             "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",

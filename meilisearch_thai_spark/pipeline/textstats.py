@@ -333,3 +333,65 @@ def length_quantiles_sql(
 SELECT {group_col} AS grp, COUNT(*)::BIGINT AS n_docs, {cols}
 FROM {table} GROUP BY 1 ORDER BY 1
 """
+
+
+def top_ngrams(
+    docs: DataFrame, text_col: str, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-level top-``k`` word n-grams by count — the vocabulary /
+    boilerplate-discovery diagnostic (the same statistic C4 used to find
+    "lorem ipsum" and policy-text contamination, and Gopher's
+    top-ngram-fraction rule applies per-doc).
+
+    Two-level aggregation, the canonical 100 TB shape: n-grams are built
+    document-locally with array Columns (sequence → slice → concat_ws; no
+    Python), the explode is narrow, and the groupBy count partial-aggregates
+    map-side — the exchange carries one row per DISTINCT gram per
+    partition, never the corpus.  The final top-k is ``orderBy(...).
+    limit(k)`` which Spark executes as TakeOrderedAndProject: each
+    partition keeps k candidates and the driver merges P·k rows — the full
+    vocabulary is never globally sorted.  Ties break on the gram string so
+    the cut is deterministic.  Tokens are lowercased whitespace tokens (the
+    ``keywords_tfidf`` convention).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def top_ngrams_sql(table: str, text_col: str, n: int = 2, k: int = 20) -> str:
+    """DuckDB twin of :func:`top_ngrams` (generate_series is empty when the
+    doc is shorter than ``n``, matching the Spark guard)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split(lower({text_col}), ' '), x -> x <> '') AS t
+  FROM {table}
+),
+pos AS (
+  SELECT t, unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS i
+  FROM toks
+),
+grams AS (
+  SELECT array_to_string(list_slice(t, i, i + {n - 1}), ' ') AS ngram FROM pos
+)
+SELECT ngram, COUNT(*)::BIGINT AS n
+FROM grams GROUP BY 1
+ORDER BY n DESC, ngram ASC
+LIMIT {k}
+"""

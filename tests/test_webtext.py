@@ -406,3 +406,44 @@ def test_length_quantiles_exact_and_parity(spark, sf_dir):
     )
     b = con.execute(length_quantiles_sql("documents", "source", "n_chars")).df()
     assert (a[sorted(a.columns)].astype(str).values == b[sorted(b.columns)].astype(str).values).all()
+
+
+def test_top_ngrams_handchecked_and_short_doc_guard(spark):
+    from meilisearch_thai_spark.pipeline.textstats import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "one"), (4, ""), (5, "The cat")],
+        ["doc_id", "text"],
+    )
+    got = [(r["ngram"], r["n"]) for r in top_ngrams(df, "text", n=2, k=3).collect()]
+    # "the cat" ×3 (lowercased); then count-1 bigrams tie-broken by string
+    assert got == [("the cat", 3), ("cat ran", 1), ("cat sat", 1)]
+    assert top_ngrams(df, "text", n=5, k=3).count() == 0  # all docs too short
+
+
+def test_top_ngrams_plan_is_takeordered_not_global_sort(spark, sf_dir):
+    from meilisearch_thai_spark.pipeline.textstats import top_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = top_ngrams(docs, "text", n=2, k=10)
+    df.collect()  # finalize AQE
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in txt
+    assert "MapInPandas" not in txt and "BatchEvalPython" not in txt
+
+
+def test_top_ngrams_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.textstats import top_ngrams, top_ngrams_sql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    for n in (1, 2, 3):
+        a = top_ngrams(docs, "text", n=n, k=25).toPandas()
+        b = con.execute(top_ngrams_sql("documents", "text", n=n, k=25)).df()
+        assert a["ngram"].tolist() == b["ngram"].tolist()
+        assert a["n"].tolist() == b["n"].tolist()
