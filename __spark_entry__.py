@@ -845,6 +845,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cuts) — F.percentile, bit-identical to DuckDB quantile_cont
         return ts.length_quantiles(_t(spark, sf, "documents"), "source", "n_chars")
 
+    def r11_negative_search(spark, sf):
+        # MeiliSearch negative keywords (-word, 1.8+) through the REAL
+        # engine path: docs containing the excluded term leave the page
+        # (exclusion rides the heap kernels' excluded-array hook; corpus
+        # BM25 stats untouched) — must equal DuckDB's NOT IN twin
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index(spark, sf), cache_postings=False)
+        hits = eng.search_terms(_BM25_QUERY, k=20, exclude_terms=["hash"])
+        return hits.select(
+            F.col("url").cast("long").alias("doc_key"),
+            F.round("score", 4).alias("score"),
+            F.col("terms_matched").cast("long").alias("terms_matched"),
+        ).orderBy(F.desc("score"), F.asc("doc_key"))
+
     def stats_top_ngrams(spark, sf):
         # corpus-level top-k bigrams (boilerplate/contamination discovery):
         # two-level agg — map-side-combined count, TakeOrderedAndProject
@@ -1213,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_split": sample_hash_split,
         "dedup_incremental": dedup_incremental,
         "stats_top_ngrams": stats_top_ngrams,
+        "r11_negative_search": r11_negative_search,
         # -- last green row is round 2 (fell past the 50-cap in r3)
         "e1_highlight_extract": e1_highlight_extract,
         "e1_highlight_generate": e1_highlight_generate,
@@ -1241,11 +1257,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_quality": stats_quality,
         "stats_langid": stats_langid,
         "s6_query_patterns": s6_query_patterns,
-        "s6_popular_searches": s6_popular_searches,
         # ---------------- position 51+: RESTING this round (r3-green,
         # code untouched in r4, sibling coverage noted in COVERAGE.md);
         # all re-gate in round 5.  Entries above this line are the r4
         # driver gate; each new head entry pushes one r3-green entry here.
+        "s6_popular_searches": s6_popular_searches,
         "agg_partial_q1": agg_partial_q1,
         "q10_suffix_completion": q10_suffix_completion,
         "q10_fuzzy_expansion": q10_fuzzy_expansion,
@@ -1289,6 +1305,10 @@ def oracle_sql() -> dict[str, str]:
         # merge parity contract), so the SAME plain-SQL oracle gates it
         "s8_merged_index_search": adhoc.bm25_topk_sql_oracle(
             "documents", "doc_id", "text", _BM25_QUERY, k=20
+        ),
+        "r11_negative_search": adhoc.bm25_topk_sql_oracle(
+            "documents", "doc_id", "text", _BM25_QUERY, k=20,
+            exclude_terms=["hash"],
         ),
         "r11_fielded_bm25": adhoc.bm25f_topk_sql_oracle(
             "documents", "doc_id", "text", _BM25_QUERY, k=20

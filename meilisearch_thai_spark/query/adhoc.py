@@ -43,6 +43,7 @@ def bm25_scores(
     text_col: str,
     query_terms: list[str],
     matching: str = "best",
+    exclude_terms: list[str] | None = None,
 ) -> DataFrame:
     """Per-matching-doc BM25 scores WITHOUT the top-k order/cut —
     ``(doc_key, score, terms_matched)`` unordered.  The building block for
@@ -79,6 +80,14 @@ def bm25_scores(
     )
     if matching == "all":
         scored = scored.filter(F.col("terms_matched") == len(terms))
+    if exclude_terms:
+        # negative keywords: docs containing ANY excluded term leave the
+        # result set; stats (df/avgdl/n_docs) stay corpus-wide
+        neg = list(dict.fromkeys(exclude_terms))
+        blocked = (
+            tf.filter(F.col("term").isin(neg)).select("doc_key").distinct()
+        )
+        scored = scored.join(blocked, "doc_key", "left_anti")
     return scored
 
 
@@ -89,13 +98,14 @@ def bm25_topk(
     query_terms: list[str],
     k: int = 10,
     matching: str = "best",
+    exclude_terms: list[str] | None = None,
 ) -> DataFrame:
     """BM25 top-k over an arbitrary (id, text) DataFrame, one lazy plan.
 
     Returns columns: ``doc_key, score, terms_matched`` with
     ``score = round(bm25, 4)`` and ordering (score desc, doc_key asc)."""
     return (
-        bm25_scores(docs, id_col, text_col, query_terms, matching)
+        bm25_scores(docs, id_col, text_col, query_terms, matching, exclude_terms)
         .orderBy(F.desc("score"), F.asc("doc_key"))
         .limit(k)
     )
@@ -189,6 +199,7 @@ def bm25_topk_sql_oracle(
     candidate_where: str | None = None,
     order_by: str | None = None,
     round_score: bool = True,
+    exclude_terms: list[str] | None = None,
 ) -> str:
     """DuckDB SQL computing the identical BM25 top-k (driver correctness gate).
 
@@ -213,11 +224,19 @@ def bm25_topk_sql_oracle(
     terms = list(dict.fromkeys(query_terms))
     terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     having = f"HAVING COUNT(DISTINCT tf.term) = {len(terms)}" if matching == "all" else ""
-    where = (
-        f"WHERE tf.doc_key IN (SELECT {id_col} FROM {table} WHERE {candidate_where})"
-        if candidate_where
-        else ""
-    )
+    conds = []
+    if candidate_where:
+        conds.append(
+            f"tf.doc_key IN (SELECT {id_col} FROM {table} WHERE {candidate_where})"
+        )
+    if exclude_terms:
+        neg_sql = ", ".join(
+            "'" + t.replace("'", "''") + "'" for t in dict.fromkeys(exclude_terms)
+        )
+        conds.append(
+            f"tf.doc_key NOT IN (SELECT doc_key FROM tf WHERE term IN ({neg_sql}))"
+        )
+    where = ("WHERE " + " AND ".join(conds)) if conds else ""
     order = order_by or "score DESC, doc_key ASC"
     return f"""
 WITH toks AS (

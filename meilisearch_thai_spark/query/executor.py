@@ -413,6 +413,35 @@ def _make_filtered_bucket_topk(
     return run
 
 
+def split_negative_keywords(query: str) -> tuple[str, list[str]]:
+    """MeiliSearch negative keywords (1.8+, so in the reference's 1.15.2): a
+    ``-`` immediately before a word and preceded by whitespace/start negates
+    it — docs containing that word leave the result set.  Returns
+    ``(positive_query, negative_chunks)``.
+
+    Mid-word hyphens (``state-of-the-art``) are untouched (the ``-`` is not
+    preceded by whitespace), a bare ``-`` is kept as text, and negative
+    PHRASES (``-"exact phrase"``) are rejected explicitly rather than
+    silently misread as a word."""
+    import re
+
+    if re.search(r'(?:^|\s)-"', query):
+        raise ValueError(
+            'negative phrases (-"...") are not supported; negate the words individually'
+        )
+    negs = re.findall(r"(?:^|(?<=\s))-(\S+)", query)
+    positive = re.sub(r"(?:^|(?<=\s))-\S+", " ", query)
+    return positive.strip(), negs
+
+
+def _negative_literal_cap() -> int:
+    """Resolved at call time so a test (or operator) adjusting
+    ``index.maintenance.TOMBSTONE_LITERAL_CAP`` moves this gate too."""
+    from ..index import maintenance
+
+    return maintenance.TOMBSTONE_LITERAL_CAP
+
+
 def matching_prefixes(
     terms: list[str],
     matching: str,
@@ -1178,6 +1207,16 @@ class SearchEngine:
             return None
         return np.sort(np.asarray(self._tombstones, dtype=np.int64))
 
+    def _merged_excluded(self, extra):
+        """Tombstones ∪ a per-query exclusion set (negative keywords) for
+        the heap kernels."""
+        base = self._excluded_array()
+        if extra is None or not len(extra):
+            return base
+        if base is None:
+            return extra
+        return np.unique(np.concatenate([base, extra]))
+
     def _exclude_deleted(self, df: DataFrame) -> DataFrame:
         """Drop tombstoned doc ids from a (…, doc_id, …) frame: plan-literal
         InSet for small delete sets, anti-join above TOMBSTONE_LITERAL_CAP
@@ -1267,6 +1306,7 @@ class SearchEngine:
         required_terms: dict[int, int] | None = None,
         partitions: int | None = None,
         phrase_terms: dict[int, list[str]] | None = None,
+        extra_excluded=None,
     ) -> DataFrame:
         """EXACT per-variant top-k with block-max bucket pruning (R11).
 
@@ -1294,7 +1334,8 @@ class SearchEngine:
             blocks = blocks.repartition(partitions, "bucket")
         run = _make_bucket_topk(
             self.meta.k1, self.meta.b, self.meta.avgdl, self.meta.n_docs, k,
-            required_terms or {}, phrase_terms, self._excluded_array(),
+            required_terms or {}, phrase_terms,
+            self._merged_excluded(extra_excluded),
             self._fp, self._lookup_prefixes(),
         )
         return blocks.mapInPandas(run, _TOPK_SCHEMA)
@@ -1387,6 +1428,7 @@ class SearchEngine:
         allowed: DataFrame,
         required_terms: dict[int, int] | None = None,
         phrase_terms: dict[int, list[str]] | None = None,
+        extra_excluded=None,
     ) -> DataFrame:
         """Exact per-variant top-k over an allowed-doc subset (P4 + R11).
 
@@ -1417,7 +1459,8 @@ class SearchEngine:
         )
         run = _make_filtered_bucket_topk(
             self.meta.k1, self.meta.b, self.meta.avgdl, self.meta.n_docs, k,
-            required_terms or {}, phrase_terms, self._excluded_array(),
+            required_terms or {}, phrase_terms,
+            self._merged_excluded(extra_excluded),
             self._fp, self._lookup_prefixes(),
         )
         return (
@@ -1658,6 +1701,7 @@ class SearchEngine:
         attributes_to_retrieve: list[str] | None = None,
         distinct: str | None = None,
         attributes_to_search_on: list[str] | None = None,
+        exclude_terms: list[str] | None = None,
     ) -> DataFrame:
         """Single-variant BM25 top-k (the walking-skeleton API).
 
@@ -1679,13 +1723,36 @@ class SearchEngine:
                 return self.search_terms(
                     terms, k=k, matching=matching, filters=filters, sort=sort,
                     attributes_to_retrieve=attributes_to_retrieve,
-                    distinct=distinct,
+                    distinct=distinct, exclude_terms=exclude_terms,
                 )
+        neg_ids = blocked = None
+        if exclude_terms:
+            neg_ids, blocked = self._negative_exclusion(exclude_terms)
         uniq, prefixes, qterms, required = self._expand_matching(terms, matching)
+        if not qterms and exclude_terms:
+            # negative-only query: MeiliSearch placeholder semantics — every
+            # non-excluded doc, no relevance score, stable doc order
+            base = self._exclude_deleted(self.doc_stats)
+            if neg_ids is not None:
+                base = base.filter(~F.col("doc_id").isin([int(i) for i in neg_ids]))
+            elif blocked is not None:
+                base = base.join(blocked, "doc_id", "left_anti")
+            page = base.select(
+                "doc_id",
+                F.lit(0.0).alias("score"),
+                F.lit(0).cast("long").alias("terms_matched"),
+            ).orderBy(F.asc("doc_id")).limit(k)
+            return self._finalize_hits(page, attributes=attributes_to_retrieve)
         if distinct or sort:
             # exact full-scoring path: a block-max top-k could starve a
             # distinct value, and with sort the cut cannot prune by score
             scored = self._exact_scored(qterms, filters, required, prefixes)
+            if neg_ids is not None:
+                # before the distinct window/cut: an excluded doc must never
+                # be a distinct representative either
+                scored = scored.filter(~F.col("doc_id").isin([int(i) for i in neg_ids]))
+            elif blocked is not None:
+                scored = scored.join(blocked, "doc_id", "left_anti")
             out_cols = self._hit_cols(attributes_to_retrieve)
             joined = self.doc_stats.join(scored, "doc_id")
             if distinct:
@@ -1719,7 +1786,9 @@ class SearchEngine:
                 [*parse_sort(sort, self.doc_stats.columns)] if sort else []
             ) + [F.desc("score"), F.asc("doc_id")]
             return joined.orderBy(*order).limit(k).select(*out_cols)
-        topk = self._scored_topk_expanded(qterms, required, prefixes, k, filters)
+        topk = self._scored_topk_expanded(
+            qterms, required, prefixes, k, filters, neg_ids=neg_ids, blocked=blocked
+        )
         return self._finalize_hits(topk, attributes=attributes_to_retrieve)
 
     def scored_topk(
@@ -1740,17 +1809,37 @@ class SearchEngine:
         return self._scored_topk_expanded(qterms, required, prefixes, k, filters)
 
     def _scored_topk_expanded(
-        self, qterms, required, prefixes, k: int, filters: dict | None
+        self, qterms, required, prefixes, k: int, filters: dict | None,
+        neg_ids=None, blocked: DataFrame | None = None,
     ) -> DataFrame:
-        if filters:
+        if blocked is not None:
+            # high-df negative keywords: allowed = docs ∖ blocked through the
+            # filtered cogroup — fully distributed, never collected
+            allowed = (
+                self.allowed_docs(filters) if filters
+                else self._exclude_deleted(self.doc_stats.select("doc_id"))
+            )
             scored = self.score_variants_topk_filtered(
-                qterms, k=k, allowed=self.allowed_docs(filters), required_terms=required
+                qterms, k=k, allowed=allowed.join(blocked, "doc_id", "left_anti"),
+                required_terms=required,
+            )
+        elif filters:
+            scored = self.score_variants_topk_filtered(
+                qterms, k=k, allowed=self.allowed_docs(filters),
+                required_terms=required, extra_excluded=neg_ids,
             )
         elif self._warm_covers(qterms):
             # point-query serving: pure-JVM plan over the decoded warm tier
             scored = self._warm_score_variants(qterms, required)
+            if neg_ids is not None:
+                # full matching set is scored here, cut comes below — a
+                # post-scoring filter is exact (unlike on the heap paths,
+                # where exclusion must happen inside the kernels)
+                scored = scored.filter(~F.col("doc_id").isin([int(i) for i in neg_ids]))
         else:
-            scored = self.score_variants_topk(qterms, k=k, required_terms=required)
+            scored = self.score_variants_topk(
+                qterms, k=k, required_terms=required, extra_excluded=neg_ids
+            )
         if len(prefixes) > 1:
             scored = self._dedup_best_per_doc(scored)
         return (
@@ -1885,6 +1974,55 @@ class SearchEngine:
             for r in self._min_windows_df(terms, doc_ids).collect()
         }
 
+    def docs_with_terms(self, terms: list[str]) -> DataFrame:
+        """DISTINCT doc ids containing ANY of ``terms`` — a lazy decode-only
+        plan (term-pushdown scan of those terms' posting blocks → vectorized
+        varbyte unpack → distinct), tombstones excluded.  Backs negative
+        keywords; also the building block for "docs mentioning X" audits."""
+        from ..index.maintenance import _make_block_unpacker, _tf_schema
+
+        uniq = sorted({t for t in terms if t})
+        if not uniq:
+            raise ValueError("terms must be non-empty")
+        scan = (
+            [p + t for t in uniq for p in self._fprefixes]
+            if self._fprefixes
+            else uniq
+        )
+        blocks = self.postings.filter(F.col("term").isin(scan)).select(
+            "term", "n_docs", "doc_bytes", "tf_bytes", "dl_bytes"
+        )
+        unpack = _make_block_unpacker(list(self._tombstones or []), positional=False)
+        return blocks.mapInPandas(unpack, _tf_schema(False)).select("doc_id").distinct()
+
+    def _negative_exclusion(self, exclude_terms: list[str]):
+        """Negative-keyword routing → ``(ids, blocked_df)``, at most one
+        non-None (both None when no negative term matches anything).
+
+        The df-sum of the negative terms picks the path (same
+        ``TOMBSTONE_LITERAL_CAP`` economics as deletions): small exclusion
+        sets collect to the driver once and ride the heap kernels' existing
+        excluded-array hook — pages stay full, block-max pruning intact,
+        ONE extra bounded job per query.  High-df negatives (excluding a
+        frequent word can block half the corpus) never collect: the blocked
+        ids stay a DataFrame and the query runs through the filtered
+        cogroup path with ``allowed = docs ∖ blocked``, all distributed."""
+        from ..index.maintenance import TOMBSTONE_LITERAL_CAP
+
+        neg = [t for t in dict.fromkeys(exclude_terms) if t]
+        if not neg:
+            return None, None
+        total_df = sum(self.term_dfs(neg).values())  # ≥ |blocked| (overlaps)
+        if total_df == 0:
+            return None, None
+        blocked = self.docs_with_terms(neg)
+        if total_df > _negative_literal_cap():
+            return None, blocked
+        ids = np.asarray([r["doc_id"] for r in blocked.collect()], dtype=np.int64)
+        if not len(ids):
+            return None, None
+        return np.sort(ids), None
+
     def search(
         self,
         query: str,
@@ -1894,13 +2032,24 @@ class SearchEngine:
         sort: list[str] | None = None,
         attributes_to_retrieve: list[str] | None = None,
     ) -> DataFrame:
-        """Tokenize ``query`` with the SAME pinned tokenizer and score."""
+        """Tokenize ``query`` with the SAME pinned tokenizer and score.
+
+        Negative keywords (``-word``, MeiliSearch 1.8+) parse here: each
+        negative chunk is tokenized by the same pinned tokenizer and every
+        resulting term excludes its documents from the result set
+        (disjunctive over all negative tokens; corpus-wide BM25 stats
+        unchanged — exclusion prunes candidates exactly like a filter)."""
         from ..tokenizer import extract_index_terms, tokenize_for_index
 
-        terms = extract_index_terms(tokenize_for_index(query))
+        positive, negs = split_negative_keywords(query)
+        exclude_terms = [
+            t for chunk in negs for t in extract_index_terms(tokenize_for_index(chunk))
+        ]
+        terms = extract_index_terms(tokenize_for_index(positive))
         return self.search_terms(
             terms, k=k, matching=matching, filters=filters, sort=sort,
             attributes_to_retrieve=attributes_to_retrieve,
+            exclude_terms=exclude_terms or None,
         )
 
     def multi_variant_search(

@@ -47,7 +47,13 @@ class BM25Oracle:
             )
         return s
 
-    def top_k(self, query: str, k: int = 10, matching: str = "best") -> list[tuple[str, float]]:
+    def top_k(
+        self,
+        query: str,
+        k: int = 10,
+        matching: str = "best",
+        exclude_terms: list[str] | None = None,
+    ) -> list[tuple[str, float]]:
         terms = list(dict.fromkeys(extract_index_terms(tokenize_for_index(query))))
         hits: list[tuple[str, float]] = []
         inv: defaultdict[str, set] = defaultdict(set)
@@ -60,6 +66,10 @@ class BM25Oracle:
         if matching == "all" and terms:
             for t in terms:
                 cands &= inv[t]
+        for t in exclude_terms or []:
+            # negative keyword: docs containing the term leave the result
+            # set entirely (corpus-wide stats untouched)
+            cands -= {url for url, c in self.tf.items() if c.get(t, 0) > 0}
         for url in cands:
             s = self.score(url, terms)
             if s > 0:

@@ -1,0 +1,120 @@
+"""MeiliSearch negative keywords (-word, 1.8+ — reference runs 1.15.2):
+docs containing a negated word leave the result set; BM25 stats stay
+corpus-wide.  Engine results must match the in-process oracle on every
+execution path (block-max heap, warm tier, high-df distributed fallback,
+sort/exact path, negative-only placeholder)."""
+
+from __future__ import annotations
+
+import pytest
+
+from meilisearch_thai_spark.index.builder import build_index
+from meilisearch_thai_spark.query.executor import SearchEngine, split_negative_keywords
+from meilisearch_thai_spark.query.oracle import BM25Oracle
+from meilisearch_thai_spark.sources.pages import generate_pages
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("negidx"))
+    pages = generate_pages(spark, N_DOCS, seed=77)
+    build_index(spark, pages, out)
+    corpus = {r["url"]: r["text"] for r in pages.select("url", "text").collect()}
+    return out, corpus
+
+
+def test_split_negative_keywords_parsing():
+    assert split_negative_keywords("thai food -spicy") == ("thai food", ["spicy"])
+    assert split_negative_keywords("-a b -c") == ("b", ["a", "c"])
+    # mid-word hyphen is NOT a negation; bare '-' stays text
+    assert split_negative_keywords("state-of-the-art x") == ("state-of-the-art x", [])
+    assert split_negative_keywords("a - b") == ("a - b", [])
+    with pytest.raises(ValueError, match="negative phrases"):
+        split_negative_keywords('food -"thai curry"')
+
+
+def _top(engine, query, corpus, k=10, **kw):
+    got = [(r["url"], r["score"]) for r in engine.search(query, k=k, **kw).collect()]
+    return got
+
+
+def test_negative_search_matches_oracle_kernel_path(spark, built):
+    out, corpus = built
+    oracle = BM25Oracle(corpus)
+    eng = SearchEngine(spark, out, cache_postings=False)
+    for q, neg in [("อาหารไทย -เชียงใหม่", ["เชียงใหม่"]), ("เทคโนโลยี -Startup", ["startup"])]:
+        pos = q.split(" -")[0]
+        want = oracle.top_k(pos, k=10, exclude_terms=neg)
+        got = _top(eng, q, corpus)
+        assert [u for u, _ in got] == [u for u, _ in want], q
+        # every excluded doc really lacks from the page
+        for u, _ in got:
+            assert all(oracle.tf[u].get(t, 0) == 0 for t in neg)
+        # and the exclusion actually removed something vs the plain query
+        plain = [u for u, _ in oracle.top_k(pos, k=10)]
+        assert [u for u, _ in got] != plain or all(
+            all(oracle.tf[u].get(t, 0) == 0 for t in neg) for u in plain
+        )
+
+
+def test_negative_search_warm_path_matches(spark, built):
+    out, corpus = built
+    oracle = BM25Oracle(corpus)
+    eng = SearchEngine(spark, out)  # warm tier enabled (default)
+    q, neg = "อาหารไทย -เชียงใหม่", ["เชียงใหม่"]
+    want = oracle.top_k("อาหารไทย", k=10, exclude_terms=neg)
+    got = _top(eng, q, corpus)
+    assert [u for u, _ in got] == [u for u, _ in want]
+
+
+def test_negative_highdf_fallback_path_identical(spark, built, monkeypatch):
+    # force the distributed blocked-DataFrame path (as if the negative term
+    # had df > cap) and require bit-identical results to the literal path
+    from meilisearch_thai_spark.index import maintenance
+
+    out, corpus = built
+    eng = SearchEngine(spark, out, cache_postings=False)
+    small = _top(eng, "อาหารไทย -เชียงใหม่", corpus)
+    monkeypatch.setattr(maintenance, "TOMBSTONE_LITERAL_CAP", 0)
+    eng2 = SearchEngine(spark, out, cache_postings=False)
+    big = _top(eng2, "อาหารไทย -เชียงใหม่", corpus)
+    assert small == big and len(small) > 0
+
+
+def test_negative_only_query_is_placeholder_page(spark, built):
+    out, corpus = built
+    oracle = BM25Oracle(corpus)
+    eng = SearchEngine(spark, out, cache_postings=False)
+    rows = eng.search("-อาหาร", k=5).collect()
+    assert len(rows) == 5
+    assert all(r["score"] == 0.0 for r in rows)
+    # stable doc-id order, and none contains the negated term
+    ids = [r["doc_id"] for r in rows]
+    assert ids == sorted(ids)
+    for r in rows:
+        assert oracle.tf[r["url"]].get("อาหาร", 0) == 0
+
+
+def test_negative_with_sort_path(spark, built):
+    # sort forces the exact full-scoring path; exclusion must apply there too
+    out, corpus = built
+    oracle = BM25Oracle(corpus)
+    eng = SearchEngine(spark, out, cache_postings=False)
+    rows = eng.search("อาหารไทย -เชียงใหม่", k=10, sort=["url:asc"]).collect()
+    assert len(rows) > 0
+    urls = [r["url"] for r in rows]
+    # sort path = url order over ALL matching non-excluded docs, first k
+    want = sorted(
+        u for u, _ in oracle.top_k("อาหารไทย", k=N_DOCS, exclude_terms=["เชียงใหม่"])
+    )[: len(urls)]
+    assert urls == want
+
+
+def test_unknown_negative_term_is_noop(spark, built):
+    out, corpus = built
+    eng = SearchEngine(spark, out, cache_postings=False)
+    a = _top(eng, "อาหารไทย", corpus)
+    b = _top(eng, "อาหารไทย -zzzzqqq", corpus)
+    assert a == b
