@@ -845,6 +845,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cuts) — F.percentile, bit-identical to DuckDB quantile_cont
         return ts.length_quantiles(_t(spark, sf, "documents"), "source", "n_chars")
 
+    def webtext_quality_classifier(spark, sf):
+        # model-based quality filter (fastText/DCLM shape): hashed-unigram
+        # linear model, integer-exact milli weights, sign-test keep —
+        # zero-shuffle Column codegen
+        return wtx.quality_classifier(_t(spark, sf, "documents"), "doc_id", "text")
+
     def r11_negative_search(spark, sf):
         # MeiliSearch negative keywords (-word, 1.8+) through the REAL
         # engine path: docs containing the excluded term leave the page
@@ -1229,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "stats_top_ngrams": stats_top_ngrams,
         "r11_negative_search": r11_negative_search,
+        "webtext_quality_classifier": webtext_quality_classifier,
         # -- last green row is round 2 (fell past the 50-cap in r3)
         "e1_highlight_extract": e1_highlight_extract,
         "e1_highlight_generate": e1_highlight_generate,
@@ -1256,11 +1263,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "stats_quality": stats_quality,
         "stats_langid": stats_langid,
-        "s6_query_patterns": s6_query_patterns,
         # ---------------- position 51+: RESTING this round (r3-green,
         # code untouched in r4, sibling coverage noted in COVERAGE.md);
         # all re-gate in round 5.  Entries above this line are the r4
         # driver gate; each new head entry pushes one r3-green entry here.
+        "s6_query_patterns": s6_query_patterns,
         "s6_popular_searches": s6_popular_searches,
         "agg_partial_q1": agg_partial_q1,
         "q10_suffix_completion": q10_suffix_completion,
@@ -1378,6 +1385,9 @@ LIMIT 100
             {"train": 0.9, "val": 0.05, "test": 0.05},
         ),
         "stats_top_ngrams": ts.top_ngrams_sql("documents", "text", n=2, k=25),
+        "webtext_quality_classifier": wtx.quality_classifier_sql(
+            "documents", "doc_id", "text"
+        ),
         "dedup_incremental": "SELECT doc_id FROM (" + dd.against_snapshot_sql(
             "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1",
             "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",

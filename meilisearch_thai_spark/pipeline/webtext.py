@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import ws_tokens
+
 # Gopher-style acceptance thresholds (Rae et al. 2021, Table A1), expressed
 # in integer basis points against the emitted columns.
 GOPHER_THRESHOLDS = {
@@ -783,4 +785,79 @@ SELECT doc_key,
        COALESCE(string_agg(line, chr(10) ORDER BY pos), '') AS text
 FROM firsts WHERE pos = first_pos
 GROUP BY doc_key
+"""
+
+
+def quality_classifier(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+    seed: str = "qc",
+) -> DataFrame:
+    """Model-based quality filter, the fastText-classifier shape (DCLM /
+    FineWeb-Edu style): a LINEAR model over hashed unigram features decides
+    keep/drop → (doc_key, logit, keep).
+
+    The feature pipeline is the production one — token → md5 hash bucket
+    (``j = h % n_buckets``) → weight lookup → mean logit — expressed
+    entirely in Column codegen (transform + aggregate over the token
+    array): zero shuffle, zero Python, linear scan at 100 TB.  The weight
+    VECTOR here is a deterministic placeholder (Knuth-multiplicative
+    integer derivation from the bucket index, w_j ∈ [-1, 1] in milli
+    units); swapping in trained weights = replacing the arithmetic
+    derivation with a broadcast ``n_buckets``-entry map — the hashing,
+    bucketing, and aggregation stay identical, which is the part that has
+    to scale.  No media/ML libs are needed or faked: a linear classifier
+    IS this arithmetic.
+
+    Determinism across engines: weights stay INTEGER (milli-units) through
+    the sum — integer addition is order-independent, so any partitioning or
+    fold order gives the same total; ``keep`` is the integer sign test
+    (never a float threshold), and the reported ``logit`` does the single
+    float division at the end, identically on both engines.  An empty doc
+    scores 0 → keep (gate it with length rules upstream, not here).
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+
+    def w_milli(tok):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + "|"), tok)), 1, 15), 16, 10
+        ).cast("long")
+        j = h % n_buckets
+        return (j * F.lit(2654435761)) % 2001 - 1000
+
+    total = F.aggregate(
+        F.transform(toks, w_milli), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n = F.greatest(F.size(toks), F.lit(1))
+    return docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.round(total / (F.lit(1000.0) * n), 9).alias("logit"),
+        (total >= 0).alias("keep"),
+    )
+
+
+def quality_classifier_sql(
+    table: str, id_col: str, text_col: str, n_buckets: int = 1024, seed: str = "qc"
+) -> str:
+    """DuckDB twin of :func:`quality_classifier`."""
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_key,
+         list_filter(string_split(lower({text_col}), ' '), x -> x <> '') AS toks
+  FROM {table}
+),
+s AS (
+  SELECT doc_key, len(toks) AS n,
+         COALESCE(list_sum(list_transform(toks, x ->
+           ((('0x' || substr(md5('{seed}' || '|' || x), 1, 15))::UBIGINT::BIGINT
+             % {n_buckets}) * 2654435761) % 2001 - 1000
+         )), 0)::BIGINT AS total
+  FROM t
+)
+SELECT doc_key,
+       ROUND(total / (1000.0 * greatest(n, 1)), 9) AS logit,
+       total >= 0 AS keep
+FROM s
 """

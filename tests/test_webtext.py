@@ -447,3 +447,48 @@ def test_top_ngrams_duckdb_parity(spark, sf_dir):
         b = con.execute(top_ngrams_sql("documents", "text", n=n, k=25)).df()
         assert a["ngram"].tolist() == b["ngram"].tolist()
         assert a["n"].tolist() == b["n"].tolist()
+
+
+def test_quality_classifier_deterministic_and_parity(spark, sf_dir):
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.webtext import (
+        quality_classifier,
+        quality_classifier_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = (
+        quality_classifier(docs, "doc_id", "text")
+        .toPandas()
+        .sort_values("doc_key")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    b = (
+        con.execute(quality_classifier_sql("documents", "doc_id", "text"))
+        .df()
+        .sort_values("doc_key")
+        .reset_index(drop=True)
+    )
+    assert (a["logit"].values == b["logit"].values).all()
+    assert (a["keep"].values == b["keep"].values).all()
+    # both classes occur on a real corpus slice (the placeholder weights are
+    # zero-mean, so a single-sided output would mean broken hashing)
+    assert 0 < a["keep"].sum() < len(a)
+
+
+def test_quality_classifier_empty_and_order_invariance(spark):
+    from meilisearch_thai_spark.pipeline.webtext import quality_classifier
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "good text here"), (3, "here text good")], ["doc_id", "text"]
+    )
+    got = {r["doc_key"]: (r["logit"], r["keep"]) for r in
+           quality_classifier(df, "doc_id", "text").collect()}
+    assert got[1] == (0.0, True)  # empty doc: neutral, gate by length upstream
+    # bag-of-words model: token order cannot change the score
+    assert got[2] == got[3]
