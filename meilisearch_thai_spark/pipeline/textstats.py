@@ -316,7 +316,7 @@ def length_quantiles(
     is then off).  One hash agg, map-side combined.
     """
     aggs = [F.count("*").cast("long").alias("n_docs")] + [
-        F.round(F.percentile(F.col(len_col), q), 4).alias(f"p{int(q * 100)}")
+        F.round(F.percentile(F.col(len_col), q), 4).alias(f"p{int(round(q * 100))}")
         for q in qs
     ]
     return docs.groupBy(F.col(group_col).alias("grp")).agg(*aggs).orderBy("grp")
@@ -327,7 +327,8 @@ def length_quantiles_sql(
 ) -> str:
     """DuckDB twin of :func:`length_quantiles`."""
     cols = ", ".join(
-        f"ROUND(quantile_cont({len_col}, {q}), 4) AS p{int(q * 100)}" for q in qs
+        f"ROUND(quantile_cont({len_col}, {q}), 4) AS p{int(round(q * 100))}"
+        for q in qs
     )
     return f"""
 SELECT {group_col} AS grp, COUNT(*)::BIGINT AS n_docs, {cols}

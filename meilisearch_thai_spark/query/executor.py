@@ -1731,28 +1731,51 @@ class SearchEngine:
         uniq, prefixes, qterms, required = self._expand_matching(terms, matching)
         if not qterms and exclude_terms:
             # negative-only query: MeiliSearch placeholder semantics — every
-            # non-excluded doc, no relevance score, stable doc order
+            # non-excluded doc, no relevance score; filters/sort/distinct
+            # apply exactly as on a placeholder search
             base = self._exclude_deleted(self.doc_stats)
-            if neg_ids is not None:
-                base = base.filter(~F.col("doc_id").isin([int(i) for i in neg_ids]))
-            elif blocked is not None:
-                base = base.join(blocked, "doc_id", "left_anti")
-            page = base.select(
-                "doc_id",
-                F.lit(0.0).alias("score"),
-                F.lit(0).cast("long").alias("terms_matched"),
-            ).orderBy(F.asc("doc_id")).limit(k)
-            return self._finalize_hits(page, attributes=attributes_to_retrieve)
+            if filters:
+                base = base.join(self.allowed_docs(filters), "doc_id")
+            base = self._apply_negative_exclusion(base, neg_ids, blocked)
+            if distinct:
+                if distinct not in self._public_fields():
+                    raise ValueError(
+                        f"unknown distinct field {distinct!r}; available "
+                        f"{self._public_fields()}"
+                    )
+                key = F.coalesce(
+                    F.col(distinct).cast("string"),
+                    F.concat(F.lit("\x00doc:"), F.col("doc_id").cast("string")),
+                )
+                w = Window.partitionBy(key).orderBy(F.asc("doc_id"))
+                base = (
+                    base.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+            if sort:
+                self._check_declared(
+                    [x.partition(":")[0] for x in sort],
+                    getattr(self.meta, "sortable_attributes", None),
+                    "sortable fields",
+                )
+            order = (
+                [*parse_sort(sort, self.doc_stats.columns)] if sort else []
+            ) + [F.asc("doc_id")]
+            # not _finalize_hits: it re-orders by score, which would discard
+            # a requested placeholder sort (all scores are 0.0 here)
+            joined = base.withColumn("score", F.lit(0.0)).withColumn(
+                "terms_matched", F.lit(0).cast("long")
+            )
+            out_cols = self._hit_cols(attributes_to_retrieve)
+            return joined.orderBy(*order).limit(k).select(*out_cols)
         if distinct or sort:
             # exact full-scoring path: a block-max top-k could starve a
             # distinct value, and with sort the cut cannot prune by score
             scored = self._exact_scored(qterms, filters, required, prefixes)
-            if neg_ids is not None:
-                # before the distinct window/cut: an excluded doc must never
-                # be a distinct representative either
-                scored = scored.filter(~F.col("doc_id").isin([int(i) for i in neg_ids]))
-            elif blocked is not None:
-                scored = scored.join(blocked, "doc_id", "left_anti")
+            # before the distinct window/cut: an excluded doc must never be
+            # a distinct representative either
+            scored = self._apply_negative_exclusion(scored, neg_ids, blocked)
             out_cols = self._hit_cols(attributes_to_retrieve)
             joined = self.doc_stats.join(scored, "doc_id")
             if distinct:
@@ -1830,12 +1853,12 @@ class SearchEngine:
             )
         elif self._warm_covers(qterms):
             # point-query serving: pure-JVM plan over the decoded warm tier
-            scored = self._warm_score_variants(qterms, required)
-            if neg_ids is not None:
-                # full matching set is scored here, cut comes below — a
-                # post-scoring filter is exact (unlike on the heap paths,
-                # where exclusion must happen inside the kernels)
-                scored = scored.filter(~F.col("doc_id").isin([int(i) for i in neg_ids]))
+            # full matching set is scored here, cut comes below — a
+            # post-scoring filter is exact (unlike on the heap paths, where
+            # exclusion must happen inside the kernels)
+            scored = self._apply_negative_exclusion(
+                self._warm_score_variants(qterms, required), neg_ids, blocked=None
+            )
         else:
             scored = self.score_variants_topk(
                 qterms, k=k, required_terms=required, extra_excluded=neg_ids
@@ -1974,24 +1997,27 @@ class SearchEngine:
             for r in self._min_windows_df(terms, doc_ids).collect()
         }
 
-    def docs_with_terms(self, terms: list[str]) -> DataFrame:
-        """DISTINCT doc ids containing ANY of ``terms`` — a lazy decode-only
-        plan (term-pushdown scan of those terms' posting blocks → vectorized
-        varbyte unpack → distinct), tombstones excluded.  Backs negative
-        keywords; also the building block for "docs mentioning X" audits."""
-        from ..index.maintenance import _make_block_unpacker, _tf_schema
-
+    def _neg_scan_terms(self, terms: list[str]) -> list[str]:
+        """Index-level term keys for an exclusion lookup: the
+        attributesToSearchOn restriction applies to negatives exactly like
+        positives (a title-restricted search only excludes on title)."""
         uniq = sorted({t for t in terms if t})
         if not uniq:
             raise ValueError("terms must be non-empty")
-        scan = (
-            [p + t for t in uniq for p in self._fprefixes]
-            if self._fprefixes
-            else uniq
-        )
-        blocks = self.postings.filter(F.col("term").isin(scan)).select(
-            "term", "n_docs", "doc_bytes", "tf_bytes", "dl_bytes"
-        )
+        prefixes = self._lookup_prefixes()
+        return [p + t for t in uniq for p in prefixes] if prefixes else uniq
+
+    def docs_with_terms(self, terms: list[str]) -> DataFrame:
+        """DISTINCT doc ids containing ANY of ``terms`` — a lazy decode-only
+        plan (term-pushdown scan of those terms' posting blocks → vectorized
+        varbyte unpack → distinct), tombstones excluded, honoring an active
+        attributesToSearchOn restriction.  Backs negative keywords; also the
+        building block for "docs mentioning X" audits."""
+        from ..index.maintenance import _make_block_unpacker, _tf_schema
+
+        blocks = self.postings.filter(
+            F.col("term").isin(self._neg_scan_terms(terms))
+        ).select("term", "n_docs", "doc_bytes", "tf_bytes", "dl_bytes")
         unpack = _make_block_unpacker(list(self._tombstones or []), positional=False)
         return blocks.mapInPandas(unpack, _tf_schema(False)).select("doc_id").distinct()
 
@@ -1999,20 +2025,28 @@ class SearchEngine:
         """Negative-keyword routing → ``(ids, blocked_df)``, at most one
         non-None (both None when no negative term matches anything).
 
-        The df-sum of the negative terms picks the path (same
-        ``TOMBSTONE_LITERAL_CAP`` economics as deletions): small exclusion
-        sets collect to the driver once and ride the heap kernels' existing
-        excluded-array hook — pages stay full, block-max pruning intact,
-        ONE extra bounded job per query.  High-df negatives (excluding a
-        frequent word can block half the corpus) never collect: the blocked
-        ids stay a DataFrame and the query runs through the filtered
-        cogroup path with ``allowed = docs ∖ blocked``, all distributed."""
-        from ..index.maintenance import TOMBSTONE_LITERAL_CAP
-
+        The routing estimate is the SUM of ``df`` over every matching
+        index-level term key (field-prefixed variants included — on a
+        fielded index the blocked set is the UNION across fields, so a
+        per-word max would undercount it): one exchange-free aggregate over
+        the term-pushdown scan, always ≥ |blocked|.  Small exclusion sets
+        (same ``TOMBSTONE_LITERAL_CAP`` economics as deletions) collect to
+        the driver once and ride the heap kernels' existing excluded-array
+        hook — pages stay full, block-max pruning intact, ONE extra bounded
+        job per query.  High-df negatives (excluding a frequent word can
+        block half the corpus) never collect: the blocked ids stay a
+        DataFrame and the query runs through the filtered cogroup path with
+        ``allowed = docs ∖ blocked``, all distributed."""
         neg = [t for t in dict.fromkeys(exclude_terms) if t]
         if not neg:
             return None, None
-        total_df = sum(self.term_dfs(neg).values())  # ≥ |blocked| (overlaps)
+        est = (
+            self.postings.filter(F.col("term").isin(self._neg_scan_terms(neg)))
+            .groupBy("term").agg(F.max("df").alias("df"))  # df repeats per block
+            .agg(F.sum("df"))
+            .collect()[0][0]
+        )
+        total_df = int(est or 0)
         if total_df == 0:
             return None, None
         blocked = self.docs_with_terms(neg)
@@ -2022,6 +2056,17 @@ class SearchEngine:
         if not len(ids):
             return None, None
         return np.sort(ids), None
+
+    @staticmethod
+    def _apply_negative_exclusion(df: DataFrame, neg_ids, blocked) -> DataFrame:
+        """Drop negative-keyword-blocked docs from a (…, doc_id, …) frame —
+        literal InSet for collected sets, anti-join for DataFrame sets (the
+        tombstone `_exclude_deleted` shape, per-query)."""
+        if neg_ids is not None:
+            return df.filter(~F.col("doc_id").isin([int(i) for i in neg_ids]))
+        if blocked is not None:
+            return df.join(blocked, "doc_id", "left_anti")
+        return df
 
     def search(
         self,

@@ -118,3 +118,56 @@ def test_unknown_negative_term_is_noop(spark, built):
     a = _top(eng, "อาหารไทย", corpus)
     b = _top(eng, "อาหารไทย -zzzzqqq", corpus)
     assert a == b
+
+
+def test_negative_only_placeholder_honors_filters_and_sort(spark, built):
+    from meilisearch_thai_spark.sources.pages import generate_pages
+
+    out, corpus = built
+    langs = {
+        r["url"]: r["lang"]
+        for r in generate_pages(spark, N_DOCS, seed=77).select("url", "lang").collect()
+    }
+    eng = SearchEngine(spark, out, cache_postings=False)
+    oracle = BM25Oracle(corpus)
+    rows = eng.search("-อาหาร", k=8, filters={"lang": "th"}, sort=["url:desc"]).collect()
+    assert len(rows) > 0
+    urls = [r["url"] for r in rows]
+    assert urls == sorted(urls, reverse=True)          # placeholder sort applies
+    for u in urls:
+        assert langs[u] == "th"                         # placeholder filter applies
+        assert oracle.tf[u].get("อาหาร", 0) == 0        # exclusion applies
+    # exactly the first k of the sorted, filtered, non-excluded set
+    want = sorted(
+        (u for u in corpus if langs[u] == "th" and oracle.tf[u].get("อาหาร", 0) == 0),
+        reverse=True,
+    )[:8]
+    assert urls == want
+
+
+def test_negative_respects_attributes_to_search_on(spark, tmp_path):
+    from meilisearch_thai_spark.index.builder import build_index
+
+    rows = [
+        ("0001", "apple zebra", "plain filler", "en"),   # zebra in TITLE
+        ("0002", "apple pie", "zebra crossing", "en"),   # zebra only in CONTENT
+        ("0003", "apple cake", "plain words", "en"),     # never excluded
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, title string, content string, lang string"
+    )
+    out = str(tmp_path / "fneg")
+    build_index(spark, pages, out, fields=["title", "content"])
+    eng = SearchEngine(spark, out, cache_postings=False)
+    all_fields = {
+        r["url"] for r in eng.search_terms(["apple"], k=10, exclude_terms=["zebra"]).collect()
+    }
+    assert all_fields == {"0003"}
+    title_only = {
+        r["url"]
+        for r in eng.search_terms(
+            ["apple"], k=10, exclude_terms=["zebra"], attributes_to_search_on=["title"]
+        ).collect()
+    }
+    # the restriction applies to negatives too: content-only zebra survives
+    assert title_only == {"0002", "0003"}

@@ -492,3 +492,16 @@ def test_quality_classifier_empty_and_order_invariance(spark):
     assert got[1] == (0.0, True)  # empty doc: neutral, gate by length upstream
     # bag-of-words model: token order cannot change the score
     assert got[2] == got[3]
+
+
+def test_length_quantiles_labels_not_float_truncated(spark):
+    from meilisearch_thai_spark.pipeline.textstats import (
+        length_quantiles,
+        length_quantiles_sql,
+    )
+
+    df = spark.createDataFrame([("g", i) for i in range(1, 6)], ["src", "n"])
+    cols = length_quantiles(df, "src", "n", qs=(0.29, 0.57)).columns
+    assert "p29" in cols and "p57" in cols  # int(0.29*100) would give p28
+    sql = length_quantiles_sql("t", "src", "n", qs=(0.29, 0.57))
+    assert "p29" in sql and "p57" in sql
