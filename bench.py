@@ -184,6 +184,14 @@ def main() -> None:
         "pack_sequences",
         "keywords_tfidf",
         "weburl_blocklist",
+        # round-4 (cont.) additions: corpus n-gram discovery, model-based
+        # quality filter, snapshot-incremental dedup, negative-keyword
+        # serving (real engine path; per-call SearchEngine init included —
+        # that IS the entry's serving cost on a cold engine)
+        "stats_top_ngrams",
+        "webtext_quality_classifier",
+        "dedup_incremental",
+        "r11_negative_search",
     ]
     for name in names[6:]:
         qs[name](spark, SF_DIR).collect()  # untimed: builds the memoized index
