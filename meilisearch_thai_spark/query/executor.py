@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 
 from ..index.builder import FIELD_SEP, IndexMeta, load_meta
 from ..index.codec import varbyte_decode
+from .pipeline import split_negative_keywords  # re-export (parse lives in Q1-Q8)
 
 
 def _row_field(term: str, field_params, avgdl: float) -> tuple[float, float, str]:
@@ -411,27 +412,6 @@ def _make_filtered_bucket_topk(
         )
 
     return run
-
-
-def split_negative_keywords(query: str) -> tuple[str, list[str]]:
-    """MeiliSearch negative keywords (1.8+, so in the reference's 1.15.2): a
-    ``-`` immediately before a word and preceded by whitespace/start negates
-    it — docs containing that word leave the result set.  Returns
-    ``(positive_query, negative_chunks)``.
-
-    Mid-word hyphens (``state-of-the-art``) are untouched (the ``-`` is not
-    preceded by whitespace), a bare ``-`` is kept as text, and negative
-    PHRASES (``-"exact phrase"``) are rejected explicitly rather than
-    silently misread as a word."""
-    import re
-
-    if re.search(r'(?:^|\s)-"', query):
-        raise ValueError(
-            'negative phrases (-"...") are not supported; negate the words individually'
-        )
-    negs = re.findall(r"(?:^|(?<=\s))-(\S+)", query)
-    positive = re.sub(r"(?:^|(?<=\s))-\S+", " ", query)
-    return positive.strip(), negs
 
 
 def _negative_literal_cap() -> int:
@@ -2136,9 +2116,24 @@ class SearchEngine:
                 + self._check_attrs(attributes_to_retrieve)
             )
         )
+        if pq is None:
+            from .pipeline import process_query
+
+            pq = process_query(query, synonyms=self._synonyms or None)
         dedup, sort_cols = self._multi_variant_dedup(
             query, k, min_score_threshold, normalize, filters, sort, pq=pq
         )
+        if dedup is None and getattr(pq, "exclude_terms", None):
+            # negative-only query → placeholder page (search_terms owns the
+            # semantics); variant_type marks it for the proxy response shape
+            page = self.search_terms(
+                [], k=k, filters=filters, sort=sort,
+                attributes_to_retrieve=attributes_to_retrieve,
+                exclude_terms=pq.exclude_terms,
+            )
+            return page.withColumn("variant_type", F.lit("placeholder")).select(
+                *out_cols
+            )
         if dedup is None:
             score_types = {
                 "score": T.DoubleType(),
@@ -2180,6 +2175,20 @@ class SearchEngine:
         """Eager serving twin of :meth:`multi_variant_search`: two k-bounded
         pure-JVM jobs on a warm engine (scored top-k collect + metadata point
         lookup) — the path a request/response service should call."""
+        if pq is None:
+            from .pipeline import process_query
+
+            pq = process_query(query, synonyms=self._synonyms or None)
+        if not pq.variants and getattr(pq, "exclude_terms", None):
+            # negative-only query: placeholder semantics live on the lazy path
+            return [
+                r.asDict()
+                for r in self.multi_variant_search(
+                    query, k=k, min_score_threshold=min_score_threshold,
+                    normalize=normalize, filters=filters, sort=sort,
+                    attributes_to_retrieve=attributes_to_retrieve, pq=pq,
+                ).collect()
+            ]
         if filters or sort or not self._warm_enabled:
             return [
                 r.asDict()
@@ -2472,6 +2481,29 @@ class SearchEngine:
         vmeta_rows: list[tuple[int, int, str, float, int, str]] = []
         if pqs is None:  # caller (SearchService) usually already processed them
             pqs = [process_query(q, synonyms=self._synonyms or None) for q in queries]
+        negi = [i for i, p in enumerate(pqs) if getattr(p, "exclude_terms", None)]
+        if negi:
+            # per-query exclusion sets can't share one heap job (a doc
+            # excluded for query A may win for query B) — route the
+            # negative-bearing queries through the single-query path and
+            # batch the rest; order preserved
+            neg_set = set(negi)
+            rest_idx = [i for i in range(len(queries)) if i not in neg_set]
+            out: list = [None] * len(queries)
+            if rest_idx:
+                rest = self.batch_multi_variant_page(
+                    [queries[i] for i in rest_idx], k=k,
+                    min_score_threshold=min_score_threshold,
+                    normalize=normalize, pqs=[pqs[i] for i in rest_idx],
+                )
+                for j, i in enumerate(rest_idx):
+                    out[i] = rest[j]
+            for i in negi:
+                out[i] = self.multi_variant_page(
+                    queries[i], k=k, min_score_threshold=min_score_threshold,
+                    normalize=normalize, pq=pqs[i],
+                )
+            return out
         # ONE df lookup covering every query's 'frequency' terms — per-query
         # term_dfs calls would serialize up to 50 driver-blocking scans before
         # the single scoring job (memoized, so only uncached terms cost)
@@ -2682,6 +2714,12 @@ class SearchEngine:
         required = {
             vid: n for vid, _t, _w, n, m in vmeta_rows if m in ("all", "phrase")
         }
+        # negative keywords parsed by Q1-Q8 ride the same routing the
+        # single-variant path uses (literal excluded-array vs distributed
+        # blocked-DataFrame, by df estimate)
+        neg_ids = blocked = None
+        if getattr(pq, "exclude_terms", None):
+            neg_ids, blocked = self._negative_exclusion(pq.exclude_terms)
         if sort:
             self._check_declared(
                 [x.partition(":")[0] for x in sort],
@@ -2692,6 +2730,7 @@ class SearchEngine:
             scored = self.score_variants(qterms)
             if filters:
                 scored = scored.join(self.allowed_docs(filters), "doc_id")
+            scored = self._apply_negative_exclusion(scored, neg_ids, blocked)
             if required:
                 needmap = F.create_map(
                     *[x for vid, n in required.items() for x in (F.lit(vid), F.lit(n))]
@@ -2700,18 +2739,34 @@ class SearchEngine:
                     needmap[F.col("variant_id")].isNull()
                     | (F.col("terms_matched") == needmap[F.col("variant_id")])
                 )
+        elif blocked is not None:
+            # high-df negatives: allowed = docs ∖ blocked, fully distributed
+            allowed = (
+                self.allowed_docs(filters) if filters
+                else self._exclude_deleted(self.doc_stats.select("doc_id"))
+            )
+            scored = self.score_variants_topk_filtered(
+                qterms, k=k, allowed=allowed.join(blocked, "doc_id", "left_anti"),
+                required_terms=required, phrase_terms=phrase_specs or None,
+            )
         elif filters:
             scored = self.score_variants_topk_filtered(
                 qterms, k=k, allowed=self.allowed_docs(filters),
                 required_terms=required, phrase_terms=phrase_specs or None,
+                extra_excluded=neg_ids,
             )
         elif not phrase_specs and self._warm_covers(qterms):
             # point-query serving: pure-JVM plan over the decoded warm tier
-            # (phrase variants need positional decode — python path below)
-            scored = self._warm_score_variants(qterms, required)
+            # (phrase variants need positional decode — python path below);
+            # the full matching set is scored here, so a post-scoring neg
+            # filter is exact
+            scored = self._apply_negative_exclusion(
+                self._warm_score_variants(qterms, required), neg_ids, blocked=None
+            )
         else:
             scored = self.score_variants_topk(
-                qterms, k=k, required_terms=required, phrase_terms=phrase_specs or None
+                qterms, k=k, required_terms=required,
+                phrase_terms=phrase_specs or None, extra_excluded=neg_ids,
             )
         # variant metadata folded in as literal maps (≤5 variants): no
         # createDataFrame / broadcast exchange on the latency path

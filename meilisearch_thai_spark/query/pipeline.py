@@ -89,12 +89,33 @@ class QueryVariant:
 
 @dataclass
 class ProcessedQuery:
-    """Mirror of reference ProcessedQuery (models/query.py:148-210)."""
+    """Mirror of reference ProcessedQuery (models/query.py:148-210), plus
+    the MeiliSearch-1.8+ negative keywords the raw query carried."""
 
     original_query: str
     analysis: QueryAnalysis
     variants: list[QueryVariant]
     fallback_used: bool = False
+    exclude_terms: list[str] = field(default_factory=list)
+
+
+def split_negative_keywords(query: str) -> tuple[str, list[str]]:
+    """MeiliSearch negative keywords (1.8+, so in the reference's 1.15.2): a
+    ``-`` immediately before a word and preceded by whitespace/start negates
+    it — docs containing that word leave the result set.  Returns
+    ``(positive_query, negative_chunks)``.
+
+    Mid-word hyphens (``state-of-the-art``) are untouched (the ``-`` is not
+    preceded by whitespace), a bare ``-`` is kept as text, and negative
+    PHRASES (``-"exact phrase"``) are rejected explicitly rather than
+    silently misread as a word."""
+    if re.search(r'(?:^|\s)-"', query):
+        raise ValueError(
+            'negative phrases (-"...") are not supported; negate the words individually'
+        )
+    negs = re.findall(r"(?:^|(?<=\s))-(\S+)", query)
+    positive = re.sub(r"(?:^|(?<=\s))-\S+", " ", query)
+    return positive.strip(), negs
 
 
 def normalize_query(q: str) -> str:
@@ -334,10 +355,18 @@ def process_query(
     every variant (the request-level MeiliSearch matchingStrategy override,
     reference models/requests.py:22) — except explicit phrase variants,
     whose adjacency semantics the strategy never relaxes."""
-    nq = normalize_query(q)
+    positive, negs = split_negative_keywords(q)
+    # each negative chunk tokenizes with the SAME pinned tokenizer; every
+    # resulting term excludes its docs (disjunctive over all neg tokens)
+    exclude = [
+        t for chunk in negs for t in extract_index_terms(tokenize_for_index(chunk))
+    ]
+    nq = normalize_query(positive)
     analysis = analyze_query(nq)
     if not nq:
-        return ProcessedQuery(original_query=q, analysis=analysis, variants=[])
+        return ProcessedQuery(
+            original_query=q, analysis=analysis, variants=[], exclude_terms=exclude
+        )
     variants = generate_variants(
         nq, analysis, preserve_original, synonyms=synonyms, max_variants=max_variants
     )
@@ -362,7 +391,8 @@ def process_query(
         variants = uniq
     fallback_used = any(v.variant_type == "fallback" for v in variants)
     return ProcessedQuery(
-        original_query=q, analysis=analysis, variants=variants, fallback_used=fallback_used
+        original_query=q, analysis=analysis, variants=variants,
+        fallback_used=fallback_used, exclude_terms=exclude,
     )
 
 

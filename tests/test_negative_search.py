@@ -171,3 +171,55 @@ def test_negative_respects_attributes_to_search_on(spark, tmp_path):
     }
     # the restriction applies to negatives too: content-only zebra survives
     assert title_only == {"0002", "0003"}
+
+
+def test_multi_variant_search_honors_negatives(spark, built):
+    out, corpus = built
+    oracle = BM25Oracle(corpus)
+    eng = SearchEngine(spark, out, cache_postings=False)
+    plain = [r["url"] for r in eng.multi_variant_search("อาหารไทย", k=10).collect()]
+    # negate a term taken FROM the top plain hit, so the exclusion provably
+    # bites; pick one that is not a query term
+    qterms = {"อาหาร", "ไทย", "อาหารไทย"}
+    neg = next(t for t in oracle.tf[plain[0]] if t not in qterms and len(t) > 1)
+    rows = eng.multi_variant_search(f"อาหารไทย -{neg}", k=10).collect()
+    assert len(rows) > 0
+    got = [r["url"] for r in rows]
+    assert plain[0] not in got
+    for r in rows:
+        assert oracle.tf[r["url"]].get(neg, 0) == 0
+
+
+def test_multi_variant_negative_only_placeholder(spark, built):
+    out, corpus = built
+    eng = SearchEngine(spark, out, cache_postings=False)
+    rows = eng.multi_variant_search("-อาหาร", k=5).collect()
+    assert len(rows) == 5
+    assert all(r["variant_type"] == "placeholder" and r["score"] == 0.0 for r in rows)
+
+
+def test_service_and_batch_paths_honor_negatives(spark, built):
+    from meilisearch_thai_spark.query.service import SearchService
+
+    out, corpus = built
+    oracle = BM25Oracle(corpus)
+    svc = SearchService(spark, out)
+    r = svc.search("อาหารไทย -เชียงใหม่", limit=10)
+    assert len(r.hits) > 0
+    for h in r.hits:
+        assert oracle.tf[h.url].get("เชียงใหม่", 0) == 0
+    # batch: a negative-bearing query routes through the single-query path,
+    # order preserved, neighbors still batched; negate a term from the plain
+    # top hit so the exclusion provably bites
+    eng = svc.engine
+    plain = eng.multi_variant_page("อาหารไทย", k=10)
+    qterms = {"อาหาร", "ไทย", "อาหารไทย"}
+    neg = next(t for t in oracle.tf[plain[0]["url"]] if t not in qterms and len(t) > 1)
+    pages = eng.batch_multi_variant_page(
+        ["อาหารไทย", f"อาหารไทย -{neg}", "เทคโนโลยี"], k=10
+    )
+    assert len(pages) == 3 and all(p for p in pages)
+    for h in pages[1]:
+        assert oracle.tf[h["url"]].get(neg, 0) == 0
+    assert plain[0]["url"] in {h["url"] for h in pages[0]}
+    assert plain[0]["url"] not in {h["url"] for h in pages[1]}
