@@ -189,15 +189,18 @@ def recrawl_latest(
     reference ``client.py:177`` — the last write wins; this operator makes
     "last" explicit as max ``ts_col``).
 
-    ONE hash aggregate with ``max_by`` over the total ordering key
-    ``struct(ts, tie)`` — map-side combinable (each partition keeps one
-    candidate row per url before the shuffle), so at 100 TB the exchange
-    carries ~|distinct urls| rows, not the corpus.  A window
-    ``row_number() OVER (PARTITION BY url ORDER BY ts DESC)`` computes the
-    same answer but must SORT every partition; the agg never sorts.
-    ``tie_col`` makes the key total so equal-timestamp re-crawls resolve
-    deterministically on any cluster size (max_by alone is free to return
-    either).
+    ONE aggregate with ``max_by`` over the total ordering key
+    ``struct(ts, tie)`` — map-side combinable (``partial_max_by`` runs
+    before the exchange, each partition keeping one candidate row per
+    url), so at 100 TB the shuffle carries ~|distinct urls| rows, not the
+    corpus.  A window ``row_number() OVER (PARTITION BY url ORDER BY ts
+    DESC)`` computes the same answer but ships EVERY row through the
+    exchange before cutting.  (Struct-valued agg buffers aren't
+    hash-aggregable, so Spark picks SortAggregate — a per-partition sort
+    by the group key over the already-reduced rows, not the corpus-wide
+    sort the window shape pays.)  ``tie_col`` makes the key total so
+    equal-timestamp re-crawls resolve deterministically on any cluster
+    size (max_by alone is free to return either).
     """
     cols = [c for c in pages.columns if c != url_col]
     key = F.struct(F.col(ts_col), F.col(tie_col))

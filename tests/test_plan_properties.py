@@ -234,3 +234,52 @@ def test_blocklist_filter_sits_on_scan(spark, sf_dir):
     txt = _final_plan(df)
     assert "Exchange" not in txt
     assert "MapInPandas" not in txt and "BatchEvalPython" not in txt
+
+
+def test_recrawl_latest_plan_is_partial_agg_no_sort(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.pipeline.weburl import recrawl_latest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    crawls = docs.select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 20).cast("string")).alias("url"),
+        (F.col("doc_id") * 7 % 11).alias("ts"),
+        "doc_id",
+    )
+    df = recrawl_latest(crawls, "url", "ts", "doc_id")
+    df.collect()
+    txt = _final_plan(df)
+    final = txt.split("== Initial Plan ==")[0]
+    # map-side combine BEFORE the one exchange — the shuffle carries
+    # ~|urls| rows, never the corpus (the whole point vs a window)
+    assert "partial_max_by" in final
+    assert final.count("Exchange") == 1
+    assert "Window" not in final
+    assert "MapInPandas" not in final and "BatchEvalPython" not in final
+
+
+def test_quality_classifier_plan_zero_exchange_zero_python(spark, sf_dir):
+    from meilisearch_thai_spark.pipeline.webtext import quality_classifier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = quality_classifier(docs, "doc_id", "text")
+    df.collect()
+    txt = _final_plan(df)
+    assert "Exchange" not in txt
+    assert "MapInPandas" not in txt and "BatchEvalPython" not in txt
+
+
+def test_against_snapshot_plan_is_anti_join_no_python(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.pipeline.dedup import against_snapshot
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    snap = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    df = against_snapshot(new, snap, "doc_id", "text")
+    df.collect()
+    txt = _final_plan(df)
+    assert "LeftAnti" in txt
+    assert "MapInPandas" not in txt and "BatchEvalPython" not in txt
