@@ -845,6 +845,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cuts) — F.percentile, bit-identical to DuckDB quantile_cont
         return ts.length_quantiles(_t(spark, sf, "documents"), "source", "n_chars")
 
+    def webtext_line_dedup_global(spark, sf):
+        # CORPUS-WIDE line dedup (the C4 move): injected shared header/
+        # footer survive exactly once, at the lowest (doc, pos); winner per
+        # md5(line) via map-side-combined min(struct) + hash join back
+        messy = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("shared header\n"), F.col("text"), F.lit("\nshared footer")
+            ).alias("text"),
+        )
+        return wtx.dedup_lines_global(messy, "doc_id", "text")
+
     def webtext_quality_classifier(spark, sf):
         # model-based quality filter (fastText/DCLM shape): hashed-unigram
         # linear model, integer-exact milli weights, sign-test keep —
@@ -1236,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_top_ngrams": stats_top_ngrams,
         "r11_negative_search": r11_negative_search,
         "webtext_quality_classifier": webtext_quality_classifier,
+        "webtext_line_dedup_global": webtext_line_dedup_global,
         # -- last green row is round 2 (fell past the 50-cap in r3)
         "e1_highlight_extract": e1_highlight_extract,
         "e1_highlight_generate": e1_highlight_generate,
@@ -1262,11 +1275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "stats_quality": stats_quality,
-        "stats_langid": stats_langid,
         # ---------------- position 51+: RESTING this round (r3-green,
         # code untouched in r4, sibling coverage noted in COVERAGE.md);
         # all re-gate in round 5.  Entries above this line are the r4
         # driver gate; each new head entry pushes one r3-green entry here.
+        "stats_langid": stats_langid,
         "s6_query_patterns": s6_query_patterns,
         "s6_popular_searches": s6_popular_searches,
         "agg_partial_q1": agg_partial_q1,
@@ -1387,6 +1400,12 @@ LIMIT 100
         "stats_top_ngrams": ts.top_ngrams_sql("documents", "text", n=2, k=25),
         "webtext_quality_classifier": wtx.quality_classifier_sql(
             "documents", "doc_id", "text"
+        ),
+        "webtext_line_dedup_global": wtx.dedup_lines_global_sql(
+            "(SELECT doc_id, 'shared header' || chr(10) || text || chr(10) || "
+            "'shared footer' AS text FROM documents) m",
+            "doc_id",
+            "text",
         ),
         "dedup_incremental": "SELECT doc_id FROM (" + dd.against_snapshot_sql(
             "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1",

@@ -861,3 +861,72 @@ SELECT doc_key,
        total >= 0 AS keep
 FROM s
 """
+
+
+def dedup_lines_global(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """CORPUS-WIDE exact line deduplication (the C4 move, applied at line
+    grain: any line occurring more than once ANYWHERE in the corpus — nav
+    chrome, cookie banners, license boilerplate, quoted headers — survives
+    only at its first occurrence in ``(doc_key, position)`` order) →
+    ``(doc_key, text)``, every input doc present (possibly empty).
+
+    Shape: posexplode lines (narrow) → winner per md5(line) via ONE
+    map-side-combinable ``min(struct(doc, pos))`` aggregate (the exchange
+    carries ~|distinct lines| after partial reduction) → hash join back on
+    the line hash to flag winners (AQE reuses the exchange; no corpus-wide
+    sort — a window ``row_number() OVER (PARTITION BY hash)`` computes the
+    same flag but sorts every shuffle partition) → per-doc reassembly by
+    position.  Within-doc repeats fall out as a special case (the first
+    corpus-wide occurrence is the only survivor), so this strictly
+    subsumes :func:`dedup_lines`; run THIS one when you can afford the
+    shuffle, the within-doc one when you cannot.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("h", F.md5("line"))
+    winners = lines.groupBy("h").agg(
+        F.min(F.struct("doc_key", "pos")).alias("w")
+    )
+    kept = lines.join(winners, "h").filter(
+        (F.col("doc_key") == F.col("w.doc_key")) & (F.col("pos") == F.col("w.pos"))
+    )
+    surv = kept.groupBy("doc_key").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_key"))
+        .join(surv, "doc_key", "left")
+        .select("doc_key", F.coalesce("text", F.lit("")).alias("text"))
+    )
+
+
+def dedup_lines_global_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`dedup_lines_global` (window form — same
+    winners because (doc, pos) is a total order within each line group)."""
+    return f"""
+WITH lines AS (
+  SELECT {id_col} AS doc_key,
+         unnest(string_split({text_col}, chr(10))) AS line,
+         generate_subscripts(string_split({text_col}, chr(10)), 1) AS pos
+  FROM {table}
+),
+flagged AS (
+  SELECT doc_key, line, pos,
+         row_number() OVER (PARTITION BY md5(line) ORDER BY doc_key, pos) AS rn
+  FROM lines
+),
+surv AS (
+  SELECT doc_key, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM flagged WHERE rn = 1 GROUP BY doc_key
+),
+base AS (SELECT {id_col} AS doc_key FROM {table})
+SELECT base.doc_key, COALESCE(surv.text, '') AS text
+FROM base LEFT JOIN surv USING (doc_key)
+"""

@@ -505,3 +505,57 @@ def test_length_quantiles_labels_not_float_truncated(spark):
     assert "p29" in cols and "p57" in cols  # int(0.29*100) would give p28
     sql = length_quantiles_sql("t", "src", "n", qs=(0.29, 0.57))
     assert "p29" in sql and "p57" in sql
+
+
+def test_dedup_lines_global_first_occurrence_wins_across_docs(spark):
+    from meilisearch_thai_spark.pipeline.webtext import dedup_lines_global
+
+    df = spark.createDataFrame(
+        [
+            (1, "nav\nalpha\nnav"),    # first 'nav' wins; within-doc repeat dies
+            (2, "nav\nbeta"),          # cross-doc repeat dies
+            (3, "gamma\nbeta"),        # 'beta' already owned by doc 2
+            (4, "nav"),                # loses everything → empty, still present
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_key"]: r["text"] for r in
+           dedup_lines_global(df, "doc_id", "text").collect()}
+    assert got == {1: "nav\nalpha", 2: "beta", 3: "gamma", 4: ""}
+
+
+def test_dedup_lines_global_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from meilisearch_thai_spark.pipeline.webtext import (
+        dedup_lines_global,
+        dedup_lines_global_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    messy = docs.select(
+        "doc_id",
+        F.concat(F.lit("shared header\n"), F.col("text"), F.lit("\nshared footer")).alias("text"),
+    )
+    a = (
+        dedup_lines_global(messy, "doc_id", "text")
+        .toPandas().sort_values("doc_key").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    b = con.execute(
+        dedup_lines_global_sql(
+            "(SELECT doc_id, 'shared header' || chr(10) || text || chr(10) || "
+            "'shared footer' AS text FROM documents) m",
+            "doc_id",
+            "text",
+        )
+    ).df().sort_values("doc_key").reset_index(drop=True)
+    assert (a["text"].values == b["text"].values).all()
+    # the injected header/footer survive exactly once, in the lowest doc_id
+    first = a.iloc[0]["text"]
+    assert "shared header" in first and "shared header" not in a.iloc[1]["text"]
