@@ -2065,11 +2065,9 @@ class SearchEngine:
         (disjunctive over all negative tokens; corpus-wide BM25 stats
         unchanged — exclusion prunes candidates exactly like a filter)."""
         from ..tokenizer import extract_index_terms, tokenize_for_index
+        from .pipeline import split_query_negatives
 
-        positive, negs = split_negative_keywords(query)
-        exclude_terms = [
-            t for chunk in negs for t in extract_index_terms(tokenize_for_index(chunk))
-        ]
+        positive, exclude_terms = split_query_negatives(query)
         terms = extract_index_terms(tokenize_for_index(positive))
         return self.search_terms(
             terms, k=k, matching=matching, filters=filters, sort=sort,

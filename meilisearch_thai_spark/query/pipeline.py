@@ -118,6 +118,22 @@ def split_negative_keywords(query: str) -> tuple[str, list[str]]:
     return positive.strip(), negs
 
 
+def split_query_negatives(query: str) -> tuple[str, list[str]]:
+    """One-stop negative-keyword parse: ``(positive_query, exclude_terms)``.
+
+    Every negative chunk tokenizes with the SAME pinned index tokenizer and
+    every resulting term excludes its docs (disjunctive over all negative
+    tokens).  This is THE definition of which docs a ``-word`` blocks —
+    both the variant pipeline (:func:`process_query`) and the direct
+    ``SearchEngine.search`` path call it, so negative tokenization can
+    never diverge between the two surfaces."""
+    positive, negs = split_negative_keywords(query)
+    exclude = [
+        t for chunk in negs for t in extract_index_terms(tokenize_for_index(chunk))
+    ]
+    return positive, exclude
+
+
 def normalize_query(q: str) -> str:
     """Q8: collapse whitespace (tokenizer/query_processor.py:233-244)."""
     return re.sub(r"\s+", " ", q).strip()
@@ -355,12 +371,7 @@ def process_query(
     every variant (the request-level MeiliSearch matchingStrategy override,
     reference models/requests.py:22) — except explicit phrase variants,
     whose adjacency semantics the strategy never relaxes."""
-    positive, negs = split_negative_keywords(q)
-    # each negative chunk tokenizes with the SAME pinned tokenizer; every
-    # resulting term excludes its docs (disjunctive over all neg tokens)
-    exclude = [
-        t for chunk in negs for t in extract_index_terms(tokenize_for_index(chunk))
-    ]
+    positive, exclude = split_query_negatives(q)
     nq = normalize_query(positive)
     analysis = analyze_query(nq)
     if not nq:
