@@ -26,6 +26,7 @@ from meilisearch_thai_spark.pipeline import similarity as sim
 from meilisearch_thai_spark.pipeline import textstats as ts
 from meilisearch_thai_spark.pipeline import webtext as wtx
 from meilisearch_thai_spark.pipeline import weburl as wu
+from meilisearch_thai_spark.pipeline import webgraph as wg
 from meilisearch_thai_spark.pipeline import sampling as smp
 from meilisearch_thai_spark.pipeline import packing as pk
 from meilisearch_thai_spark.query import adhoc
@@ -42,6 +43,41 @@ _UPD_SUFFIX = " merge join refresh"
 # hosts dropped by the weburl_blocklist entry (5 of _synth_urls' 20 hosts;
 # same literals in the DuckDB twin)
 _BLOCKED_HOSTS = [f"www.site{i}.example.com" for i in (0, 3, 7, 11, 19)]
+
+# deterministic mini-web over documents for the webgraph entries: 20 hosts,
+# every page carries one topical anchor (host walk *7+1), one relative href
+# (must be dropped), and one case/port-variant anchor (host walk *3+5).
+# Spark evaluates these via F.expr and DuckDB verbatim — Spark-SQL/DuckDB
+# common subset only (||, CAST AS STRING, CASE WHEN, %)
+_WG_URL_EXPR = (
+    "'https://site' || CAST(doc_id % 20 AS STRING) || '.example.com/p/' "
+    "|| CAST(doc_id AS STRING)"
+)
+_WG_HTML_EXPR = (
+    "'<html><body><h1>Page ' || CAST(doc_id AS STRING) || '</h1>'"
+    " || '<a href=\"https://site' || CAST((doc_id * 7 + 1) % 20 AS STRING)"
+    " || '.example.com/x/' || CAST(doc_id AS STRING) || '\">'"
+    " || CASE WHEN doc_id % 4 = 0 THEN 'thai news today'"
+    "         WHEN doc_id % 4 = 1 THEN 'street food guide'"
+    "         WHEN doc_id % 4 = 2 THEN 'travel blog' ELSE 'tech review' END"
+    " || '</a> <a href=\"/local/' || CAST(doc_id AS STRING) || '\">home</a> '"
+    " || '<a href=\"HTTPS://SITE' || CAST((doc_id * 3 + 5) % 20 AS STRING)"
+    " || '.EXAMPLE.COM:443/y\">read more</a></body></html>'"
+)
+_WG_PAGES_SQL = (
+    f"pages AS (SELECT doc_id, {_WG_URL_EXPR} AS url, {_WG_HTML_EXPR} AS html"
+    " FROM documents)"
+)
+
+
+def _wg_edges_sql() -> str:
+    """DuckDB chain: synthetic pages → extracted links → host edges."""
+    return (
+        f"WITH {_WG_PAGES_SQL},\n"
+        f"links AS ({wg.extract_links_sql('pages', 'url', 'html')})\n"
+        f"{wg.host_edges_sql('SELECT * FROM links', 'doc_key', 'link')}"
+    )
+
 
 # injected boilerplate lines for the webtext_* entries (identical strings in
 # the DuckDB oracle)
@@ -1013,6 +1049,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("warc_ts"),
         )
 
+    def _synth_webpages(spark, sf):
+        # deterministic mini-web (see _WG_HTML_EXPR): the page url doubles
+        # as the doc key so link extraction needs no join back
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            F.expr(_WG_URL_EXPR).alias("url"),
+            F.expr(_WG_HTML_EXPR).alias("html"),
+        )
+
+    def weburl_link_graph(spark, sf):
+        # html → <a> tags → absolute links → host-graph edges; pure codegen
+        # extraction + ONE groupBy (the pre-aggregation every iterative link
+        # analysis runs first at crawl scale)
+        links = wg.extract_links(_synth_webpages(spark, sf), "url", "html")
+        return wg.host_edges(links, "doc_key", "link")
+
+    def weburl_pagerank(spark, sf):
+        # integer fixed-point PageRank (5 power iterations, damping 0.85):
+        # BIGINT units make the result partitioning/engine independent, so
+        # the unrolled-CTE DuckDB twin matches bit-for-bit
+        return wg.pagerank(weburl_link_graph(spark, sf), iterations=5)
+
+    def weburl_anchor_terms(spark, sf):
+        # top-3 anchor terms per TARGET host — the classic anchor-text
+        # ranking signal; total order (n desc, term asc) on both engines
+        links = wg.extract_links(_synth_webpages(spark, sf), "url", "html")
+        return wg.anchor_terms(links, k=3)
+
     def weburl_normalize(spark, sf):
         # RFC 3986 syntax normalization + tracking-param strip, pure Column
         # codegen — the canonical key url-keyed dedup/upserts need at crawl
@@ -1311,6 +1375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_session_stats": s6_session_stats,
         "s6_trending": s6_trending,
         "sample_stratified": sample_stratified,
+        "weburl_link_graph": weburl_link_graph,
+        "weburl_pagerank": weburl_pagerank,
+        "weburl_anchor_terms": weburl_anchor_terms,
     }
 
 
@@ -1816,5 +1883,13 @@ SELECT doc_key, md5(masked_text) AS masked_md5, n_email, n_ipv4, n_phone FROM q
         "ann_lsh_topk": sim.lsh_cosine_topk_sql("embeddings", "vec_id", "embedding", 64, 0, k=20),
         "ann_ivf_topk": sim.ivf_cosine_topk_sql(
             "embeddings", "vec_id", "embedding", 0, k=20, n_cells=8, n_probe=4
+        ),
+        "weburl_link_graph": _wg_edges_sql(),
+        "weburl_pagerank": wg.pagerank_sql(_wg_edges_sql(), iterations=5),
+        "weburl_anchor_terms": (
+            f"WITH {_WG_PAGES_SQL}\n"
+            + wg.anchor_terms_sql(
+                wg.extract_links_sql("pages", "url", "html"), k=3
+            )
         ),
     }
