@@ -1049,6 +1049,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("warc_ts"),
         )
 
+    def r11_prefix_search(spark, sf):
+        # MeiliSearch search-as-you-type through the real engine: the
+        # partial last word 'sca' expands to its index completions
+        # (lexicographic head-vocab scan), each completion a weighted
+        # variant in ONE block-max job, best variant per doc
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index(spark, sf), cache_postings=False)
+        hits = eng.search_prefix("merge sca", k=20, max_expansions=5)
+        return hits.select(
+            F.col("url").cast("long").alias("doc_key"),
+            F.round("score", 4).alias("score"),
+            F.col("terms_matched").cast("long").alias("terms_matched"),
+        ).orderBy(F.desc("score"), F.asc("doc_key"))
+
     def _synth_webpages(spark, sf):
         # deterministic mini-web (see _WG_HTML_EXPR): the page url doubles
         # as the doc key so link extraction needs no join back
@@ -1378,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weburl_link_graph": weburl_link_graph,
         "weburl_pagerank": weburl_pagerank,
         "weburl_anchor_terms": weburl_anchor_terms,
+        "r11_prefix_search": r11_prefix_search,
     }
 
 
@@ -1883,6 +1899,10 @@ SELECT doc_key, md5(masked_text) AS masked_md5, n_email, n_ipv4, n_phone FROM q
         "ann_lsh_topk": sim.lsh_cosine_topk_sql("embeddings", "vec_id", "embedding", 64, 0, k=20),
         "ann_ivf_topk": sim.ivf_cosine_topk_sql(
             "embeddings", "vec_id", "embedding", 0, k=20, n_cells=8, n_probe=4
+        ),
+        "r11_prefix_search": adhoc.bm25_prefix_topk_sql_oracle(
+            "documents", "doc_id", "text", ["merge", "sca"], k=20,
+            max_expansions=5, prefix_weight=rk.PREFIX_COMPLETION_WEIGHT,
         ),
         "weburl_link_graph": _wg_edges_sql(),
         "weburl_pagerank": wg.pagerank_sql(_wg_edges_sql(), iterations=5),

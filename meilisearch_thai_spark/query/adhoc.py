@@ -269,3 +269,99 @@ GROUP BY tf.doc_key
 ORDER BY {order}
 LIMIT {k}
 """
+
+
+def bm25_prefix_topk_sql_oracle(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    max_expansions: int = 5,
+    prefix_weight: float = 0.95,
+    token_regex: str = "[a-z]+",
+) -> str:
+    """DuckDB twin of ``SearchEngine.search_prefix`` (search-as-you-type).
+
+    Variant 0 = the literal ``query_terms``; variant i = the same terms with
+    the LAST one replaced by the i-th index-vocabulary completion of it
+    (terms the last word strictly prefixes, lexicographic order, capped at
+    ``max_expansions`` — the same bounded head-vocab scan the engine runs).
+    Every variant's BM25 sum is weighted (1.0 literal, ``prefix_weight``
+    completions), each doc keeps its best variant (ties to the lowest
+    variant id, i.e. the literal), and the top-k cut ranks by the
+    FULL-precision weighted score — rounding is display-only, exactly like
+    the engine.  Same Latin-tokenization validity caveat as
+    :func:`bm25_topk_sql_oracle`.
+    """
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("prefix oracle needs at least one query term")
+    last = terms[-1].replace("'", "''")
+    base_vals = ", ".join("('" + t.replace("'", "''") + "')" for t in terms)
+    head = terms[:-1]
+    head_union = (
+        "UNION ALL SELECT v.vid, b.term FROM vcomp v CROSS JOIN (VALUES "
+        + ", ".join("('" + t.replace("'", "''") + "')" for t in head)
+        + ") b(term)"
+        if head
+        else ""
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_key, unnest(regexp_extract_all({text_col}, '{token_regex}')) AS term
+  FROM {table}
+),
+tf AS (
+  SELECT doc_key, term, COUNT(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_key, SUM(tf) AS dl FROM tf GROUP BY 1
+),
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM dl
+),
+comp AS (
+  SELECT DISTINCT term FROM tf
+  WHERE term LIKE '{last}%' AND term <> '{last}'
+  ORDER BY term LIMIT {max_expansions}
+),
+vcomp AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY term) AS vid, term FROM comp
+),
+vterms AS (
+  SELECT DISTINCT vid, term FROM (
+    SELECT 0 AS vid, b.term FROM (VALUES {base_vals}) b(term)
+    UNION ALL SELECT vid, term FROM vcomp
+    {head_union}
+  )
+),
+df_t AS (
+  SELECT term, COUNT(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM vterms) GROUP BY 1
+),
+scored AS (
+  SELECT v.vid, tf.doc_key,
+         SUM( ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+              * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) )
+         * CASE WHEN v.vid = 0 THEN 1.0 ELSE {prefix_weight} END AS score,
+         COUNT(DISTINCT tf.term) AS terms_matched
+  FROM vterms v
+  JOIN tf ON tf.term = v.term
+  JOIN df_t ON tf.term = df_t.term
+  JOIN dl ON tf.doc_key = dl.doc_key
+  CROSS JOIN stats
+  GROUP BY v.vid, tf.doc_key
+),
+best AS (
+  SELECT doc_key, score, terms_matched FROM (
+    SELECT scored.*, ROW_NUMBER() OVER (
+      PARTITION BY doc_key ORDER BY score DESC, vid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT doc_key, ROUND(score, {SCORE_DECIMALS}) AS score, terms_matched
+FROM best
+ORDER BY score DESC, doc_key ASC
+LIMIT {k}
+"""

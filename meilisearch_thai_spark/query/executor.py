@@ -1794,6 +1794,88 @@ class SearchEngine:
         )
         return self._finalize_hits(topk, attributes=attributes_to_retrieve)
 
+    def search_prefix(
+        self,
+        query: str,
+        k: int = 10,
+        max_expansions: int = 5,
+        filters: dict | None = None,
+        attributes_to_retrieve: list[str] | None = None,
+    ) -> DataFrame:
+        """MeiliSearch search-as-you-type: prefix matching on the FINAL word.
+
+        Unless ``query`` ends in whitespace, its last word additionally
+        matches every index term it prefixes (MeiliSearch applies prefix
+        search to the final query word by default; the reference proxies raw
+        queries straight to MeiliSearch, so partially-typed words hit this
+        path — search_proxy/services/search_executor.py forwards ``q``
+        verbatim).  Shape: variant 0 = the literal terms; variant i = the
+        same terms with the last word replaced by completion i (bounded
+        head-vocab scan of :meth:`expand_terms`, lexicographic order).  All
+        variants score in ONE block-max bucket top-k job; completions are
+        discounted ×``PREFIX_COMPLETION_WEIGHT`` so the literal word beats
+        its completions at equal raw score (exactness above prefix), and a
+        doc keeps its best variant (X4 dedup, ties to the literal variant).
+        Weights are constant per variant, so within-variant raw rank ==
+        weighted rank and the pruned per-variant top-k stays exact.
+
+        Negative keywords (``-word``) parse exactly as in :meth:`search`;
+        they never prefix-expand (MeiliSearch negates the literal word).
+        """
+        from .pipeline import split_query_negatives
+        from .ranker import PREFIX_COMPLETION_WEIGHT
+        from ..tokenizer import extract_index_terms, tokenize_for_index
+
+        positive, exclude_terms = split_query_negatives(query)
+        base = list(
+            dict.fromkeys(
+                self._drop_stopwords(extract_index_terms(tokenize_for_index(positive)))
+            )
+        )
+        variants: list[list[str]] = [base]
+        if base and not query[-1].isspace():
+            for c in self.expand_terms(base[-1], max_expansions):
+                variants.append(list(dict.fromkeys(base[:-1] + [c])))
+        if len(variants) == 1:
+            # nothing to complete → plain single-variant search
+            return self.search_terms(
+                base, k=k, filters=filters,
+                attributes_to_retrieve=attributes_to_retrieve,
+                exclude_terms=exclude_terms or None,
+            )
+        neg_ids = blocked = None
+        if exclude_terms:
+            neg_ids, blocked = self._negative_exclusion(exclude_terms)
+        qterms = [QueryTerm(vid, t) for vid, ts in enumerate(variants) for t in ts]
+        if blocked is not None:
+            allowed = (
+                self.allowed_docs(filters) if filters
+                else self._exclude_deleted(self.doc_stats.select("doc_id"))
+            )
+            scored = self.score_variants_topk_filtered(
+                qterms, k=k, allowed=allowed.join(blocked, "doc_id", "left_anti")
+            )
+        elif filters:
+            scored = self.score_variants_topk_filtered(
+                qterms, k=k, allowed=self.allowed_docs(filters),
+                extra_excluded=neg_ids,
+            )
+        else:
+            scored = self.score_variants_topk(qterms, k=k, extra_excluded=neg_ids)
+        scored = scored.withColumn(
+            "score",
+            F.col("score")
+            * F.when(F.col("variant_id") == 0, F.lit(1.0)).otherwise(
+                F.lit(PREFIX_COMPLETION_WEIGHT)
+            ),
+        )
+        topk = (
+            self._dedup_best_per_doc(scored)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        return self._finalize_hits(topk, attributes=attributes_to_retrieve)
+
     def scored_topk(
         self,
         terms: list[str],

@@ -22,6 +22,9 @@ VARIANT_BOOSTS = {
     "synonym": 1.0,  # equal-word semantics; exactness boost separates originals
 }
 ENGINE_BOOST_NEWMM = 1.1
+# search-as-you-type: a completed last word scores slightly below the same
+# words matched literally (MeiliSearch exactness ranks exact above prefix)
+PREFIX_COMPLETION_WEIGHT = 0.95
 EXACT_MATCH_BOOST = 2.0  # result_ranker.py:1286-1303, config settings.py:61
 POSITION_DECAY = 0.1  # result_ranker.py:364-366
 MIN_SCORE_THRESHOLD = 0.1  # search_proxy/config/settings.py:65
