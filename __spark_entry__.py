@@ -1112,6 +1112,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ref = docs.filter(F.col("doc_id") % 7 == 0).select("text")
         return wtx.unigram_logprob(docs, "doc_id", "text", ref, "text")
 
+    def webtext_quality_buckets(spark, sf):
+        # CCNet head/middle/tail: rank by the unigram-LM score and NTILE
+        # into 4 curriculum buckets (1 = most reference-like); ties break
+        # on doc_key, score pre-rounded 4dp so the cut is engine-identical
+        docs = _t(spark, sf, "documents")
+        ref = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+        return wtx.quality_buckets(
+            wtx.unigram_logprob(docs, "doc_id", "text", ref, "text"),
+            n_buckets=4,
+        )
+
+    def stats_bpe_pairs(spark, sf):
+        # BPE merge-step statistic: top adjacent character pairs inside
+        # words, counted over the frequency-weighted vocabulary (two hash
+        # aggs, vocab-scale explode — the BPE-trainer shape)
+        return ts.bpe_pair_counts(_t(spark, sf, "documents"), "text", k=30)
+
     def webtext_html_extract(spark, sf):
         # crawl-grade HTML -> text extraction over deterministically
         # synthesized pages (title/head/script/style/comments/entities) —
@@ -1394,6 +1411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weburl_pagerank": weburl_pagerank,
         "weburl_anchor_terms": weburl_anchor_terms,
         "r11_prefix_search": r11_prefix_search,
+        "stats_bpe_pairs": stats_bpe_pairs,
+        "webtext_quality_buckets": webtext_quality_buckets,
     }
 
 
@@ -1903,6 +1922,13 @@ SELECT doc_key, md5(masked_text) AS masked_md5, n_email, n_ipv4, n_phone FROM q
         "r11_prefix_search": adhoc.bm25_prefix_topk_sql_oracle(
             "documents", "doc_id", "text", ["merge", "sca"], k=20,
             max_expansions=5, prefix_weight=rk.PREFIX_COMPLETION_WEIGHT,
+        ),
+        "stats_bpe_pairs": ts.bpe_pair_counts_sql("documents", "text", k=30),
+        "webtext_quality_buckets": wtx.quality_buckets_sql(
+            f"""WITH refslice AS (SELECT text FROM documents WHERE doc_id % 7 = 0),
+q AS ({wtx.unigram_logprob_sql('documents', 'doc_id', 'text', 'refslice', 'text')})
+SELECT * FROM q""",
+            n_buckets=4,
         ),
         "weburl_link_graph": _wg_edges_sql(),
         "weburl_pagerank": wg.pagerank_sql(_wg_edges_sql(), iterations=5),

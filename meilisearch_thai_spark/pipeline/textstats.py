@@ -396,3 +396,58 @@ FROM grams GROUP BY 1
 ORDER BY n DESC, ngram ASC
 LIMIT {k}
 """
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Tokenizer-training primitive: corpus counts of adjacent CHARACTER
+    pairs inside words — the statistic a BPE trainer's merge step maximizes
+    (Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+    Subword Units"; the top pair here IS the first merge).
+
+    Computed the way BPE trainers actually do it: over the frequency-
+    weighted VOCABULARY (distinct words × their corpus counts), never the
+    raw token stream — so the pair explode runs on vocab-scale input
+    (log-scale smaller than the corpus) and the whole op is two hash
+    aggregations with map-side combine: word→count, then pair→Σcount.
+    The final cut is TakeOrderedAndProject (per-partition k + driver merge,
+    no global sort), ties broken on the pair string.  Single-char words
+    contribute nothing (the guard also keeps Spark's ``sequence`` from
+    generating a DESCENDING range when length-1 < 1).
+    """
+    words = (
+        docs.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wc"))
+    )
+    pair_arr = F.when(
+        F.length("word") >= 2,
+        F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select(F.explode(pair_arr).alias("pair"), "wc")
+        .groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+def bpe_pair_counts_sql(table: str, text_col: str, k: int = 20) -> str:
+    """DuckDB twin of :func:`bpe_pair_counts` (generate_series is empty for
+    single-char words, matching the Spark guard)."""
+    return f"""
+WITH words AS (
+  SELECT word, COUNT(*)::BIGINT AS wc FROM (
+    SELECT unnest(list_filter(string_split(lower({text_col}), ' '), x -> x <> '')) AS word
+    FROM {table}
+  ) GROUP BY 1
+),
+pos AS (
+  SELECT word, wc, unnest(generate_series(1, len(word) - 1)) AS i
+  FROM words WHERE len(word) >= 2
+)
+SELECT substr(word, i, 2) AS pair, CAST(SUM(wc) AS BIGINT) AS n
+FROM pos GROUP BY 1
+ORDER BY n DESC, pair ASC
+LIMIT {k}
+"""

@@ -930,3 +930,51 @@ base AS (SELECT {id_col} AS doc_key FROM {table})
 SELECT base.doc_key, COALESCE(surv.text, '') AS text
 FROM base LEFT JOIN surv USING (doc_key)
 """
+
+
+def quality_buckets(
+    scored: DataFrame,
+    id_col: str = "doc_key",
+    score_col: str = "mean_logprob",
+    n_buckets: int = 4,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): rank documents
+    by LM-quality score and cut into ``n_buckets`` equal buckets — bucket 1
+    is the most reference-like slice (the "head" a curriculum samples
+    first), the last bucket the tail a pipeline drops or down-weights.
+
+    Deterministic on both engines: the score arrives already engine-stably
+    rounded (:func:`unigram_logprob` rounds to 4 decimals) and ties break
+    on ``id_col``; NTILE's leading-buckets-get-the-remainder rule is the
+    same standard SQL semantics in Spark and DuckDB.
+
+    Scale note: an unpartitioned NTILE is one global sort — of (id, score)
+    pairs only, never the text, so it's a narrow two-column exchange; at
+    100 TB prefer ``percentile_approx`` threshold cuts (one aggregate, no
+    sort) when approximate bucket boundaries are acceptable.  Exact NTILE
+    is the oracle-gated reference semantics.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return scored.select(
+        id_col, score_col, F.ntile(n_buckets).over(w).alias("bucket")
+    )
+
+
+def quality_buckets_sql(
+    scored_sql: str,
+    id_col: str = "doc_key",
+    score_col: str = "mean_logprob",
+    n_buckets: int = 4,
+) -> str:
+    """DuckDB twin of :func:`quality_buckets`."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    return f"""
+SELECT {id_col}, {score_col},
+       NTILE({n_buckets}) OVER (ORDER BY {score_col} DESC, {id_col} ASC) AS bucket
+FROM ({scored_sql})
+"""

@@ -66,3 +66,19 @@ def test_duckdb_parity_corpus(spark, sf_dir, k):
     a, b = a[sorted(a.columns)], b[sorted(b.columns)]
     assert a.shape == b.shape
     assert (a.astype(str).values == b.astype(str).values).all()
+
+
+def test_bpe_pair_counts_vocab_weighted(spark):
+    import pytest as _pytest
+
+    from meilisearch_thai_spark.pipeline.textstats import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [("d1", "aba aba ab"), ("d2", "aba x")], ["doc_key", "text"]
+    )
+    out = [(r.pair, r.n) for r in bpe_pair_counts(docs, "text", k=10).collect()]
+    # vocab: aba×3, ab×1, x×1 → pairs: ab = 3(aba)+1(ab) = 4, ba = 3;
+    # single-char 'x' contributes nothing
+    assert out == [("ab", 4), ("ba", 3)]
+    with _pytest.raises(Exception):
+        bpe_pair_counts(docs, "missing_col", k=5).collect()

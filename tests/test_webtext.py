@@ -559,3 +559,18 @@ def test_dedup_lines_global_duckdb_parity(spark, sf_dir):
     # the injected header/footer survive exactly once, in the lowest doc_id
     first = a.iloc[0]["text"]
     assert "shared header" in first and "shared header" not in a.iloc[1]["text"]
+
+
+def test_quality_buckets_ntile_deterministic(spark):
+    from meilisearch_thai_spark.pipeline.webtext import quality_buckets
+
+    rows = [("d1", -2.0), ("d2", -1.0), ("d3", -3.0), ("d4", -1.0), ("d5", -4.0)]
+    scored = spark.createDataFrame(rows, ["doc_key", "mean_logprob"])
+    out = {r.doc_key: r.bucket for r in quality_buckets(scored, n_buckets=2).collect()}
+    # order: d2(-1) d4(-1, doc_key tie-break) d1(-2) d3(-3) d5(-4);
+    # NTILE(2) over 5 rows → leading bucket gets 3
+    assert out == {"d2": 1, "d4": 1, "d1": 1, "d3": 2, "d5": 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quality_buckets(scored, n_buckets=0)
