@@ -134,6 +134,48 @@ def split_query_negatives(query: str) -> tuple[str, list[str]]:
     return positive, exclude
 
 
+def add_prefix_variants(
+    pq: "ProcessedQuery",
+    expand_fn,
+    raw_query: str,
+    max_expansions: int = 5,
+) -> "ProcessedQuery":
+    """Search-as-you-type in the FULL variant pipeline: append one variant
+    per index completion of the last word (MeiliSearch prefix-matches the
+    final query word by default; opt-in here so existing callers keep their
+    exact-token semantics).
+
+    Skipped when ``raw_query`` ends in whitespace (the word is finished).
+    The base is the first non-phrase variant; each completion variant keeps
+    its matching strategy and takes ``weight × PREFIX_COMPLETION_WEIGHT``
+    so the literal word outranks its completions at equal raw score.
+    ``expand_fn`` is the engine's bounded head-vocab scan
+    (``SearchEngine.expand_terms``) — the pipeline stays engine-agnostic.
+    Mutates and returns ``pq``.
+    """
+    from .ranker import PREFIX_COMPLETION_WEIGHT
+
+    if not raw_query or raw_query[-1].isspace():
+        return pq
+    base = next((v for v in pq.variants if v.matching != "phrase"), None)
+    if base is None or not base.terms:
+        return pq
+    last = base.terms[-1]
+    for c in expand_fn(last, max_expansions):
+        terms = list(dict.fromkeys(base.terms[:-1] + [c]))
+        pq.variants.append(
+            QueryVariant(
+                variant_type="prefix",
+                query_text=" ".join(terms),
+                terms=terms,
+                weight=_clamp_weight(base.weight * PREFIX_COMPLETION_WEIGHT),
+                matching=base.matching,
+                metadata={"source": "prefix", "prefix": last},
+            )
+        )
+    return pq
+
+
 def normalize_query(q: str) -> str:
     """Q8: collapse whitespace (tokenizer/query_processor.py:233-244)."""
     return re.sub(r"\s+", " ", q).strip()

@@ -20,6 +20,9 @@ VARIANT_BOOSTS = {
     "mixed_language": 1.0,
     "phrase": 1.5,  # exact adjacency dominates loose-token matches (quoted intent)
     "synonym": 1.0,  # equal-word semantics; exactness boost separates originals
+    # same boost as tokenized: the exactness ordering comes from the
+    # ×PREFIX_COMPLETION_WEIGHT variant weight, not a second boost discount
+    "prefix": 1.2,
 }
 ENGINE_BOOST_NEWMM = 1.1
 # search-as-you-type: a completed last word scores slightly below the same

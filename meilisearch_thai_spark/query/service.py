@@ -105,6 +105,7 @@ class SearchService:
         attributes_to_search_on: list[str] | None = None,
         show_matches_position: bool = False,
         show_ranking_score_details: bool = False,
+        prefix_search: bool = False,
     ) -> SearchResponse:
         req = validate_request(
             SearchRequest(
@@ -139,6 +140,13 @@ class SearchService:
             req.query, synonyms=self.engine._synonyms or None,
             matching_strategy=req.matching_strategy, **pq_kwargs,
         )
+        if prefix_search:
+            # search-as-you-type: completions of the last word ride the same
+            # one-job variant fan-out (MeiliSearch prefix-matches the final
+            # word by default; opt-in keeps existing exact-token behavior)
+            from .pipeline import add_prefix_variants
+
+            add_prefix_variants(pq, self.engine.expand_terms, raw_query=req.query)
         t_tok = time.time()
 
         # need offset+limit rows, +headroom when content-dedup may drop some

@@ -30,7 +30,7 @@ DOCS = [
 
 
 @pytest.fixture(scope="module")
-def eng(spark, tmp_path_factory):
+def idx(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("pfx_idx"))
     from pyspark.sql import functions as F
 
@@ -38,7 +38,12 @@ def eng(spark, tmp_path_factory):
         "lang", F.lit("en")
     )
     build_index(spark, pages, out)
-    return SearchEngine(spark, out, cache_postings=False)
+    return out
+
+
+@pytest.fixture(scope="module")
+def eng(spark, idx):
+    return SearchEngine(spark, idx, cache_postings=False)
 
 
 def _oracle_rows(query_terms, k=10, max_expansions=5):
@@ -93,3 +98,28 @@ def test_prefix_no_expansions_falls_back(eng):
     got = [(r["url"], round(r["score"], 4), r["terms_matched"]) for r in hits]
     assert got == [(d, s, m) for d, s, m in _oracle_rows(["scan"])]
     assert {"0004", "0007"} <= {u for u, _, _ in got}
+
+
+def test_service_prefix_search_opt_in(spark, idx):
+    # the facade routes completions through the SAME one-job variant fan-out
+    from meilisearch_thai_spark.query.service import SearchService
+
+    svc = SearchService(spark, idx, cache_postings=False)
+    off = svc.search("merge sca", limit=10)
+    on = svc.search("merge sca", limit=10, prefix_search=True)
+    # the pooled fallback expansion already surfaces completion docs even
+    # without prefix_search; what prefix variants add is CONJUNCTIVE pairing
+    # (merge AND scan in one variant) at tokenized-level weight instead of
+    # the discounted disjunctive fallback pool — doc 0001 (merge+scan) must
+    # score strictly higher and win through a prefix-typed variant
+    assert any(h.variant_type == "prefix" for h in on.hits)
+    s_on = {h.url: h.score for h in on.hits}
+    s_off = {h.url: h.score for h in off.hits}
+    assert s_on["0001"] > s_off["0001"]
+    h1 = next(h for h in on.hits if h.url == "0001")
+    assert h1.variant_type == "prefix" and h1.terms_matched == 2
+    # trailing whitespace = finished word → identical to the plain search
+    done = svc.search("merge sca ", limit=10, prefix_search=True)
+    assert [(h.url, h.score) for h in done.hits] == [
+        (h.url, h.score) for h in off.hits
+    ]
