@@ -192,6 +192,12 @@ def main() -> None:
         "webtext_quality_classifier",
         "dedup_incremental",
         "r11_negative_search",
+        # round-4 (cont. 2): link analysis (5 fixed-point PageRank rounds
+        # incl. link extraction + host-graph agg) and search-as-you-type
+        # through the real engine (memoized index; per-call init included)
+        "weburl_pagerank",
+        "r11_prefix_search",
+        "stats_bpe_pairs",
     ]
     for name in names[6:]:
         qs[name](spark, SF_DIR).collect()  # untimed: builds the memoized index
