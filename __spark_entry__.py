@@ -940,6 +940,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"train": 0.9, "val": 0.05, "test": 0.05},
         )
 
+    _MIX_BUDGETS = {"src0": 700, "src1": 5000, "src2": 0, "src3": 400, "srcX": 100}
+
+    def sample_token_budget(spark, sf):
+        # mixture construction by TOKEN budget (Pile/DoReMi shape): greedy
+        # md5-ordered prefix per source until its budget fills.  The Spark
+        # side runs the contiguous-hash-range decomposition (256-way
+        # parallel windows, budget-pruned ranges); the oracle is the naive
+        # global per-source running sum — equality proves the decomposition.
+        # Budgets cover every regime at sf0.01: straddling (src0, src3),
+        # keep-all (src1 at sf0.01), zero-budget (src2), absent name (srcX).
+        return smp.token_budget_sample(
+            _t(spark, sf, "documents"), "doc_id", "text", "source", _MIX_BUDGETS
+        )
+
     def dedup_incremental(spark, sf):
         # monthly-dump shape: dedup the new batch (odd doc_ids) against the
         # already-ingested snapshot (even doc_ids) by md5(text) anti-join
@@ -1332,6 +1346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_prefix_search": r11_prefix_search,
         "stats_bpe_pairs": stats_bpe_pairs,
         "webtext_quality_buckets": webtext_quality_buckets,
+        # -- new in the round-4 continuation 2 (this session)
+        "sample_token_budget": sample_token_budget,
         # -- new in round 4
         "s2_update_documents": s2_update_documents,
         "s2_update_metadata": s2_update_metadata,
@@ -1370,7 +1386,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup_components,
         "dedup_span_ngrams": dedup_span_ngrams,
         "hybrid_search_topk": hybrid_search_topk,
-        "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "stats_quality": stats_quality,
@@ -1384,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-round execution signal while resting.
         "r11_bm25_topk": r11_bm25_topk,
         "r11_bm25_conjunctive": r11_bm25_conjunctive,
+        "ann_lsh_topk": ann_lsh_topk,
         "x9_enrichment": x9_enrichment,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1505,6 +1521,10 @@ LIMIT 100
             "(SELECT doc_id FROM documents) d",
             "doc_id",
             {"train": 0.9, "val": 0.05, "test": 0.05},
+        ),
+        "sample_token_budget": smp.token_budget_sample_sql(
+            "documents", "doc_id", "text", "source",
+            {"src0": 700, "src1": 5000, "src2": 0, "src3": 400, "srcX": 100},
         ),
         "stats_top_ngrams": ts.top_ngrams_sql("documents", "text", n=2, k=25),
         "webtext_quality_classifier": wtx.quality_classifier_sql(

@@ -198,6 +198,9 @@ def main() -> None:
         "weburl_pagerank",
         "r11_prefix_search",
         "stats_bpe_pairs",
+        # round-4 (cont. 2): token-budget mixture sampling (256-way
+        # contiguous-range window decomposition)
+        "sample_token_budget",
     ]
     for name in names[6:]:
         qs[name](spark, SF_DIR).collect()  # untimed: builds the memoized index

@@ -146,6 +146,139 @@ def hash_split(
     return docs.withColumn("split", expr)
 
 
+def token_budget_sample(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    budgets: dict[str, int],
+    seed: str = "mix",
+) -> DataFrame:
+    """Fill per-source TOKEN budgets deterministically — the mixture-
+    construction step of a pretraining pipeline (Pile/DoReMi-style: "take
+    30 B tokens of web, 3 B of code, 1 B of wiki").
+
+    Documents within a source are ordered by ``md5(seed|id)`` (the repo's
+    engine-neutral random order) and taken greedily until the source's
+    token budget is filled: a document is kept iff the total tokens of the
+    documents BEFORE it (in hash order) is still under the budget, so the
+    selection may overshoot by at most one document — the standard greedy
+    prefix rule, a pure function of (seed, corpus). Sources not named in
+    ``budgets`` are dropped. Token counts follow the repo-wide
+    ``textstats.ws_tokens`` convention.
+
+    Returns ``(doc_key, source, n_tokens, tokens_before)`` for kept rows.
+
+    Scale shape (the reason this is not one window per source): a naive
+    per-source running sum is a single sorted partition per source — with
+    ~5 sources at 100 TB that is 5 tasks doing all the work. Instead the
+    rank-key space is pre-split into 256 CONTIGUOUS hash ranges (the first
+    two hex digits of the rank key), per-(source, range) token sums are
+    aggregated (map-side combined; 256 × n_sources rows), the exact global
+    offset of every range is computed on the driver from that tiny table,
+    and ranges whose offset already exceeds the budget are pruned before
+    any sort happens. The remaining rows get
+    ``offset + within-range running sum`` — bit-equal to the global
+    per-source cumulative sum (ranges are contiguous in rank order), but
+    every window partition is (source, range): 256-way parallel, and at a
+    filled budget only ~the straddling range per source ever sorts. The
+    DuckDB oracle is the naive global window, so the decomposition itself
+    is under the correctness gate.
+    """
+    from pyspark.sql.window import Window
+
+    if not budgets:
+        raise ValueError("budgets must name at least one source")
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for source {s!r} must be >= 0, got {b}")
+    from meilisearch_thai_spark.pipeline.textstats import ws_tokens
+
+    spark = docs.sparkSession
+    rk = F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string")))
+    base = docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.col(source_col).cast("string").alias("source"),
+        F.size(ws_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        rk.alias("rk"),
+    ).filter(F.col("source").isin(list(budgets)))
+    base = base.withColumn("rng", F.substring("rk", 1, 2))
+
+    # Phase 1: per-(source, range) token sums — tiny (≤ 256 × n_sources).
+    sums = {
+        (r["source"], r["rng"]): r["tok"]
+        for r in base.groupBy("source", "rng")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    # Exact global offsets per contiguous range; prune ranges past budget.
+    surviving = []  # (source, rng, offset)
+    for src in sorted({s for s, _ in sums}):
+        off = 0
+        for rng in sorted(r for s, r in sums if s == src):
+            if off < budgets[src]:
+                surviving.append((src, rng, off))
+            off += sums[(src, rng)]
+    if not surviving:
+        return base.select("doc_key", "source", "n_tokens").withColumn(
+            "tokens_before", F.lit(0).cast("long")
+        ).limit(0)
+    offsets = spark.createDataFrame(surviving, ["source", "rng", "offset"])
+
+    # Phase 2: within-range running sum + the broadcast offset.
+    w = (
+        Window.partitionBy("source", "rng")
+        .orderBy("rk", "doc_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    joined = base.join(F.broadcast(offsets), ["source", "rng"])
+    before = F.col("offset") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    budget = F.lit(None).cast("long")
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col("source") == s, F.lit(b)).otherwise(budget)
+    return (
+        joined.withColumn("tokens_before", before.cast("long"))
+        .filter(F.col("tokens_before") < budget)
+        .select("doc_key", "source", "n_tokens", "tokens_before")
+    )
+
+
+def token_budget_sample_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    budgets: dict[str, int],
+    seed: str = "mix",
+) -> str:
+    """DuckDB twin of :func:`token_budget_sample` — deliberately the NAIVE
+    shape (one global per-source window), so the Spark side's contiguous-
+    range decomposition is proved equal to the plain running sum."""
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(b)}" for s, b in sorted(budgets.items())
+    )
+    in_list = ", ".join(f"'{s}'" for s in sorted(budgets))
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_key,
+         CAST({source_col} AS VARCHAR) AS source,
+         len(list_filter(string_split({text_col}, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+         md5('{seed}' || '|' || CAST({id_col} AS VARCHAR)) AS rk
+  FROM {table}
+  WHERE CAST({source_col} AS VARCHAR) IN ({in_list})
+),
+c AS (
+  SELECT doc_key, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY rk, doc_key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tokens_before
+  FROM t
+)
+SELECT doc_key, source, n_tokens, tokens_before
+FROM c WHERE tokens_before < CASE {cases} END
+"""
+
+
 def hash_split_sql(
     table: str, id_col: str, splits: dict[str, float], seed: str = "split"
 ) -> str:

@@ -187,3 +187,100 @@ def test_against_snapshot_duckdb_parity(spark, sf_dir):
         )
     ).df()[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
     assert (a["doc_id"].values == b["doc_id"].values).all() and len(a) > 0
+
+
+# ---------------------------------------------------------------- token-budget mixture
+
+
+def _greedy_expected(rows, budgets, seed="mix"):
+    """Pure-Python twin of token_budget_sample: greedy md5-ordered prefix."""
+    import hashlib
+
+    by_src = {}
+    for doc_id, src, n_tokens in rows:
+        rk = hashlib.md5(f"{seed}|{doc_id}".encode()).hexdigest()
+        by_src.setdefault(src, []).append((rk, doc_id, n_tokens))
+    out = {}
+    for src, docs in by_src.items():
+        if src not in budgets:
+            continue
+        before = 0
+        for rk, doc_id, n_tokens in sorted(docs):
+            if before < budgets[src]:
+                out[doc_id] = (src, n_tokens, before)
+            before += n_tokens
+    return out
+
+
+def test_token_budget_greedy_prefix_exact_and_partition_invariant(spark):
+    from meilisearch_thai_spark.pipeline.sampling import token_budget_sample
+
+    rows = [(i, f"s{i % 3}", f"w{i} " * ((i * 7) % 13 + 1)) for i in range(60)]
+    rows += [(100, "s0", ""), (101, "s9", "a b c")]  # empty doc; unbudgeted source
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    budgets = {"s0": 50, "s1": 10_000, "s2": 0}
+    expected = _greedy_expected(
+        [(i, s, len([t for t in x.split(" ") if t])) for i, s, x in rows], budgets
+    )
+
+    for df in (docs, docs.repartition(7, "doc_id")):
+        got = {
+            r["doc_key"]: (r["source"], r["n_tokens"], r["tokens_before"])
+            for r in token_budget_sample(df, "doc_id", "text", "source", budgets).collect()
+        }
+        assert got == expected
+    # regime sanity: s2 contributes nothing, s1 keeps all 20 of its docs,
+    # s0 overshoots by at most one document
+    assert not any(src == "s2" for src, _, _ in expected.values())
+    assert sum(1 for src, _, _ in expected.values() if src == "s1") == 20
+    s0_kept = [(n, b) for src, n, b in expected.values() if src == "s0"]
+    assert all(b < budgets["s0"] for _, b in s0_kept)
+    assert sum(n for n, _ in s0_kept) - budgets["s0"] < max(n for n, _ in s0_kept)
+
+
+def test_token_budget_validation(spark):
+    import pytest as _pytest
+
+    from meilisearch_thai_spark.pipeline.sampling import token_budget_sample
+
+    docs = spark.createDataFrame([(1, "a", "x")], ["doc_id", "source", "text"])
+    with _pytest.raises(ValueError):
+        token_budget_sample(docs, "doc_id", "text", "source", {})
+    with _pytest.raises(ValueError):
+        token_budget_sample(docs, "doc_id", "text", "source", {"a": -1})
+    # all budgets zero -> empty result with the full schema
+    out = token_budget_sample(docs, "doc_id", "text", "source", {"a": 0})
+    assert out.columns == ["doc_key", "source", "n_tokens", "tokens_before"]
+    assert out.count() == 0
+
+
+def test_token_budget_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.sampling import (
+        token_budget_sample,
+        token_budget_sample_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budgets = {"src0": 300, "src1": 999_999, "src2": 0, "src3": 120}
+    a = (
+        token_budget_sample(docs, "doc_id", "text", "source", budgets)
+        .toPandas()
+        .sort_values("doc_key")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    b = (
+        con.execute(token_budget_sample_sql("documents", "doc_id", "text", "source", budgets))
+        .df()
+        .sort_values("doc_key")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0 and len(a) == len(b)
+    for c in ["doc_key", "n_tokens", "tokens_before"]:
+        assert (a[c].astype("int64").values == b[c].astype("int64").values).all()
+    assert (a["source"].values == b["source"].values).all()
