@@ -818,6 +818,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return wt.gopher_quality(_ml_docs(spark, sf), "gid", "text")
 
+    def webtext_repetition(spark, sf):
+        # Gopher repetition-removal signals (Rae et al. 2021 Table A1, the
+        # char-fraction family): duplicate line/paragraph char fractions +
+        # top/dup n-gram char coverage; per-row sorted-array folds, zero
+        # shuffle (DuckDB oracle uses unnest+GROUP BY — independent shape)
+        from meilisearch_thai_spark.pipeline import webtext as wt
+
+        return wt.repetition_signals(_ml_docs(spark, sf), "gid", "text")
+
     def _synth_urls(spark, sf):
         # deterministic crawl-style urls over documents: case-variant host,
         # default port, tracking params, fragments; path/id keyed mod 100 so
@@ -1348,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_quality_buckets": webtext_quality_buckets,
         # -- new in the round-4 continuation 2 (this session)
         "sample_token_budget": sample_token_budget,
+        "webtext_repetition": webtext_repetition,
         # -- new in round 4
         "s2_update_documents": s2_update_documents,
         "s2_update_metadata": s2_update_metadata,
@@ -1388,7 +1398,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_topk": hybrid_search_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "dedup_embedding_lsh": dedup_embedding_lsh,
-        "stats_quality": stats_quality,
         # ---------------- position 51+: RESTING this round (r3-green,
         # code untouched in r4, sibling coverage noted in COVERAGE.md);
         # all re-gate in round 5.  Entries above this line are the r4
@@ -1396,7 +1405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The first six rested here ceded their r4 slots to the six
         # round-4-continuation entries: multi-round-green (r1/r2 AND r3)
         # and every one also timed per-round in bench.py, so each keeps a
-        # per-round execution signal while resting.
+        # per-round execution signal while resting.  stats_quality ceded
+        # its slot to webtext_repetition (first rest; bench-timed per round
+        # via the stats_quality bench entry).
+        "stats_quality": stats_quality,
         "r11_bm25_topk": r11_bm25_topk,
         "r11_bm25_conjunctive": r11_bm25_conjunctive,
         "ann_lsh_topk": ann_lsh_topk,
@@ -1843,6 +1855,11 @@ SELECT doc_key, md5(clean_text) AS clean_md5, n_kept, n_removed FROM q
         "webtext_gopher_quality": f"""
 WITH {_WT_ML_SQL},
 q AS ({wtx.gopher_quality_sql('ml', 'gid', 'text')})
+SELECT * FROM q
+""",
+        "webtext_repetition": f"""
+WITH {_WT_ML_SQL},
+q AS ({wtx.repetition_signals_sql('ml', 'gid', 'text')})
 SELECT * FROM q
 """,
         "sample_stratified": "SELECT doc_id, lang FROM ("

@@ -57,6 +57,20 @@ GOPHER_THRESHOLDS = {
 # ranges only — identical semantics in Java regex and RE2.
 _ALPHA_WORD_RE = "[A-Za-zก-๛]"
 
+# Repetition-removal thresholds (Rae et al. 2021, Table A1 — the char-
+# fraction family; the count-fraction dup-line and top-bigram rules live in
+# GOPHER_THRESHOLDS above). Integer basis points.
+REPETITION_THRESHOLDS = {
+    "max_dup_para_bp": 3_000,          # <= 30% duplicate paragraphs
+    "max_dup_line_char_bp": 2_000,     # <= 20% chars in duplicate lines
+    "max_dup_para_char_bp": 2_000,     # <= 20% chars in duplicate paragraphs
+    "max_top_2gram_char_bp": 2_000,    # top 2-gram covers <= 20% of chars
+    "max_top_3gram_char_bp": 1_800,
+    "max_top_4gram_char_bp": 1_600,
+    "max_dup_5gram_char_bp": 1_500,    # duplicate 5-grams cover <= 15%
+    "max_dup_10gram_char_bp": 1_000,   # duplicate 10-grams cover <= 10%
+}
+
 # PII patterns — Java-regex / RE2 common subset (no lookaround, no \b edge
 # differences on unicode; \b over ASCII digits/letters is identical).
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -290,6 +304,221 @@ SELECT *,
         AND ellipsis_line_bp <= {t['max_ellipsis_line_bp']}
         AND dup_line_bp <= {t['max_dup_line_bp']}
         AND top_bigram_bp <= {t['max_top_bigram_bp']}) AS gopher_pass
+FROM sig
+"""
+
+
+def _ngram_arr(n: int) -> str:
+    """SQL expr: word n-gram array over ``ws`` (space-joined), empty when
+    the doc is shorter than n.  The CASE guard matters: Spark's
+    sequence(1, size-n+1) would run DESCENDING for short docs."""
+    return (
+        f"case when size(ws) >= {n} then"
+        f" transform(sequence(1, size(ws)-{n}+1),"
+        f"           i -> array_join(slice(ws, i, {n}), ' '))"
+        f" else array() end"
+    )
+
+
+def _dup_chars_fold(arr_expr: str) -> str:
+    """SQL expr: Σ over distinct values v of (count(v)-1) · length(v) —
+    chars contained in occurrences beyond the first.  One fold over the
+    SORTED array (equal values are adjacent), zero shuffle.  The ''
+    sentinel is safe: a real '' element matching it adds length 0."""
+    return (
+        f"aggregate(array_sort({arr_expr}),"
+        " named_struct('prev', cast('' as string), 'dc', cast(0 as long)),"
+        " (acc, x) -> named_struct('prev', x,"
+        "   'dc', acc.dc + if(x = acc.prev, cast(length(x) as long), cast(0 as long))),"
+        " acc -> acc.dc)"
+    )
+
+
+def _top_cover_fold(arr_expr: str) -> str:
+    """SQL expr: count(g*) · length(g*) for the most frequent element g*
+    (ties broken by (count, length, value) descending — deterministic in
+    both engines).  Run-length fold over the sorted array."""
+    run2 = "if(x = acc.prev, acc.run + 1, cast(1 as long))"
+    better = (
+        f"({run2} > acc.brun or ({run2} = acc.brun and"
+        f" (cast(length(x) as long) > acc.blen or"
+        f"  (cast(length(x) as long) = acc.blen and x > acc.bg))))"
+    )
+    return (
+        f"aggregate(array_sort({arr_expr}),"
+        " named_struct('prev', cast('' as string), 'run', cast(0 as long),"
+        "              'brun', cast(0 as long), 'blen', cast(0 as long),"
+        "              'bg', cast('' as string)),"
+        f" (acc, x) -> named_struct('prev', x, 'run', {run2},"
+        f"   'brun', if({better}, {run2}, acc.brun),"
+        f"   'blen', if({better}, cast(length(x) as long), acc.blen),"
+        f"   'bg', if({better}, x, acc.bg)),"
+        " acc -> acc.brun * acc.blen)"
+    )
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Rae et al. (Gopher) repetition-removal signals — the char-fraction
+    family, complementing the count-fraction dup-line / top-bigram rules in
+    :func:`gopher_quality`.  All integer basis points.
+
+    Per document: duplicate-paragraph fraction, characters inside duplicate
+    lines / paragraphs (occurrences beyond the first, over total line /
+    paragraph chars), characters covered by the single most frequent word
+    {2,3,4}-gram (count × gram length over the space-joined token-stream
+    length, capped at 100%), and characters inside duplicate word
+    {5,10}-grams — the standard (count−1) × length simplification of the
+    paper's overlap-free counting, capped at 100%.
+
+    Zero shuffle: every signal is a fold over a per-row sorted array
+    (pure Column codegen, same pattern as :func:`gopher_quality`) — at
+    100 TB this is a single scan-speed pass.  ``repetition_pass`` applies
+    the Table A1 thresholds (REPETITION_THRESHOLDS).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_key"),
+        ws_tokens(F.col(text_col)).alias("ws"),
+        F.split(F.col(text_col), "\n").alias("lines"),
+        F.split(F.col(text_col), "\n\n").alias("paras"),
+    )
+    tot_chars = (
+        "aggregate(ws, cast(0 as long), (acc, t) -> acc + length(t))"
+        " + greatest(cast(size(ws) - 1 as long), 0)"
+    )
+    line_chars = "aggregate(lines, cast(0 as long), (acc, t) -> acc + length(t))"
+    para_chars = "aggregate(paras, cast(0 as long), (acc, t) -> acc + length(t))"
+
+    cols = [
+        F.col("doc_key"),
+        F.expr(
+            "(10000 * cast(size(paras) - size(array_distinct(paras)) as long))"
+            " div greatest(cast(size(paras) as long), 1)"
+        ).alias("dup_para_bp"),
+        F.expr(
+            f"(10000 * ({_dup_chars_fold('lines')})) div greatest({line_chars}, 1)"
+        ).alias("dup_line_char_bp"),
+        F.expr(
+            f"(10000 * ({_dup_chars_fold('paras')})) div greatest({para_chars}, 1)"
+        ).alias("dup_para_char_bp"),
+    ]
+    for n in (2, 3, 4):
+        cols.append(
+            F.expr(
+                f"least(10000, (10000 * ({_top_cover_fold(_ngram_arr(n))}))"
+                f" div greatest({tot_chars}, 1))"
+            ).alias(f"top_{n}gram_char_bp")
+        )
+    for n in (5, 10):
+        cols.append(
+            F.expr(
+                f"least(10000, (10000 * ({_dup_chars_fold(_ngram_arr(n))}))"
+                f" div greatest({tot_chars}, 1))"
+            ).alias(f"dup_{n}gram_char_bp")
+        )
+    sig = base.select(*cols)
+    t = REPETITION_THRESHOLDS
+    return sig.withColumn(
+        "repetition_pass",
+        (F.col("dup_para_bp") <= t["max_dup_para_bp"])
+        & (F.col("dup_line_char_bp") <= t["max_dup_line_char_bp"])
+        & (F.col("dup_para_char_bp") <= t["max_dup_para_char_bp"])
+        & (F.col("top_2gram_char_bp") <= t["max_top_2gram_char_bp"])
+        & (F.col("top_3gram_char_bp") <= t["max_top_3gram_char_bp"])
+        & (F.col("top_4gram_char_bp") <= t["max_top_4gram_char_bp"])
+        & (F.col("dup_5gram_char_bp") <= t["max_dup_5gram_char_bp"])
+        & (F.col("dup_10gram_char_bp") <= t["max_dup_10gram_char_bp"]),
+    )
+
+
+def repetition_signals_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`repetition_signals` — deliberately a different
+    shape (unnest + GROUP BY + window instead of sorted-array folds), so
+    the fold implementations are independently verified."""
+    t = REPETITION_THRESHOLDS
+    gram_ctes, gram_cols = [], []
+    for n in (2, 3, 4, 5, 10):
+        gram_ctes.append(f"""
+c{n} AS (
+  SELECT doc_key, g, COUNT(*) AS c FROM (
+    SELECT doc_key, array_to_string(ws[i:i+{n}-1], ' ') AS g
+    FROM (SELECT doc_key, ws, unnest(generate_series(1, len(ws)-{n}+1)) AS i
+          FROM base WHERE len(ws) >= {n})
+  ) GROUP BY 1, 2
+)""")
+    for n in (2, 3, 4):
+        gram_ctes.append(f"""
+top{n} AS (
+  SELECT doc_key, (c * length(g))::BIGINT AS cover FROM (
+    SELECT doc_key, g, c, row_number() OVER (
+      PARTITION BY doc_key ORDER BY c DESC, length(g) DESC, g DESC) AS rn
+    FROM c{n}) WHERE rn = 1
+)""")
+        gram_cols.append(
+            f"LEAST(10000, (10000 * COALESCE(top{n}.cover, 0))"
+            f" // greatest(b.tot_chars, 1))::BIGINT AS top_{n}gram_char_bp"
+        )
+    for n in (5, 10):
+        gram_ctes.append(f"""
+dup{n} AS (
+  SELECT doc_key, SUM((c - 1) * length(g))::BIGINT AS dc
+  FROM c{n} WHERE c > 1 GROUP BY 1
+)""")
+        gram_cols.append(
+            f"LEAST(10000, (10000 * COALESCE(dup{n}.dc, 0))"
+            f" // greatest(b.tot_chars, 1))::BIGINT AS dup_{n}gram_char_bp"
+        )
+    joins = "".join(
+        f" LEFT JOIN top{n} ON top{n}.doc_key = b.doc_key" for n in (2, 3, 4)
+    ) + "".join(f" LEFT JOIN dup{n} ON dup{n}.doc_key = b.doc_key" for n in (5, 10))
+    gram_ctes_sql = ",".join(gram_ctes)
+    gram_cols_sql = ",\n         ".join(gram_cols)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_key,
+         list_filter(string_split({text_col}, ' '), x -> x <> '') AS ws,
+         string_split({text_col}, chr(10)) AS lines,
+         string_split({text_col}, chr(10) || chr(10)) AS paras,
+         (COALESCE(list_sum(list_transform(
+             list_filter(string_split({text_col}, ' '), x -> x <> ''),
+             x -> length(x)::BIGINT)), 0)
+          + greatest(len(list_filter(string_split({text_col}, ' '), x -> x <> '')) - 1, 0)
+         )::BIGINT AS tot_chars
+  FROM {table}
+),
+ldup AS (
+  SELECT doc_key, SUM((c - 1) * length(v))::BIGINT AS dc, SUM(c * length(v))::BIGINT AS tot
+  FROM (SELECT doc_key, v, COUNT(*) AS c
+        FROM (SELECT doc_key, unnest(lines) AS v FROM base) GROUP BY 1, 2)
+  GROUP BY 1
+),
+pdup AS (
+  SELECT doc_key, SUM((c - 1) * length(v))::BIGINT AS dc, SUM(c * length(v))::BIGINT AS tot
+  FROM (SELECT doc_key, v, COUNT(*) AS c
+        FROM (SELECT doc_key, unnest(paras) AS v FROM base) GROUP BY 1, 2)
+  GROUP BY 1
+),{gram_ctes_sql},
+sig AS (
+  SELECT b.doc_key,
+         ((10000 * (len(b.paras) - len(list_distinct(b.paras))))
+            // greatest(len(b.paras), 1))::BIGINT AS dup_para_bp,
+         ((10000 * COALESCE(ldup.dc, 0)) // greatest(COALESCE(ldup.tot, 0), 1))::BIGINT AS dup_line_char_bp,
+         ((10000 * COALESCE(pdup.dc, 0)) // greatest(COALESCE(pdup.tot, 0), 1))::BIGINT AS dup_para_char_bp,
+         {gram_cols_sql}
+  FROM base b
+  LEFT JOIN ldup ON ldup.doc_key = b.doc_key
+  LEFT JOIN pdup ON pdup.doc_key = b.doc_key{joins}
+)
+SELECT *,
+       (dup_para_bp <= {t['max_dup_para_bp']}
+        AND dup_line_char_bp <= {t['max_dup_line_char_bp']}
+        AND dup_para_char_bp <= {t['max_dup_para_char_bp']}
+        AND top_2gram_char_bp <= {t['max_top_2gram_char_bp']}
+        AND top_3gram_char_bp <= {t['max_top_3gram_char_bp']}
+        AND top_4gram_char_bp <= {t['max_top_4gram_char_bp']}
+        AND dup_5gram_char_bp <= {t['max_dup_5gram_char_bp']}
+        AND dup_10gram_char_bp <= {t['max_dup_10gram_char_bp']}) AS repetition_pass
 FROM sig
 """
 

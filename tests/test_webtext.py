@@ -574,3 +574,73 @@ def test_quality_buckets_ntile_deterministic(spark):
 
     with _pytest.raises(ValueError):
         quality_buckets(scored, n_buckets=0)
+
+
+# ---------------------------------------------------------------- repetition
+def _rep(spark, rows):
+    out = wt.repetition_signals(_docs(spark, rows), "id", "text")
+    return {r.doc_key: r for r in out.collect()}
+
+
+def test_repetition_top_and_dup_ngrams(spark):
+    # "a b" * 4 — 8 tokens of len 1, joined length 15
+    out = _rep(spark, [(1, "a b a b a b a b")])[1]
+    assert out.top_2gram_char_bp == 8000   # "a b" x4, cover 4*3=12 / 15
+    assert out.top_3gram_char_bp == 10000  # "a b a"/"b a b" x3, 15/15
+    assert out.top_4gram_char_bp == 10000  # capped (3*7=21 > 15)
+    assert out.dup_5gram_char_bp == 10000  # capped (2 dup grams, 18 > 15)
+    assert out.dup_10gram_char_bp == 0     # only 8 tokens, no 10-grams
+    assert out.dup_line_char_bp == 0 and out.dup_para_bp == 0
+    assert not out.repetition_pass
+
+
+def test_repetition_duplicate_paragraphs_and_lines(spark):
+    out = _rep(spark, [(2, "para one text\n\npara one text\n\nunique bit")])[2]
+    assert out.dup_para_bp == 3333        # 1 dup of 3 paras
+    assert out.dup_para_char_bp == 3611   # 13 dup chars / 36
+    # lines: the dup "para one text" pair + two '' separators (0 chars)
+    assert out.dup_line_char_bp == 3611
+    assert not out.repetition_pass
+
+
+def test_repetition_clean_and_empty_docs(spark):
+    rows = [(3, " ".join(f"w{i}" for i in range(60))), (4, "")]
+    out = _rep(spark, rows)
+    clean = out[3]
+    assert clean.repetition_pass
+    assert clean.dup_line_char_bp == 0 and clean.dup_5gram_char_bp == 0
+    assert 0 < clean.top_2gram_char_bp < 500  # count-1 top gram, tiny cover
+    empty = out[4]
+    # all-zero signals: repetition has nothing to say about an empty doc
+    # (gopher_quality's min_words rule is what rejects it)
+    assert empty.repetition_pass and empty.top_2gram_char_bp == 0
+
+
+def test_repetition_tiebreak_and_duckdb_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (1, "a b a b a b a b"),
+        (2, "para one text\n\npara one text\n\nunique bit"),
+        (3, " ".join(f"w{i}" for i in range(60))),
+        (4, ""),
+        # count/length tie between "b c" and "a c" — value-desc tie-break
+        (5, "b c x b c y a c z a c w"),
+        # Thai (multi-byte) + blank-line runs + duplicate Thai lines
+        (6, "สวัสดี ครับ\n\n\nสวัสดี ครับ\nสวัสดี ครับ"),
+    ]
+    a = (
+        wt.repetition_signals(_docs(spark, rows), "id", "text")
+        .toPandas().sort_values("doc_key").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["id", "text"]))
+    b = (
+        con.execute(wt.repetition_signals_sql("docs", "id", "text"))
+        .df().sort_values("doc_key").reset_index(drop=True)
+    )
+    cols = sorted(c for c in a.columns)
+    assert cols == sorted(b.columns)
+    for c in cols:
+        assert list(a[c]) == list(b[c]), c
