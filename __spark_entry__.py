@@ -923,6 +923,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("terms_matched").cast("long").alias("terms_matched"),
         ).orderBy(F.desc("score"), F.asc("doc_key"))
 
+    def r11_typo_search(spark, sf):
+        # end-to-end typo tolerance (MeiliSearch's typo rule, reference
+        # query_processor.py fuzzy variants): the query token 'spart' misses
+        # the vocabulary, expand_terms_fuzzy resolves its 1-edit Damerau
+        # neighbor set under the index's typoTolerance settings (len 5 →
+        # 1-typo budget), and the REAL engine scores the expanded set
+        # through the block-max pruned path — must equal DuckDB BM25 over
+        # the damerau_levenshtein(term,'spart')<=1 vocabulary subquery
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index(spark, sf), cache_postings=False)
+        terms = sorted(eng.expand_terms_fuzzy("spart", max_expansions=10_000))
+        hits = eng.search_terms(terms, k=20)
+        return hits.select(
+            F.col("url").cast("long").alias("doc_key"),
+            F.round("score", 4).alias("score"),
+            F.col("terms_matched").cast("long").alias("terms_matched"),
+        ).orderBy(F.desc("score"), F.asc("doc_key"))
+
     def stats_top_ngrams(spark, sf):
         # corpus-level top-k bigrams (boilerplate/contamination discovery):
         # two-level agg — map-side-combined count, TakeOrderedAndProject
@@ -1358,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in the round-4 continuation 2 (this session)
         "sample_token_budget": sample_token_budget,
         "webtext_repetition": webtext_repetition,
+        "r11_typo_search": r11_typo_search,
         # -- new in round 4
         "s2_update_documents": s2_update_documents,
         "s2_update_metadata": s2_update_metadata,
@@ -1397,7 +1417,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_ngrams": dedup_span_ngrams,
         "hybrid_search_topk": hybrid_search_topk,
         "ann_ivf_topk": ann_ivf_topk,
-        "dedup_embedding_lsh": dedup_embedding_lsh,
         # ---------------- position 51+: RESTING this round (r3-green,
         # code untouched in r4, sibling coverage noted in COVERAGE.md);
         # all re-gate in round 5.  Entries above this line are the r4
@@ -1407,8 +1426,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and every one also timed per-round in bench.py, so each keeps a
         # per-round execution signal while resting.  stats_quality ceded
         # its slot to webtext_repetition (first rest; bench-timed per round
-        # via the stats_quality bench entry).
+        # via the stats_quality bench entry); dedup_embedding_lsh ceded its
+        # slot to r11_typo_search (first rest; sibling dedup_embedding_cosine
+        # shares the cosine kernel and dedup_minhash_lsh the LSH banding).
         "stats_quality": stats_quality,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         "r11_bm25_topk": r11_bm25_topk,
         "r11_bm25_conjunctive": r11_bm25_conjunctive,
         "ann_lsh_topk": ann_lsh_topk,
@@ -1466,6 +1488,16 @@ def oracle_sql() -> dict[str, str]:
         "r11_negative_search": adhoc.bm25_topk_sql_oracle(
             "documents", "doc_id", "text", _BM25_QUERY, k=20,
             exclude_terms=["hash"],
+        ),
+        "r11_typo_search": adhoc.bm25_topk_sql_oracle(
+            "documents", "doc_id", "text", [], k=20,
+            terms_subquery=(
+                "SELECT DISTINCT term FROM (SELECT"
+                " unnest(regexp_extract_all(text, '[a-z]+')) AS term"
+                " FROM documents)"
+                " WHERE term <> 'spart'"
+                " AND damerau_levenshtein(term, 'spart') <= 1"
+            ),
         ),
         "r11_fielded_bm25": adhoc.bm25f_topk_sql_oracle(
             "documents", "doc_id", "text", _BM25_QUERY, k=20

@@ -200,8 +200,16 @@ def bm25_topk_sql_oracle(
     order_by: str | None = None,
     round_score: bool = True,
     exclude_terms: list[str] | None = None,
+    terms_subquery: str | None = None,
 ) -> str:
     """DuckDB SQL computing the identical BM25 top-k (driver correctness gate).
+
+    ``terms_subquery`` replaces the literal query-term list with a SQL
+    subquery producing one ``term`` column (e.g. the typo-expansion set
+    derived from the corpus vocabulary itself) — required when the term set
+    is data-dependent, so the oracle stays self-contained.  ``matching`` must
+    stay ``"best"`` in that case (the "all" HAVING count needs a literal
+    arity).
 
     ``round_score=False`` emits the raw double instead of the
     ``SCORE_DECIMALS`` presentation rounding — required when the caller
@@ -222,7 +230,12 @@ def bm25_topk_sql_oracle(
     doc length the engine exposes as ``doc_len``).
     """
     terms = list(dict.fromkeys(query_terms))
-    terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    if terms_subquery is not None:
+        if matching == "all":
+            raise ValueError("terms_subquery requires matching='best'")
+        terms_sql = terms_subquery
+    else:
+        terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     having = f"HAVING COUNT(DISTINCT tf.term) = {len(terms)}" if matching == "all" else ""
     conds = []
     if candidate_where:

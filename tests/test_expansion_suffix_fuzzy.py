@@ -81,3 +81,27 @@ def test_fuzzy_thai_feeds_fallback_variant(thai_engine):
     variants = thai_engine._expansion_variants([typo], {typo})
     fuzzy_sets = [terms for terms, _w in variants if word in terms]
     assert fuzzy_sets, "typo token did not produce a fuzzy fallback variant"
+
+
+def test_typo_search_end_to_end(latin_engine):
+    # 'cookbok' (1 deletion from 'cookbook') misses the vocabulary; the
+    # expanded set scored through search_terms must equal searching the
+    # corrected term directly — same docs, same BM25 scores
+    assert "cookbok" not in latin_engine.vocabulary()
+    terms = latin_engine.expand_terms_fuzzy("cookbok", max_expansions=100)
+    assert "cookbook" in terms
+    via_typo = latin_engine.search_terms(sorted(terms), k=10).collect()
+    direct = latin_engine.search_terms(["cookbook"], k=10).collect()
+    assert [(r["url"], r["score"]) for r in via_typo] >= [
+        (r["url"], r["score"]) for r in direct
+    ]
+    typo_hits = {r["url"]: r["score"] for r in via_typo}
+    for r in direct:  # every direct hit survives with at least its score
+        assert typo_hits[r["url"]] >= r["score"]
+
+
+def test_typo_search_full_path_finds_corrected_docs(latin_engine):
+    # the public search() path: a typo'd query still lands on the cookbook
+    # doc via the fuzzy fallback variant (weight 0.5, fires only on OOV)
+    hits = latin_engine.multi_variant_search("cookbok", k=10).collect()
+    assert any(r["url"] == "0001" for r in hits)
