@@ -923,6 +923,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("terms_matched").cast("long").alias("terms_matched"),
         ).orderBy(F.desc("score"), F.asc("doc_key"))
 
+    def r11_proximity_search(spark, sf):
+        # MeiliSearch 'proximity' ranking rule over the POSITIONAL index:
+        # BM25 top-(k*3) overfetch, per-doc minimal window covering both
+        # terms (decoded inside the bucket applyInPandas, only (doc_id,
+        # min_window) pairs reach the driver), boost 1+exp(-0.05*(w-1))
+        # where w = window span max-min (adjacent terms -> 1, MeiliSearch's
+        # proximity distance).  For a 2-term query w is exactly
+        # min(|pa-pb|), so DuckDB reproduces it with a position self-join
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(
+            spark, _docs_index_positional(spark, sf), cache_postings=False
+        )
+        hits = eng.search_with_proximity("merge join", k=20)
+        return hits.select(
+            F.col("url").cast("long").alias("doc_key"),
+            F.round("score", 4).alias("score"),
+            F.col("terms_matched").cast("long").alias("terms_matched"),
+        ).orderBy(F.desc("score"), F.asc("doc_key"))
+
     def r11_typo_search(spark, sf):
         # end-to-end typo tolerance (MeiliSearch's typo rule, reference
         # query_processor.py fuzzy variants): the query token 'spart' misses
@@ -1378,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": sample_token_budget,
         "webtext_repetition": webtext_repetition,
         "r11_typo_search": r11_typo_search,
+        "r11_proximity_search": r11_proximity_search,
         # -- new in round 4
         "s2_update_documents": s2_update_documents,
         "s2_update_metadata": s2_update_metadata,
@@ -1416,7 +1437,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup_components,
         "dedup_span_ngrams": dedup_span_ngrams,
         "hybrid_search_topk": hybrid_search_topk,
-        "ann_ivf_topk": ann_ivf_topk,
         # ---------------- position 51+: RESTING this round (r3-green,
         # code untouched in r4, sibling coverage noted in COVERAGE.md);
         # all re-gate in round 5.  Entries above this line are the r4
@@ -1428,9 +1448,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its slot to webtext_repetition (first rest; bench-timed per round
         # via the stats_quality bench entry); dedup_embedding_lsh ceded its
         # slot to r11_typo_search (first rest; sibling dedup_embedding_cosine
-        # shares the cosine kernel and dedup_minhash_lsh the LSH banding).
+        # shares the cosine kernel and dedup_minhash_lsh the LSH banding);
+        # ann_ivf_topk ceded its slot to r11_proximity_search (first rest;
+        # sibling ann_cosine_topk shares the scoring kernel and is
+        # bench-timed per round).
         "stats_quality": stats_quality,
         "dedup_embedding_lsh": dedup_embedding_lsh,
+        "ann_ivf_topk": ann_ivf_topk,
         "r11_bm25_topk": r11_bm25_topk,
         "r11_bm25_conjunctive": r11_bm25_conjunctive,
         "ann_lsh_topk": ann_lsh_topk,
@@ -1489,6 +1513,34 @@ def oracle_sql() -> dict[str, str]:
             "documents", "doc_id", "text", _BM25_QUERY, k=20,
             exclude_terms=["hash"],
         ),
+        "r11_proximity_search": f"""
+WITH cand AS ({adhoc.bm25_topk_sql_oracle(
+    "documents", "doc_id", "text", ["merge", "join"], k=60, round_score=False
+)}),
+toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS ts FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(ts) AS term,
+         unnest(generate_series(1, len(ts))) AS pos
+  FROM toks WHERE len(ts) > 0
+),
+win AS (
+  SELECT a.doc_id, MIN(abs(a.pos - b.pos))::BIGINT AS w
+  FROM (SELECT doc_id, pos FROM pos WHERE term = 'merge') a
+  JOIN (SELECT doc_id, pos FROM pos WHERE term = 'join') b USING (doc_id)
+  GROUP BY 1
+)
+SELECT c.doc_key,
+       ROUND(c.score * (CASE WHEN win.w IS NULL THEN 1.0
+                             ELSE 1.0 + exp(-0.05 * (win.w - 1)) END), 4) AS score,
+       c.terms_matched
+FROM cand c LEFT JOIN win ON win.doc_id = c.doc_key
+ORDER BY c.score * (CASE WHEN win.w IS NULL THEN 1.0
+                         ELSE 1.0 + exp(-0.05 * (win.w - 1)) END) DESC,
+         c.doc_key ASC
+LIMIT 20
+""",
         "r11_typo_search": adhoc.bm25_topk_sql_oracle(
             "documents", "doc_id", "text", [], k=20,
             terms_subquery=(
