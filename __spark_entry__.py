@@ -902,6 +902,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return wtx.dedup_lines_global(messy, "doc_id", "text")
 
+    def webtext_para_dedup_global(spark, sf):
+        # CORPUS-WIDE paragraph dedup (the Dolma/RefinedWeb grain): an
+        # injected license paragraph + a syndicated quote on every third doc
+        # survive exactly once, at the lowest (doc, pos) — same
+        # min(struct)-winner plan as the line entry, blank-line separator
+        messy = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("shared license paragraph\n\n"),
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit("\n\nsyndicated quote para"),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return wtx.dedup_lines_global(messy, "doc_id", "text", unit="paragraph")
+
     def webtext_quality_classifier(spark, sf):
         # model-based quality filter (fastText/DCLM shape): hashed-unigram
         # linear model, integer-exact milli weights, sign-test keep —
@@ -1399,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_repetition": webtext_repetition,
         "r11_typo_search": r11_typo_search,
         "r11_proximity_search": r11_proximity_search,
+        "webtext_para_dedup_global": webtext_para_dedup_global,
         # -- new in round 4
         "s2_update_documents": s2_update_documents,
         "s2_update_metadata": s2_update_metadata,
@@ -1436,7 +1455,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_hybrid_dedup": x6_hybrid_dedup,
         "dedup_components": dedup_components,
         "dedup_span_ngrams": dedup_span_ngrams,
-        "hybrid_search_topk": hybrid_search_topk,
         # ---------------- position 51+: RESTING this round (r3-green,
         # code untouched in r4, sibling coverage noted in COVERAGE.md);
         # all re-gate in round 5.  Entries above this line are the r4
@@ -1451,10 +1469,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shares the cosine kernel and dedup_minhash_lsh the LSH banding);
         # ann_ivf_topk ceded its slot to r11_proximity_search (first rest;
         # sibling ann_cosine_topk shares the scoring kernel and is
-        # bench-timed per round).
+        # bench-timed per round); hybrid_search_topk ceded its slot to
+        # webtext_para_dedup_global (first rest; its BM25 and cosine halves
+        # both stay gated via r11_indexed_bm25 + the resting-but-bench-timed
+        # ann_cosine_topk).
         "stats_quality": stats_quality,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_ivf_topk": ann_ivf_topk,
+        "hybrid_search_topk": hybrid_search_topk,
         "r11_bm25_topk": r11_bm25_topk,
         "r11_bm25_conjunctive": r11_bm25_conjunctive,
         "ann_lsh_topk": ann_lsh_topk,
@@ -1631,6 +1653,14 @@ LIMIT 100
             "'shared footer' AS text FROM documents) m",
             "doc_id",
             "text",
+        ),
+        "webtext_para_dedup_global": wtx.dedup_lines_global_sql(
+            "(SELECT doc_id, 'shared license paragraph' || chr(10) || chr(10)"
+            " || text || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) ||"
+            " 'syndicated quote para' ELSE '' END) AS text FROM documents) m",
+            "doc_id",
+            "text",
+            unit="paragraph",
         ),
         "dedup_incremental": "SELECT doc_id FROM (" + dd.against_snapshot_sql(
             "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1",

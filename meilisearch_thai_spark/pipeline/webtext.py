@@ -1092,7 +1092,12 @@ FROM s
 """
 
 
-def dedup_lines_global(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+_DEDUP_SEPS = {"line": "\n", "paragraph": "\n\n"}
+
+
+def dedup_lines_global(
+    docs: DataFrame, id_col: str, text_col: str, unit: str = "line"
+) -> DataFrame:
     """CORPUS-WIDE exact line deduplication (the C4 move, applied at line
     grain: any line occurring more than once ANYWHERE in the corpus — nav
     chrome, cookie banners, license boilerplate, quoted headers — survives
@@ -1109,10 +1114,17 @@ def dedup_lines_global(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     corpus-wide occurrence is the only survivor), so this strictly
     subsumes :func:`dedup_lines`; run THIS one when you can afford the
     shuffle, the within-doc one when you cannot.
+
+    ``unit="paragraph"`` runs the same dedup at blank-line-separated
+    paragraph grain (the Dolma/RefinedWeb move — license blocks, quoted
+    posts, syndicated articles recur as whole paragraphs that line grain
+    shreds into partly-unique pieces).  Same plan, same oracle shape; only
+    the split/join separator changes.
     """
+    sep = _DEDUP_SEPS[unit]
     lines = docs.select(
         F.col(id_col).alias("doc_key"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     ).withColumn("h", F.md5("line"))
     winners = lines.groupBy("h").agg(
         F.min(F.struct("doc_key", "pos")).alias("w")
@@ -1126,7 +1138,7 @@ def dedup_lines_global(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
                 lambda s: s["line"],
             ),
-            "\n",
+            sep,
         ).alias("text")
     )
     return (
@@ -1136,14 +1148,17 @@ def dedup_lines_global(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
-def dedup_lines_global_sql(table: str, id_col: str, text_col: str) -> str:
+def dedup_lines_global_sql(
+    table: str, id_col: str, text_col: str, unit: str = "line"
+) -> str:
     """DuckDB twin of :func:`dedup_lines_global` (window form — same
     winners because (doc, pos) is a total order within each line group)."""
+    sep_sql = {"line": "chr(10)", "paragraph": "chr(10) || chr(10)"}[unit]
     return f"""
 WITH lines AS (
   SELECT {id_col} AS doc_key,
-         unnest(string_split({text_col}, chr(10))) AS line,
-         generate_subscripts(string_split({text_col}, chr(10)), 1) AS pos
+         unnest(string_split({text_col}, {sep_sql})) AS line,
+         generate_subscripts(string_split({text_col}, {sep_sql}), 1) AS pos
   FROM {table}
 ),
 flagged AS (
@@ -1152,7 +1167,7 @@ flagged AS (
   FROM lines
 ),
 surv AS (
-  SELECT doc_key, string_agg(line, chr(10) ORDER BY pos) AS text
+  SELECT doc_key, string_agg(line, {sep_sql} ORDER BY pos) AS text
   FROM flagged WHERE rn = 1 GROUP BY doc_key
 ),
 base AS (SELECT {id_col} AS doc_key FROM {table})

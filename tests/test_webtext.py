@@ -644,3 +644,45 @@ def test_repetition_tiebreak_and_duckdb_parity(spark):
     assert cols == sorted(b.columns)
     for c in cols:
         assert list(a[c]) == list(b[c]), c
+
+
+def test_para_dedup_global_first_occurrence_wins(spark):
+    rows = [
+        (1, "license block\n\nunique one"),
+        (2, "license block\n\nunique two\n\nlicense block"),
+        (3, "unique three"),
+    ]
+    out = {
+        r.doc_key: r.text
+        for r in wt.dedup_lines_global(_docs(spark, rows), "id", "text", unit="paragraph").collect()
+    }
+    assert out[1] == "license block\n\nunique one"
+    # both later copies of the license paragraph vanish (cross-doc AND
+    # within-doc); lines inside surviving paragraphs are untouched
+    assert out[2] == "unique two"
+    assert out[3] == "unique three"
+
+
+def test_para_dedup_global_duckdb_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (1, "license block\n\nunique one"),
+        (2, "license block\n\nunique two\n\nlicense block"),
+        (3, "unique three"),
+        (4, ""),
+        (5, "a\nb\n\na\nb"),  # dup paragraph that line grain would shred
+    ]
+    a = (
+        wt.dedup_lines_global(_docs(spark, rows), "id", "text", unit="paragraph")
+        .toPandas().sort_values("doc_key").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["id", "text"]))
+    b = (
+        con.execute(wt.dedup_lines_global_sql("docs", "id", "text", unit="paragraph"))
+        .df().sort_values("doc_key").reset_index(drop=True)
+    )
+    assert list(a["text"]) == list(b["text"])
+    assert a.loc[4, "text"] == "a\nb"  # whole-paragraph dedup, lines intact
