@@ -1020,6 +1020,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), "doc_id", "text", "source", _MIX_BUDGETS
         )
 
+    def sample_temperature(spark, sf):
+        # temperature-flattened mixture shares (XLM-R/mT5: p_i ∝ n_i^0.5 —
+        # tail sources gain share vs their natural token share).  sqrt is
+        # correctly-rounded IEEE in both engines, everything else integer,
+        # so the driver hash matches bit-for-bit; rollup bounded by source
+        # cardinality, zero corpus-size shuffle
+        return smp.temperature_weights(_t(spark, sf, "documents"), "source", "text")
+
     def dedup_incremental(spark, sf):
         # monthly-dump shape: dedup the new batch (odd doc_ids) against the
         # already-ingested snapshot (even doc_ids) by md5(text) anti-join
@@ -1418,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_typo_search": r11_typo_search,
         "r11_proximity_search": r11_proximity_search,
         "webtext_para_dedup_global": webtext_para_dedup_global,
+        "sample_temperature": sample_temperature,
         # -- new in round 4
         "s2_update_documents": s2_update_documents,
         "s2_update_metadata": s2_update_metadata,
@@ -1454,7 +1463,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_sorted_search": p6_sorted_search,
         "x6_hybrid_dedup": x6_hybrid_dedup,
         "dedup_components": dedup_components,
-        "dedup_span_ngrams": dedup_span_ngrams,
         # ---------------- position 51+: RESTING this round (r3-green,
         # code untouched in r4, sibling coverage noted in COVERAGE.md);
         # all re-gate in round 5.  Entries above this line are the r4
@@ -1472,8 +1480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bench-timed per round); hybrid_search_topk ceded its slot to
         # webtext_para_dedup_global (first rest; its BM25 and cosine halves
         # both stay gated via r11_indexed_bm25 + the resting-but-bench-timed
-        # ann_cosine_topk).
+        # ann_cosine_topk); dedup_span_ngrams ceded its slot to
+        # sample_temperature (first rest; pytest-covered in test_dedup.py,
+        # the n-gram kernel stays gated via stats_top_ngrams).
         "stats_quality": stats_quality,
+        "dedup_span_ngrams": dedup_span_ngrams,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_ivf_topk": ann_ivf_topk,
         "hybrid_search_topk": hybrid_search_topk,
@@ -1645,6 +1656,7 @@ LIMIT 100
             {"src0": 700, "src1": 5000, "src2": 0, "src3": 400, "srcX": 100},
         ),
         "stats_top_ngrams": ts.top_ngrams_sql("documents", "text", n=2, k=25),
+        "sample_temperature": smp.temperature_weights_sql("documents", "source", "text"),
         "webtext_quality_classifier": wtx.quality_classifier_sql(
             "documents", "doc_id", "text"
         ),

@@ -301,3 +301,76 @@ FROM (
   FROM {table}
 )
 """
+
+
+def temperature_weights(
+    docs: DataFrame, group_col: str, text_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-LM standard:
+    XLM-R / mT5 sample source i with p_i ∝ n_i^alpha, alpha < 1 flattening
+    the natural distribution so tail sources aren't drowned) →
+    ``(group, n_docs, n_tokens, natural_bp, temp_bp)``: each source's
+    natural token share and its temperature-rescaled sampling share, both
+    integer basis points.
+
+    alpha is pinned to 0.5: n^0.5 = sqrt(n) is CORRECTLY-ROUNDED IEEE in
+    both the JVM (Math.sqrt) and C libm, so ``floor(1e6 * sqrt(n))`` is
+    bit-identical across engines — a general ``pow`` is not (JVM Math.pow
+    vs libm pow may differ in the last ulp), so other temperatures would
+    break the exact-oracle contract.  Integer arithmetic everywhere else.
+
+    One map-side-combined groupBy bounded by source cardinality plus a
+    broadcast of two scalar totals — corpus-size-independent, like
+    :func:`meilisearch_thai_spark.pipeline.textstats.source_mixture`.
+    """
+    if alpha != 0.5:
+        raise ValueError("only alpha=0.5 (sqrt) is cross-engine exact")
+    from .textstats import ws_tokens
+
+    per = docs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(ws_tokens(F.col(text_col)))).cast("long").alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "w", F.floor(F.lit(1_000_000.0) * F.sqrt(F.col("n_tokens"))).cast("long")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("_tn"),
+        F.sum("w").cast("long").alias("_tw"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.expr("(10000 * n_tokens) div greatest(_tn, 1)").alias("natural_bp"),
+            F.expr("(10000 * w) div greatest(_tw, 1)").alias("temp_bp"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def temperature_weights_sql(
+    table: str, group_col: str, text_col: str, alpha: float = 0.5
+) -> str:
+    """DuckDB twin of :func:`temperature_weights`."""
+    if alpha != 0.5:
+        raise ValueError("only alpha=0.5 (sqrt) is cross-engine exact")
+    return f"""
+WITH per AS (
+  SELECT {group_col},
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split({text_col}, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY {group_col}
+),
+w AS (
+  SELECT *, CAST(FLOOR(1000000.0 * sqrt(n_tokens)) AS BIGINT) AS w FROM per
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tn, CAST(SUM(w) AS BIGINT) AS tw FROM w)
+SELECT {group_col}, n_docs, n_tokens,
+       (10000 * n_tokens) // greatest(tn, 1) AS natural_bp,
+       (10000 * w) // greatest(tw, 1) AS temp_bp
+FROM w, tot
+ORDER BY {group_col}
+"""

@@ -284,3 +284,51 @@ def test_token_budget_duckdb_parity(spark, sf_dir):
     for c in ["doc_key", "n_tokens", "tokens_before"]:
         assert (a[c].astype("int64").values == b[c].astype("int64").values).all()
     assert (a["source"].values == b["source"].values).all()
+
+
+# ------------------------------------------------------- temperature mixture
+def test_temperature_weights_flattens_shares(spark):
+    from meilisearch_thai_spark.pipeline.sampling import temperature_weights
+
+    rows = (
+        [(i, "head", "w " * 99 + "w") for i in range(9)]      # 900 tokens
+        + [(100, "tail", "w " * 99 + "w")]                    # 100 tokens
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in temperature_weights(docs, "source", "text").collect()}
+    assert out["head"].n_tokens == 900 and out["tail"].n_tokens == 100
+    assert out["head"].natural_bp == 9000 and out["tail"].natural_bp == 1000
+    # sqrt flattening: 30/(30+10) = 75% vs 90% natural; tail 25% vs 10%
+    assert out["head"].temp_bp == 7500 and out["tail"].temp_bp == 2500
+
+
+def test_temperature_weights_rejects_other_alpha(spark):
+    import pytest
+    from meilisearch_thai_spark.pipeline.sampling import (
+        temperature_weights,
+        temperature_weights_sql,
+    )
+
+    docs = spark.createDataFrame([(1, "a", "x")], "doc_id long, source string, text string")
+    with pytest.raises(ValueError):
+        temperature_weights(docs, "source", "text", alpha=0.3)
+    with pytest.raises(ValueError):
+        temperature_weights_sql("t", "source", "text", alpha=0.3)
+
+
+def test_temperature_weights_duckdb_parity(spark, sf_dir):
+    import duckdb
+    from meilisearch_thai_spark.pipeline.sampling import (
+        temperature_weights,
+        temperature_weights_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = temperature_weights(docs, "source", "text").toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    b = con.execute(temperature_weights_sql("documents", "source", "text")).df()
+    for c in a.columns:
+        assert list(a[c]) == list(b[c]), c
