@@ -86,6 +86,13 @@ _WT_FOOTER = "copyright example corp all rights reserved"
 
 # DuckDB twin of queries()._ml_docs: gid = doc_id % 50, lines ordered by
 # doc_id, '- ' bullets on doc_id%5==0, header on every group, footer on even
+_SYNTH_URLS_BODY = """  SELECT doc_id,
+         'HTTPS://WWW.Site' || (doc_id % 20) || '.Example.COM:443/Path/' || (doc_id % 100)
+         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' ELSE '?id=' END
+         || (doc_id % 100)
+         || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents"""
+
 _WT_ML_SQL = f"""
 ml AS (
   SELECT gid,
@@ -1020,6 +1027,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), "doc_id", "text", "source", _MIX_BUDGETS
         )
 
+    def weburl_robots(spark, sf):
+        # robots.txt politeness gate (RFC 9309 prefix subset, User-agent:*
+        # group) closing the crawl chain: WARC → canonicalize → ROBOTS →
+        # blocklist → hygiene → index.  Rules parse via hosts-bounded
+        # windows, broadcast to the corpus, winner per url by ONE
+        # max(struct(len, is_allow, ...)) — longest match, Allow beats
+        # Disallow on ties, no-robots hosts allowed
+        hosts = (
+            spark.range(1, 20)  # host 0 has NO robots.txt → default-allowed
+            .select(
+                F.concat(
+                    F.lit("www.site"), F.col("id").cast("string"),
+                    F.lit(".example.com"),
+                ).alias("host"),
+                F.concat(
+                    F.lit(
+                        "User-agent: googlebot\nDisallow: /\n\n"
+                        "User-agent: *\nDisallow: /Path/1\nAllow: /Path/12\n"
+                    ),
+                    F.when(
+                        F.col("id") % 2 == 1, F.lit("Disallow: /Path/3\n")
+                    ).otherwise(F.lit("")),
+                    F.lit("\nUser-agent: yandex\nDisallow: /never\n"),
+                ).alias("robots_txt"),
+            )
+        )
+        rules = wu.parse_robots(hosts)
+        return wu.apply_robots(_synth_urls(spark, sf), "doc_id", "url", rules)
+
     def sample_temperature(spark, sf):
         # temperature-flattened mixture shares (XLM-R/mT5: p_i ∝ n_i^0.5 —
         # tail sources gain share vs their natural token share).  sqrt is
@@ -1427,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_proximity_search": r11_proximity_search,
         "webtext_para_dedup_global": webtext_para_dedup_global,
         "sample_temperature": sample_temperature,
+        "weburl_robots": weburl_robots,
         # -- new in round 4
         "s2_update_documents": s2_update_documents,
         "s2_update_metadata": s2_update_metadata,
@@ -1462,7 +1499,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_filtered_search": p4_filtered_search,
         "p6_sorted_search": p6_sorted_search,
         "x6_hybrid_dedup": x6_hybrid_dedup,
-        "dedup_components": dedup_components,
         # ---------------- position 51+: RESTING this round (r3-green,
         # code untouched in r4, sibling coverage noted in COVERAGE.md);
         # all re-gate in round 5.  Entries above this line are the r4
@@ -1482,8 +1518,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both stay gated via r11_indexed_bm25 + the resting-but-bench-timed
         # ann_cosine_topk); dedup_span_ngrams ceded its slot to
         # sample_temperature (first rest; pytest-covered in test_dedup.py,
-        # the n-gram kernel stays gated via stats_top_ngrams).
+        # the n-gram kernel stays gated via stats_top_ngrams);
+        # dedup_components ceded its slot to weburl_robots (first rest;
+        # pytest-covered in test_dedup.py incl. the recursive-CTE oracle
+        # replayed in-process).
         "stats_quality": stats_quality,
+        "dedup_components": dedup_components,
         "dedup_span_ngrams": dedup_span_ngrams,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_ivf_topk": ann_ivf_topk,
@@ -2020,6 +2060,23 @@ SELECT 'https://d/' || doc_id AS url,
        md5('<p>' || text || '</p>') AS html_md5,
        TIMESTAMP '2024-01-01 00:00:00' AS warc_ts
 FROM documents
+""",
+        "weburl_robots": f"""
+WITH synth AS (
+{_SYNTH_URLS_BODY}
+),
+rb AS (
+  SELECT 'www.site' || i || '.example.com' AS host,
+         'User-agent: googlebot' || chr(10) || 'Disallow: /' || chr(10) || chr(10)
+         || 'User-agent: *' || chr(10) || 'Disallow: /Path/1' || chr(10)
+         || 'Allow: /Path/12' || chr(10)
+         || CASE WHEN i % 2 = 1 THEN 'Disallow: /Path/3' || chr(10) ELSE '' END
+         || chr(10) || 'User-agent: yandex' || chr(10) || 'Disallow: /never' || chr(10) AS robots_txt
+  FROM (SELECT unnest(generate_series(1, 19)) AS i)
+),
+q AS ({wu.apply_robots_sql("SELECT doc_id AS doc_key, url FROM synth",
+                           wu.parse_robots_sql("SELECT * FROM rb"))})
+SELECT * FROM q
 """,
         "weburl_normalize": f"""
 WITH synth AS (

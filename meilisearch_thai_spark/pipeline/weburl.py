@@ -228,3 +228,211 @@ r AS (
 )
 SELECT url, {sel} FROM r WHERE rn = 1
 """
+
+
+# ----------------------------------------------------------- robots.txt
+# RFC 9309 SUBSET, documented restrictions: only the `User-agent: *` group
+# is resolved (a per-agent variant is the same plan with a different group
+# predicate), and rule values are treated as PLAIN PATH PREFIXES — the
+# optional '*' / '$' pattern wildcards are out of scope (the overwhelmingly
+# common case in the wild is a bare prefix; a wildcard engine would need a
+# regex translation layer on both sides of the oracle).  Matching follows
+# the RFC: the longest matching rule wins, Allow beats Disallow on equal
+# length, no matching rule means allowed.
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """robots.txt bodies → ``(host, rule, path)``: the ``User-agent: *``
+    group's Allow/Disallow prefix rules.
+
+    Group resolution per RFC 9309 §2.1: a group is one or more consecutive
+    ``User-agent`` lines followed by rules; a later ``User-agent`` line
+    (after rules) starts a NEW group.  Implemented as per-host windows:
+    a block starts at a UA line whose predecessor is not a UA line; every
+    line inherits the last block start; a block applies iff any of its UA
+    lines is ``*``.  Comments (``#…``) and blank/empty-value lines drop.
+    All windows are partitioned by host and robots files are KB-sized, so
+    the parse is hosts-bounded — never corpus-bounded — at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("pos")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    lines = (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"),
+        )
+        .withColumn("line", F.trim(F.regexp_replace("raw", "#.*$", "")))
+        .withColumn(
+            "key", F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1))
+        )
+        .withColumn("value", F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)))
+        .filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    )
+    lines = (
+        lines.withColumn("is_ua", F.col("key") == "user-agent")
+        .withColumn(
+            "block_start",
+            F.last(
+                F.when(
+                    F.col("is_ua")
+                    & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
+                    F.col("pos"),
+                ),
+                ignorenulls=True,
+            ).over(cum),
+        )
+        .filter(F.col("block_start").isNotNull())
+    )
+    star_blocks = (
+        lines.filter(F.col("is_ua") & (F.col("value") == "*"))
+        .select("host", "block_start")
+        .distinct()
+    )
+    return (
+        lines.filter(~F.col("is_ua") & (F.col("value") != ""))
+        .join(star_blocks, ["host", "block_start"])
+        .select("host", F.col("key").alias("rule"), F.col("value").alias("path"))
+        .distinct()
+    )
+
+
+def parse_robots_sql(
+    robots_sql: str, host_col: str = "host", body_col: str = "robots_txt"
+) -> str:
+    """DuckDB twin of :func:`parse_robots` (same window construction)."""
+    return f"""
+WITH r0 AS ({robots_sql}),
+lines0 AS (
+  SELECT {host_col} AS host,
+         generate_subscripts(string_split({body_col}, chr(10)), 1) AS pos,
+         unnest(string_split({body_col}, chr(10))) AS raw
+  FROM r0
+),
+lines1 AS (
+  SELECT host, pos, trim(regexp_replace(raw, '#.*$', '')) AS line FROM lines0
+),
+lines2 AS (
+  SELECT host, pos,
+         lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS key,
+         trim(regexp_extract(line, '^[A-Za-z-]+\\s*:(.*)$', 1)) AS value
+  FROM lines1
+  WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+        IN ('user-agent', 'allow', 'disallow')
+),
+marked AS (
+  SELECT *, (key = 'user-agent') AS is_ua,
+         (key = 'user-agent' AND NOT COALESCE(
+            lag(key = 'user-agent') OVER (PARTITION BY host ORDER BY pos),
+            FALSE)) AS is_block_start
+  FROM lines2
+),
+blocked AS (
+  SELECT *, last_value(CASE WHEN is_block_start THEN pos END IGNORE NULLS)
+              OVER (PARTITION BY host ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block_start
+  FROM marked
+),
+star AS (
+  SELECT DISTINCT host, block_start FROM blocked
+  WHERE is_ua AND value = '*' AND block_start IS NOT NULL
+)
+SELECT DISTINCT b.host, b.key AS rule, b.value AS path
+FROM blocked b JOIN star USING (host, block_start)
+WHERE NOT b.is_ua AND b.value <> ''
+"""
+
+
+def apply_robots(
+    urls: DataFrame, id_col: str, url_col: str, robots: DataFrame
+) -> DataFrame:
+    """Crawl-politeness gate: keep/flag urls per their host's robots.txt →
+    ``(doc_key, host, path, allowed, matched_rule, matched_path)``.
+
+    The rules relation (from :func:`parse_robots`) is hosts-sized —
+    broadcast it; the per-url work is a prefix test plus ONE
+    map-side-combinable ``max(struct(len, is_allow, path, rule))`` pick of
+    the winning rule (longest match, Allow beats Disallow on ties — the
+    struct ordering encodes the RFC precedence), so the corpus never
+    shuffles on anything wider than its own id.  Hosts without a robots
+    file (left join) and urls no rule matches are allowed.
+    """
+    u = F.regexp_replace(F.col(url_col), "#.*$", "")
+    base = urls.select(
+        F.col(id_col).alias("doc_key"),
+        F.lower(
+            F.regexp_replace(
+                F.regexp_extract(u, "^[A-Za-z]+://([^/?]+)", 1), ":[0-9]+$", ""
+            )
+        ).alias("host"),
+        F.regexp_extract(u, "^[A-Za-z]+://[^/?]*([^?]*)", 1).alias("path"),
+    )
+    rules = robots.select(
+        "host",
+        F.col("rule"),
+        F.col("path").alias("rpath"),
+        F.length("path").cast("long").alias("rlen"),
+        (F.col("rule") == "allow").alias("is_allow"),
+    )
+    joined = base.join(F.broadcast(rules), "host", "left").withColumn(
+        "hit",
+        F.col("rpath").isNotNull() & F.col("path").startswith(F.col("rpath")),
+    )
+    best = joined.groupBy("doc_key", "host", "path").agg(
+        F.max(
+            F.when(
+                F.col("hit"),
+                F.struct(
+                    F.col("rlen"), F.col("is_allow"), F.col("rpath"), F.col("rule")
+                ),
+            )
+        ).alias("w")
+    )
+    return best.select(
+        "doc_key",
+        "host",
+        "path",
+        F.coalesce(F.col("w.is_allow"), F.lit(True)).alias("allowed"),
+        F.col("w.rule").alias("matched_rule"),
+        F.col("w.rpath").alias("matched_path"),
+    )
+
+
+def apply_robots_sql(urls_sql: str, rules_sql: str) -> str:
+    """DuckDB twin of :func:`apply_robots` — ``urls_sql`` must yield
+    (doc_key, url); ``rules_sql`` the (host, rule, path) relation."""
+    return f"""
+WITH u0 AS ({urls_sql}),
+u AS (
+  SELECT doc_key,
+         lower(regexp_replace(
+             regexp_extract(regexp_replace(url, '#.*$', ''),
+                            '^[A-Za-z]+://([^/?]+)', 1), ':[0-9]+$', '')) AS host,
+         regexp_extract(regexp_replace(url, '#.*$', ''),
+                        '^[A-Za-z]+://[^/?]*([^?]*)', 1) AS path
+  FROM u0
+),
+rules AS (
+  SELECT host, rule, path AS rpath, length(path)::BIGINT AS rlen,
+         (rule = 'allow') AS is_allow
+  FROM ({rules_sql})
+),
+j AS (
+  SELECT u.doc_key, u.host, u.path, r.rule, r.rpath, r.rlen, r.is_allow,
+         (r.rpath IS NOT NULL AND starts_with(u.path, r.rpath)) AS hit
+  FROM u LEFT JOIN rules r USING (host)
+),
+best AS (
+  SELECT doc_key, host, path,
+         max(CASE WHEN hit THEN {{'rlen': rlen, 'is_allow': is_allow,
+                                  'rpath': rpath, 'rule': rule}} END) AS w
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT doc_key, host, path,
+       COALESCE(w.is_allow, TRUE) AS allowed,
+       w.rule AS matched_rule,
+       w.rpath AS matched_path
+FROM best
+"""

@@ -3,6 +3,9 @@ strip) and per-host crawl rollups — the canonical key url-keyed dedup needs.""
 
 from __future__ import annotations
 
+import pytest
+
+from meilisearch_thai_spark.pipeline import weburl as wu
 from meilisearch_thai_spark.pipeline.weburl import host_stats, normalize_urls
 
 
@@ -192,3 +195,89 @@ def test_recrawl_latest_duckdb_parity(spark, sf_dir):
         .reset_index(drop=True)
     )
     assert (a[["url", "ts", "doc_id"]].values == b[["url", "ts", "doc_id"]].values).all()
+
+
+# ------------------------------------------------------------- robots.txt
+@pytest.fixture(scope="module")
+def robots_rules(spark):
+    body = (
+        "# comment only line\n"
+        "User-agent: googlebot\n"
+        "Disallow: /private\n"
+        "\n"
+        "User-agent: *\n"
+        "User-agent: bingbot\n"
+        "Disallow: /blocked\n"
+        "Allow: /blocked/ok\n"
+        "disallow : /Case\n"     # case-insensitive field name, value kept as-is
+        "Disallow:\n"            # empty value -> dropped
+        "\n"
+        "User-agent: yandex\n"
+        "Disallow: /yandex-only\n"
+    )
+    orphan = "Disallow: /orphan\nUser-agent: *\nDisallow: /x\n"
+    rdf = spark.createDataFrame(
+        [("h1", body), ("h2", orphan)], "host string, robots_txt string"
+    )
+    return wu.parse_robots(rdf)
+
+
+def test_parse_robots_star_group_only(robots_rules):
+    got = {(r.host, r.rule, r.path) for r in robots_rules.collect()}
+    assert got == {
+        ("h1", "disallow", "/blocked"),
+        ("h1", "allow", "/blocked/ok"),
+        ("h1", "disallow", "/Case"),
+        ("h2", "disallow", "/x"),  # the pre-group orphan rule is ignored
+    }
+
+
+def test_apply_robots_longest_match_allow_wins(spark, robots_rules):
+    urls = spark.createDataFrame(
+        [
+            (1, "https://h1/blocked/page"),
+            (2, "https://h1/blocked/ok/page"),
+            (3, "https://h1/free"),
+            (4, "https://h1/Case/x"),
+            (5, "https://h1/case/x"),      # prefix match is case-SENSITIVE
+            (6, "https://h2/x"),
+            (7, "https://unknown-host/x"),  # no robots -> allowed
+        ],
+        "doc_key long, url string",
+    )
+    out = {r.doc_key: r for r in wu.apply_robots(urls, "doc_key", "url", robots_rules).collect()}
+    assert not out[1].allowed and out[1].matched_path == "/blocked"
+    assert out[2].allowed and out[2].matched_path == "/blocked/ok"
+    assert out[3].allowed and out[3].matched_rule is None
+    assert not out[4].allowed
+    assert out[5].allowed
+    assert not out[6].allowed
+    assert out[7].allowed
+
+
+def test_robots_duckdb_parity(spark, robots_rules):
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        ("h1", "User-agent: *\nAllow: /a/b\nDisallow: /a\nUser-agent: late\nDisallow: /l\n"),
+        ("h3", "User-agent: other\nDisallow: /\n"),  # no star group at all
+    ]
+    urls = [(1, "https://h1/a/b/c"), (2, "https://h1/a/z"), (3, "https://h3/a")]
+    rdf = spark.createDataFrame(rows, "host string, robots_txt string")
+    udf_ = spark.createDataFrame(urls, "doc_key long, url string")
+    a = (
+        wu.apply_robots(udf_, "doc_key", "url", wu.parse_robots(rdf))
+        .toPandas().sort_values("doc_key").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("rbsrc", pd.DataFrame(rows, columns=["host", "robots_txt"]))
+    con.register("usrc", pd.DataFrame(urls, columns=["doc_key", "url"]))
+    b = con.execute(
+        wu.apply_robots_sql(
+            "SELECT doc_key, url FROM usrc", wu.parse_robots_sql("SELECT * FROM rbsrc")
+        )
+    ).df().sort_values("doc_key").reset_index(drop=True)
+    for c in a.columns:
+        assert list(a[c]) == list(b[c]), c
+    assert list(a["allowed"]) == [True, False, True]
