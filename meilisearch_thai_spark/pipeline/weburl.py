@@ -351,13 +351,15 @@ def apply_robots(
     """Crawl-politeness gate: keep/flag urls per their host's robots.txt →
     ``(doc_key, host, path, allowed, matched_rule, matched_path)``.
 
-    The rules relation (from :func:`parse_robots`) is hosts-sized —
-    broadcast it; the per-url work is a prefix test plus ONE
-    map-side-combinable ``max(struct(len, is_allow, path, rule))`` pick of
-    the winning rule (longest match, Allow beats Disallow on ties — the
-    struct ordering encodes the RFC precedence), so the corpus never
-    shuffles on anything wider than its own id.  Hosts without a robots
-    file (left join) and urls no rule matches are allowed.
+    The rules relation (from :func:`parse_robots`) is hosts-sized: it is
+    pre-aggregated to ONE array row per host and broadcast, so the corpus
+    side is a broadcast join plus a per-row
+    ``array_max(filter(rules, prefix-match))`` winner pick — the struct
+    ordering ``(len, is_allow, …)`` encodes the RFC precedence (longest
+    match, Allow beats Disallow on ties) and the corpus NEVER shuffles
+    (the only exchanges are hosts-bounded, on the rules side).  Hosts
+    without a robots file (left join) and urls no rule matches are
+    allowed.
     """
     u = F.regexp_replace(F.col(url_col), "#.*$", "")
     base = urls.select(
@@ -369,26 +371,23 @@ def apply_robots(
         ).alias("host"),
         F.regexp_extract(u, "^[A-Za-z]+://[^/?]*([^?]*)", 1).alias("path"),
     )
-    rules = robots.select(
-        "host",
-        F.col("rule"),
-        F.col("path").alias("rpath"),
-        F.length("path").cast("long").alias("rlen"),
-        (F.col("rule") == "allow").alias("is_allow"),
-    )
-    joined = base.join(F.broadcast(rules), "host", "left").withColumn(
-        "hit",
-        F.col("rpath").isNotNull() & F.col("path").startswith(F.col("rpath")),
-    )
-    best = joined.groupBy("doc_key", "host", "path").agg(
-        F.max(
-            F.when(
-                F.col("hit"),
-                F.struct(
-                    F.col("rlen"), F.col("is_allow"), F.col("rpath"), F.col("rule")
-                ),
+    rules_arr = robots.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.length("path").cast("long").alias("rlen"),
+                (F.col("rule") == "allow").alias("is_allow"),
+                F.col("path").alias("rpath"),
+                F.col("rule").alias("rule"),
             )
-        ).alias("w")
+        ).alias("rules")
+    )
+    best = base.join(F.broadcast(rules_arr), "host", "left").select(
+        "doc_key",
+        "host",
+        "path",
+        F.array_max(
+            F.filter("rules", lambda r: F.col("path").startswith(r["rpath"]))
+        ).alias("w"),
     )
     return best.select(
         "doc_key",

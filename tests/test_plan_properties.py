@@ -283,3 +283,41 @@ def test_against_snapshot_plan_is_anti_join_no_python(spark, sf_dir):
     txt = _final_plan(df)
     assert "LeftAnti" in txt
     assert "MapInPandas" not in txt and "BatchEvalPython" not in txt
+
+
+def test_apply_robots_corpus_never_shuffles(spark, sf_dir):
+    from meilisearch_thai_spark.pipeline.weburl import apply_robots, parse_robots
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".x.com/p/"), (F.col("doc_id") % 10).cast("string"),
+        ).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [(f"h{i}.x.com", "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n") for i in range(7)],
+        "host string, robots_txt string",
+    )
+    df = apply_robots(docs, "doc_id", "url", parse_robots(robots))
+    df.collect()
+    txt = _final_plan(df).split("== Initial Plan ==")[0]
+    # every non-broadcast exchange must sit on the hosts-bounded rules
+    # side (hashpartitioning on host); the corpus rides a broadcast join
+    # plus a per-row array_max fold — no corpus-wide shuffle, no Python
+    for line in txt.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            assert "hashpartitioning(host" in line, line
+    assert "BroadcastExchange" in txt
+    assert "MapInPandas" not in txt and "BatchEvalPython" not in txt
+
+
+def test_repetition_signals_zero_shuffle(spark, sf_dir):
+    from meilisearch_thai_spark.pipeline.webtext import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = repetition_signals(docs, "doc_id", "text")
+    df.collect()
+    txt = _final_plan(df)
+    assert "Exchange" not in txt
+    assert "MapInPandas" not in txt and "BatchEvalPython" not in txt
