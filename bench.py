@@ -201,6 +201,15 @@ def main() -> None:
         # round-4 (cont. 2): token-budget mixture sampling (256-way
         # contiguous-range window decomposition)
         "sample_token_budget",
+        # round-4 (cont. 3): repetition removal (the heaviest zero-shuffle
+        # scan — eight sorted-array folds per row), robots.txt politeness
+        # gate (broadcast rule arrays + per-row fold), typo + proximity
+        # serving through the real engine (memoized index, per-call init
+        # included)
+        "webtext_repetition",
+        "weburl_robots",
+        "r11_typo_search",
+        "r11_proximity_search",
     ]
     for name in names[6:]:
         qs[name](spark, SF_DIR).collect()  # untimed: builds the memoized index
