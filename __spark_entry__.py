@@ -1721,12 +1721,7 @@ LIMIT 100
         ) + ") surviving",
         "weburl_blocklist": f"""
 WITH synth AS (
-  SELECT doc_id,
-         'HTTPS://WWW.Site' || (doc_id % 20) || '.Example.COM:443/Path/' || (doc_id % 100)
-         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' ELSE '?id=' END
-         || (doc_id % 100)
-         || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
-  FROM documents
+{_SYNTH_URLS_BODY}
 ),
 q AS ({wu.filter_blocklist_sql(wu.normalize_urls_sql('synth', 'doc_id', 'url'), _BLOCKED_HOSTS, 'host')})
 SELECT * FROM q
@@ -2080,24 +2075,14 @@ SELECT * FROM q
 """,
         "weburl_normalize": f"""
 WITH synth AS (
-  SELECT doc_id,
-         'HTTPS://WWW.Site' || (doc_id % 20) || '.Example.COM:443/Path/' || (doc_id % 100)
-         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' ELSE '?id=' END
-         || (doc_id % 100)
-         || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
-  FROM documents
+{_SYNTH_URLS_BODY}
 ),
 q AS ({wu.normalize_urls_sql('synth', 'doc_id', 'url')})
 SELECT * FROM q
 """,
         "weburl_host_stats": f"""
 WITH synth AS (
-  SELECT doc_id,
-         'HTTPS://WWW.Site' || (doc_id % 20) || '.Example.COM:443/Path/' || (doc_id % 100)
-         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' ELSE '?id=' END
-         || (doc_id % 100)
-         || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
-  FROM documents
+{_SYNTH_URLS_BODY}
 ),
 hs AS ({wu.host_stats_sql(wu.normalize_urls_sql('synth', 'doc_id', 'url'))})
 SELECT * FROM hs

@@ -252,6 +252,9 @@ def parse_robots(
     a block starts at a UA line whose predecessor is not a UA line; every
     line inherits the last block start; a block applies iff any of its UA
     lines is ``*``.  Comments (``#…``) and blank/empty-value lines drop.
+    The host key is lowercased (DNS names are case-insensitive — a fetcher
+    that keyed the file by the URL's casing must still match the
+    lowercased hosts :func:`apply_robots` joins on).
     All windows are partitioned by host and robots files are KB-sized, so
     the parse is hosts-bounded — never corpus-bounded — at 100 TB.
     """
@@ -261,7 +264,7 @@ def parse_robots(
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     lines = (
         robots.select(
-            F.col(host_col).alias("host"),
+            F.lower(F.col(host_col)).alias("host"),
             F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"),
         )
         .withColumn("line", F.trim(F.regexp_replace("raw", "#.*$", "")))
@@ -306,7 +309,7 @@ def parse_robots_sql(
     return f"""
 WITH r0 AS ({robots_sql}),
 lines0 AS (
-  SELECT {host_col} AS host,
+  SELECT lower({host_col}) AS host,
          generate_subscripts(string_split({body_col}, chr(10)), 1) AS pos,
          unnest(string_split({body_col}, chr(10))) AS raw
   FROM r0
@@ -360,8 +363,13 @@ def apply_robots(
     (the only exchanges are hosts-bounded, on the rules side).  Hosts
     without a robots file (left join) and urls no rule matches are
     allowed.
+
+    Matching follows RFC 9309 §2.2.2: the matched string is the PATH PLUS
+    QUERY of the url (so ``Disallow: /search?q=`` is a live rule), and a
+    bare-host url matches as ``/`` (so ``Disallow: /`` blocks the root).
     """
     u = F.regexp_replace(F.col(url_col), "#.*$", "")
+    raw_path = F.regexp_extract(u, "^[A-Za-z]+://[^/?]*(.*)$", 1)
     base = urls.select(
         F.col(id_col).alias("doc_key"),
         F.lower(
@@ -369,7 +377,11 @@ def apply_robots(
                 F.regexp_extract(u, "^[A-Za-z]+://([^/?]+)", 1), ":[0-9]+$", ""
             )
         ).alias("host"),
-        F.regexp_extract(u, "^[A-Za-z]+://[^/?]*([^?]*)", 1).alias("path"),
+        # bare host → '/', query-only ('?q=…') → '/?q=…'
+        F.when(raw_path == "", F.lit("/"))
+        .when(raw_path.startswith("?"), F.concat(F.lit("/"), raw_path))
+        .otherwise(raw_path)
+        .alias("path"),
     )
     rules_arr = robots.groupBy("host").agg(
         F.collect_list(
@@ -404,14 +416,21 @@ def apply_robots_sql(urls_sql: str, rules_sql: str) -> str:
     (doc_key, url); ``rules_sql`` the (host, rule, path) relation."""
     return f"""
 WITH u0 AS ({urls_sql}),
-u AS (
+u1 AS (
   SELECT doc_key,
          lower(regexp_replace(
              regexp_extract(regexp_replace(url, '#.*$', ''),
                             '^[A-Za-z]+://([^/?]+)', 1), ':[0-9]+$', '')) AS host,
          regexp_extract(regexp_replace(url, '#.*$', ''),
-                        '^[A-Za-z]+://[^/?]*([^?]*)', 1) AS path
+                        '^[A-Za-z]+://[^/?]*(.*)$', 1) AS raw_path
   FROM u0
+),
+u AS (
+  SELECT doc_key, host,
+         CASE WHEN raw_path = '' THEN '/'
+              WHEN starts_with(raw_path, '?') THEN '/' || raw_path
+              ELSE raw_path END AS path
+  FROM u1
 ),
 rules AS (
   SELECT host, rule, path AS rpath, length(path)::BIGINT AS rlen,

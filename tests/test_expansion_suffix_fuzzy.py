@@ -92,11 +92,12 @@ def test_typo_search_end_to_end(latin_engine):
     assert "cookbook" in terms
     via_typo = latin_engine.search_terms(sorted(terms), k=10).collect()
     direct = latin_engine.search_terms(["cookbook"], k=10).collect()
-    assert [(r["url"], r["score"]) for r in via_typo] >= [
-        (r["url"], r["score"]) for r in direct
-    ]
     typo_hits = {r["url"]: r["score"] for r in via_typo}
-    for r in direct:  # every direct hit survives with at least its score
+    # every direct hit survives the expanded search (k=10 > corpus size, so
+    # nothing can fall off the page) with at least its direct score —
+    # matching="best" only ADDS terms to a doc's sum
+    for r in direct:
+        assert r["url"] in typo_hits
         assert typo_hits[r["url"]] >= r["score"]
 
 

@@ -281,3 +281,58 @@ def test_robots_duckdb_parity(spark, robots_rules):
     for c in a.columns:
         assert list(a[c]) == list(b[c]), c
     assert list(a["allowed"]) == [True, False, True]
+
+
+def test_apply_robots_root_query_and_host_case(spark):
+    # RFC 9309 edge set: 'Disallow: /' must block a bare-host url (empty
+    # path matches as '/'), rules match against PATH+QUERY, and a robots
+    # row keyed by a mixed-case host still matches (DNS case-insensitive)
+    rdf = spark.createDataFrame(
+        [
+            ("WWW.Blocked.COM", "User-agent: *\nDisallow: /\n"),
+            ("h1", "User-agent: *\nDisallow: /search?q=\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://www.blocked.com"),
+            (2, "https://www.blocked.com/any/page"),
+            (3, "https://h1/search?q=foo"),
+            (4, "https://h1/search"),
+            (5, "https://h1?q=1"),  # query-only url -> path '/?q=1'
+        ],
+        "doc_key long, url string",
+    )
+    out = {r.doc_key: r for r in wu.apply_robots(urls, "doc_key", "url", wu.parse_robots(rdf)).collect()}
+    assert not out[1].allowed and out[1].path == "/"
+    assert not out[2].allowed
+    assert not out[3].allowed and out[3].matched_path == "/search?q="
+    assert out[4].allowed  # no query -> the query rule does not match
+    assert out[5].allowed and out[5].path == "/?q=1"
+
+
+def test_robots_root_block_duckdb_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    rows = [("B.com", "User-agent: *\nDisallow: /\nAllow: /pub\n")]
+    urls = [(1, "https://b.com"), (2, "https://b.com/pub/x"), (3, "https://b.com/priv?y=1")]
+    a = (
+        wu.apply_robots(
+            spark.createDataFrame(urls, "doc_key long, url string"),
+            "doc_key", "url",
+            wu.parse_robots(spark.createDataFrame(rows, "host string, robots_txt string")),
+        ).toPandas().sort_values("doc_key").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("rbsrc2", pd.DataFrame(rows, columns=["host", "robots_txt"]))
+    con.register("usrc2", pd.DataFrame(urls, columns=["doc_key", "url"]))
+    b = con.execute(
+        wu.apply_robots_sql(
+            "SELECT doc_key, url FROM usrc2", wu.parse_robots_sql("SELECT * FROM rbsrc2")
+        )
+    ).df().sort_values("doc_key").reset_index(drop=True)
+    for c in a.columns:
+        assert list(a[c]) == list(b[c]), c
+    assert list(a["allowed"]) == [False, True, False]
