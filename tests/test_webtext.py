@@ -686,3 +686,41 @@ def test_para_dedup_global_duckdb_parity(spark):
     )
     assert list(a["text"]) == list(b["text"])
     assert a.loc[4, "text"] == "a\nb"  # whole-paragraph dedup, lines intact
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_repetition_randomized_batch_parity(spark, seed):
+    """Randomized multi-line texts (repeats injected at line/para/gram
+    grain, Thai + Latin, blank-line runs), Spark folds vs DuckDB
+    unnest+GROUP BY in one batch job."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(seed)
+    words = ["a", "bb", "ccc", "กขค", "dd", "e", "ฟหก", "gg"]
+    rows = []
+    for i in range(30):
+        toks = [rng.choice(words) for _ in range(rng.randint(0, 40))]
+        if toks and rng.random() < 0.7:  # inject gram-level repetition
+            seg = toks[: rng.randint(1, min(6, len(toks)))]
+            toks = toks + seg * rng.randint(1, 3)
+        text = " ".join(toks)
+        if rng.random() < 0.6:  # break into lines / paragraphs
+            parts = [text[k::3] for k in range(3)]
+            sep = rng.choice(["\n", "\n\n", "\n\n\n"])
+            text = sep.join(parts + ([parts[0]] if rng.random() < 0.5 else []))
+        rows.append((i, text))
+    a = (
+        wt.repetition_signals(_docs(spark, rows), "id", "text")
+        .toPandas().sort_values("doc_key").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("rdocs", pd.DataFrame(rows, columns=["id", "text"]))
+    b = (
+        con.execute(wt.repetition_signals_sql("rdocs", "id", "text"))
+        .df().sort_values("doc_key").reset_index(drop=True)
+    )
+    for c in a.columns:
+        assert list(a[c]) == list(b[c]), f"seed={seed} col={c}"

@@ -336,3 +336,48 @@ def test_robots_root_block_duckdb_parity(spark):
     for c in a.columns:
         assert list(a[c]) == list(b[c]), c
     assert list(a["allowed"]) == [False, True, False]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_robots_randomized_batch_parity(spark, seed):
+    """Randomized robots bodies × urls, Spark vs DuckDB in ONE batch job:
+    the two independently-written parsers/matchers must agree on every
+    (group structure, precedence, edge) combination the generator emits."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(seed)
+    line_pool = [
+        "User-agent: *", "User-agent: bot", "user-AGENT: *",
+        "Allow: /a", "Allow: /a/b", "Allow: /",
+        "Disallow: /a", "Disallow: /a/b", "Disallow: /c", "Disallow: /",
+        "Disallow:", "Allow:", "# comment", "", "junk line no colon",
+        "Disallow: /x?q=", "  Allow:   /a/bc  ", "Crawl-delay: 10",
+    ]
+    hosts = []
+    for i in range(12):
+        n = rng.randint(0, 10)
+        hosts.append((f"h{i}", "\n".join(rng.choice(line_pool) for _ in range(n))))
+    paths = ["", "/", "/a", "/a/b", "/a/bc", "/a/b/c", "/c", "/x?q=1", "/x", "?q=1"]
+    urls = [
+        (j, f"https://h{rng.randint(0, 13)}{rng.choice(paths)}") for j in range(60)
+    ]
+    rdf = spark.createDataFrame(hosts, "host string, robots_txt string")
+    udf_ = spark.createDataFrame(urls, "doc_key long, url string")
+    a = (
+        wu.apply_robots(udf_, "doc_key", "url", wu.parse_robots(rdf))
+        .toPandas().sort_values("doc_key").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("rbsrc3", pd.DataFrame(hosts, columns=["host", "robots_txt"]))
+    con.register("usrc3", pd.DataFrame(urls, columns=["doc_key", "url"]))
+    b = con.execute(
+        wu.apply_robots_sql(
+            "SELECT doc_key, url FROM usrc3", wu.parse_robots_sql("SELECT * FROM rbsrc3")
+        )
+    ).df().sort_values("doc_key").reset_index(drop=True)
+    assert len(a) == 60
+    for c in a.columns:
+        assert list(a[c]) == list(b[c]), f"seed={seed} col={c}"
