@@ -498,3 +498,71 @@ WHERE NOT EXISTS (
   SELECT 1 FROM snap s WHERE md5(s.{text_col}) = md5(n.{text_col})
 )
 """
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """End-to-end fuzzy dedup decision: candidate pairs → duplicate clusters
+    (:func:`connected_components`) → ONE canonical document per cluster.
+
+    This is the step production pipelines (C4, Gopher, Dolma, FineWeb) run
+    after MinHash/LSH: picking WHICH near-duplicate survives.  Canonical =
+    the longest text (most content preserved), ties broken by smallest id —
+    a deterministic total order both engines reproduce exactly.
+
+    Shape: the cluster labels join back to the docs on the id (projection to
+    (id, length) happens BEFORE the join, so document text never rides the
+    shuffle), then one window per ``component`` ranks members.  Cluster
+    sizes from banded LSH are tiny (near-clique buckets), so the per-cluster
+    window never skews; the heavy lifting stays in the pair generation and
+    the label propagation, both already bucketed.
+
+    Returns (component, kept_key, kept_len, n_members), one row per cluster
+    of size ≥ 2 — singleton documents never appear in ``pairs`` and are
+    implicitly kept.
+    """
+    from pyspark.sql.window import Window
+
+    comp = connected_components(pairs)
+    members = comp.join(
+        docs.select(
+            F.col(id_col).alias("node"),
+            F.length(text_col).cast("long").alias("_len"),
+        ),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("_len"), F.asc("node"))
+    wc = Window.partitionBy("component")
+    return (
+        members.withColumn("n_members", F.count("*").over(wc))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("kept_key"),
+            F.col("_len").alias("kept_len"),
+            F.col("n_members"),
+        )
+    )
+
+
+def keep_best_per_cluster_sql(pairs_sql: str, table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`keep_best_per_cluster`: exact transitive
+    closure (:func:`connected_components_sql`) + the same
+    (length DESC, id ASC) canonical pick."""
+    return f"""
+SELECT component, node AS kept_key, len AS kept_len, n_members FROM (
+  SELECT c.component, c.node, CAST(length(d.{text_col}) AS BIGINT) AS len,
+         COUNT(*) OVER (PARTITION BY c.component) AS n_members,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.component
+           ORDER BY length(d.{text_col}) DESC, c.node ASC
+         ) AS rn
+  FROM ({connected_components_sql(pairs_sql)}) c
+  JOIN {table} d ON c.node = d.{id_col}
+) WHERE rn = 1
+"""

@@ -308,3 +308,88 @@ def anchor_terms_sql(
             )
         ) WHERE pos <= {k}
     """
+
+
+def frontier(
+    crawled: DataFrame,
+    links: DataFrame,
+    ranks: DataFrame,
+    per_host_cap: int = 3,
+    url_col: str = "url",
+) -> DataFrame:
+    """Crawl-frontier generation: which discovered-but-unfetched urls to
+    crawl next, honoring per-host politeness.
+
+    The production shape behind every crawler's scheduler (Common Crawl,
+    Heritrix): candidate = a link target not yet in the corpus; priority =
+    link evidence (``n_refs`` = distinct referring pages) within a host,
+    host authority (:func:`pagerank` units) across hosts; at most
+    ``per_host_cap`` urls per host per cycle (politeness — a host's fetch
+    budget is bounded no matter how many inlinks it attracts).
+
+    Shape: one groupBy(link) collapses the page-level edge list to
+    candidates (map-side combine — the edge list never rides further), a
+    LEFT ANTI join against the crawled url set (16-byte-key shuffle; at
+    100 TB bucket both sides by url or Bloom-prefilter, exactly the
+    ``against_snapshot`` playbook), a broadcast-sized join to the host-rank
+    table, and one per-host window capped at ``per_host_cap`` (the cap
+    bounds output to hosts × cap rows; per-host candidate skew stays inside
+    the window's single partition-local sort — pre-truncating per partition
+    with a bucket-local top-k is the documented upgrade if one host's
+    candidate set alone overflows a partition).
+
+    Returns (host, url, rank_units, n_refs, slot), slot = 1..cap in
+    (n_refs DESC, url ASC) order within the host.
+    """
+    cand = links.groupBy(F.col("link").alias("url")).agg(
+        F.countDistinct("doc_key").alias("n_refs")
+    )
+    fresh = cand.join(crawled.select(F.col(url_col).alias("url")), "url", "left_anti")
+    scored = (
+        fresh.withColumn("host", F.lower(F.regexp_extract("url", HOST_RE, 1)))
+        .filter(F.col("host") != "")
+        .join(ranks, "host", "left")
+        .select(
+            "host",
+            "url",
+            F.coalesce(F.col("rank_units"), F.lit(0)).cast("long").alias("rank_units"),
+            "n_refs",
+        )
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("n_refs"), F.asc("url"))
+    return scored.withColumn("slot", F.row_number().over(w)).filter(
+        F.col("slot") <= per_host_cap
+    )
+
+
+def frontier_sql(
+    crawled_sql: str,
+    links_sql: str,
+    ranks_sql: str,
+    per_host_cap: int = 3,
+    url_col: str = "url",
+) -> str:
+    """DuckDB twin of :func:`frontier` (same candidate collapse, anti-join,
+    rank join, and per-host window)."""
+    return f"""
+SELECT host, url, rank_units, n_refs, slot FROM (
+  SELECT host, url, rank_units, n_refs,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY n_refs DESC, url ASC) AS slot
+  FROM (
+    SELECT lower(regexp_extract(c.url, '{HOST_RE}', 1)) AS host,
+           c.url,
+           CAST(COALESCE(r.rank_units, 0) AS BIGINT) AS rank_units,
+           c.n_refs
+    FROM (
+      SELECT link AS url, CAST(COUNT(DISTINCT doc_key) AS BIGINT) AS n_refs
+      FROM ({links_sql}) GROUP BY link
+    ) c
+    LEFT JOIN ({ranks_sql}) r
+      ON lower(regexp_extract(c.url, '{HOST_RE}', 1)) = r.host
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({crawled_sql}) w WHERE w.{url_col} = c.url
+    )
+  ) WHERE host <> ''
+) WHERE slot <= {per_host_cap}
+"""

@@ -332,3 +332,70 @@ def test_temperature_weights_duckdb_parity(spark, sf_dir):
     b = con.execute(temperature_weights_sql("documents", "source", "text")).df()
     for c in a.columns:
         assert list(a[c]) == list(b[c]), c
+
+
+def test_keep_best_per_cluster_canonical_pick(spark):
+    from meilisearch_thai_spark.pipeline.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "the longest text here"),
+            (3, "mid length"),
+            (4, "zz"),
+            (5, "zz"),
+            (9, "lonely singleton"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "left_key long, right_key long"
+    )
+    got = {
+        r["component"]: (r["kept_key"], r["kept_len"], r["n_members"])
+        for r in keep_best_per_cluster(docs, pairs, "doc_id", "text").collect()
+    }
+    # cluster {1,2,3}: longest text wins; cluster {4,5}: tie on length -> min id
+    assert got == {1: (2, 21, 3), 4: (4, 2, 2)}
+    # singleton 9 never appears
+    assert 9 not in {k for k, *_ in got.values()}
+
+
+def test_keep_best_per_cluster_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.dedup import (
+        keep_best_per_cluster,
+        keep_best_per_cluster_sql,
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_candidates(docs, "doc_id", "text")
+    a = (
+        keep_best_per_cluster(docs, pairs, "doc_id", "text")
+        .toPandas()
+        .sort_values("component")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    b = (
+        con.execute(
+            keep_best_per_cluster_sql(
+                minhash_lsh_candidates_sql("documents", "doc_id", "text"),
+                "documents",
+                "doc_id",
+                "text",
+            )
+        )
+        .df()
+        .sort_values("component")
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) and len(a) > 0
+    for col in ["component", "kept_key", "kept_len", "n_members"]:
+        assert (a[col].values == b[col].values).all(), col

@@ -128,3 +128,75 @@ def test_anchor_terms_topk_deterministic(spark, links):
         ("gamma.example.com", "food", 1, 1),
         ("gamma.example.com", "street", 1, 2),
     ]
+
+
+def test_frontier_excludes_crawled_caps_hosts_and_ranks(spark):
+    from pyspark.sql import functions as F
+
+    # pages 1..3 crawled; their links discover beta/gamma urls.  One target
+    # (beta.example.com/p) is ALSO already crawled -> must vanish.
+    docs = spark.createDataFrame(HTML_ROWS, ["doc_id", "url", "html"])
+    links = wg.extract_links(docs, "doc_id", "html")
+    crawled = docs.select("url").union(
+        spark.createDataFrame([("https://beta.example.com/p",)], ["url"])
+    )
+    ranks = spark.createDataFrame(
+        [("beta.example.com", 700), ("gamma.example.com", 300)],
+        "host string, rank_units long",
+    )
+    out = wg.frontier(crawled, links, ranks, per_host_cap=1).orderBy("host").collect()
+    got = [(r.host, r.url, r.rank_units, r.n_refs, r.slot) for r in out]
+    # beta host: /p excluded (crawled); the cap=1 keeps the port-variant url
+    # (only remaining beta candidate).  alpha's /z target has no rank row ->
+    # rank_units 0.  Case-preserved urls, lowercase hosts.
+    assert got == [
+        ("alpha.example.com", "https://alpha.example.com/z", 0, 1, 1),
+        ("beta.example.com", "HTTPS://Beta.example.com:8080/r", 700, 1, 1),
+        ("gamma.example.com", "https://gamma.example.com/q", 300, 1, 1),
+    ]
+    # cap=2 admits a second url per host where one exists
+    out2 = wg.frontier(crawled, links, ranks, per_host_cap=2)
+    assert out2.filter(F.col("slot") == 2).count() == 0  # every host has 1 left
+
+
+def test_frontier_duckdb_parity(spark):
+    import duckdb
+
+    docs = spark.createDataFrame(HTML_ROWS, ["doc_id", "url", "html"])
+    links = wg.extract_links(docs, "doc_id", "html")
+    edges = wg.host_edges(
+        links.join(
+            docs.selectExpr("doc_id AS doc_key", "url"), "doc_key"
+        )
+    )
+    ranks = wg.pagerank(edges, iterations=3)
+    crawled = docs.select("url")
+    a = (
+        wg.frontier(crawled, links, ranks, per_host_cap=2)
+        .toPandas()
+        .sort_values(["host", "slot"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pages (doc_id BIGINT, url VARCHAR, html VARCHAR)")
+    con.executemany("INSERT INTO pages VALUES (?, ?, ?)", HTML_ROWS)
+    links_sql = wg.extract_links_sql("pages", "doc_id", "html")
+    edges_sql = wg.host_edges_sql(
+        f"SELECT l.*, p.url FROM ({links_sql}) l JOIN pages p ON l.doc_key = p.doc_id"
+    )
+    b = (
+        con.execute(
+            wg.frontier_sql(
+                "SELECT url FROM pages",
+                links_sql,
+                wg.pagerank_sql(edges_sql, iterations=3),
+                per_host_cap=2,
+            )
+        )
+        .df()
+        .sort_values(["host", "slot"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) and len(a) > 0
+    for col in ["host", "url", "rank_units", "n_refs", "slot"]:
+        assert (a[col].values == b[col].values).all(), col
