@@ -103,6 +103,84 @@ def delete_docs(spark: SparkSession, index_dir: str, urls: list[str]) -> int:
     return n_new
 
 
+def delete_by_filter(spark: SparkSession, index_dir: str, filters: dict) -> int:
+    """Delete every document matching a metadata predicate (MeiliSearch
+    v1.2 ``DELETE /indexes/{uid}/documents`` with a filter body — the
+    at-scale delete shape: a corpus deletes ``lang = 'xx'`` without ever
+    materializing the id list on a driver; reference ``client.py:251-268``
+    only covers the by-id form).
+
+    The predicate goes through the SAME typed-Column translation the search
+    path uses (``filters_to_column``), including the
+    ``filterableAttributes`` declaration check, so a filter that would be a
+    400 on search is a ValueError here too.  Matching urls append to the
+    tombstone table as a DataFrame write — only the newly-deleted COUNT
+    crosses to the driver, never the urls.  Returns that count (urls
+    already tombstoned don't recount; a repeat call returns 0), matching
+    :func:`delete_docs` semantics.  Scoring afterwards follows the module
+    contract: candidates excluded inside the top-k heaps, corpus stats
+    (df/avgdl/n_docs) unchanged until :func:`compact_index`.
+
+    On a STAGED (tf) layout the deletions must also pin into the staged
+    registry, which is driver-side and url-keyed — that path collects the
+    matching urls, guarded by ``TOMBSTONE_LITERAL_CAP`` (a predicate delete
+    bigger than that on a staged layout wants finalize + compaction, not a
+    bigger registry).  Single-writer contract, same as every directory
+    mutation here."""
+    from ..query.requests import filters_to_column
+
+    meta = load_meta(index_dir)
+    declared = getattr(meta, "filterable_attributes", None)
+    if declared is not None:
+        bad = sorted(set(filters.keys()) - set(declared))
+        if bad:
+            raise ValueError(
+                f"filterable fields {bad} not declared (settings allow "
+                f"{sorted(declared)}); declare them with "
+                "update_filterable_attributes"
+            )
+    ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    doomed = ds.filter(filters_to_column(filters)).select("url")
+    prior = _tombstone_urls(spark, index_dir)
+    fresh = doomed if prior is None else doomed.join(prior, "url", "left_anti")
+    # one small job: count + the newly-deleted urls stay distributed.  The
+    # tombstone append only needs the FRESH urls (read-time dedup makes
+    # re-appending priors harmless but pointless).
+    # materialize BEFORE the append: ``fresh`` is lazy over the tombstone
+    # table itself, so any evaluation after the write would anti-join away
+    # the rows the write just added.  The checkpoint pins the pre-append
+    # state on the executors; the urls still never cross to the driver on
+    # the common path.
+    fresh = fresh.localCheckpoint()
+    try:
+        n_new = fresh.count()
+        if n_new == 0:
+            return 0
+        from ..streaming.ingest import ADHOC_BATCH_BASE, _batch_watermarks, record_staged_deletions
+
+        sw, aw = _batch_watermarks(index_dir)
+        staged = os.path.isdir(os.path.join(index_dir, "tf")) and (
+            sw >= 0 or aw >= ADHOC_BATCH_BASE
+        )
+        if staged and n_new > TOMBSTONE_LITERAL_CAP:
+            # checked BEFORE the append so a refused bulk delete leaves the
+            # directory untouched
+            raise ValueError(
+                f"delete_by_filter matched {n_new} staged-layout documents "
+                f"(cap {TOMBSTONE_LITERAL_CAP}); finalize + compact instead "
+                "of registry-pinning a bulk delete"
+            )
+        fresh.coalesce(1).write.mode("append").parquet(
+            os.path.join(index_dir, TOMBSTONES)
+        )
+        if staged:
+            urls = [r["url"] for r in fresh.collect()]
+            record_staged_deletions(index_dir, urls, watermarks=(sw, aw))
+        return n_new
+    finally:
+        fresh.unpersist()
+
+
 def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     """Existence check through Hadoop's FileSystem API — resolves the same
     way Spark's readers do (local fs, HDFS, object stores), so the common

@@ -1794,6 +1794,103 @@ class SearchEngine:
         )
         return self._finalize_hits(topk, attributes=attributes_to_retrieve)
 
+    def search_after(
+        self,
+        terms: list[str],
+        cursor: tuple[float, str] | None = None,
+        k: int = 10,
+        matching: str = "best",
+        filters: dict | None = None,
+        attributes_to_retrieve: list[str] | None = None,
+    ) -> DataFrame:
+        """Keyset (cursor) pagination: the page strictly AFTER ``cursor`` in
+        the stable pagination order — the deep-pagination shape offset
+        pagination cannot sustain at scale (page P via offset needs a
+        top-(P·k) heap on every executor and P·k rows through the final
+        merge; the cursor filter keeps every heap at k rows regardless of
+        depth — R10's ``paginate`` covers the shallow MeiliSearch
+        offset/limit surface, this covers the exhaustive-export one).
+
+        The pagination order is ``(presentation score DESC, url ASC)`` —
+        score rounded to ``SCORE_DECIMALS`` exactly as hits display it.
+        A cursor must be SERIALIZABLE and survive re-execution; the rounded
+        score is the engine's only score stable enough for that contract
+        (full-precision doubles depend on float summation order across
+        partitions), and ``url`` — the external document key — breaks ties,
+        so the order is total and rebuild-stable (doc ids reassign on
+        rebuild; urls don't).  Page 1 = ``cursor=None``; every page must
+        come from THIS method so all pages share one total order.
+
+        ``cursor`` is ``(score, url)`` of the previous page's last hit.
+        Runs the exact full-scoring path (the same one sort/distinct use):
+        the cursor predicate lands between scoring and the top-k, so the
+        plan is Filter → TakeOrderedAndProject(k) — never a growing heap.
+        """
+        from .adhoc import SCORE_DECIMALS
+
+        uniq, prefixes, qterms, required = self._expand_matching(terms, matching)
+        if not qterms:
+            return self.search_terms(terms, k=k, matching=matching, filters=filters,
+                                     attributes_to_retrieve=attributes_to_retrieve)
+        scored = self._exact_scored(qterms, filters, required, prefixes)
+        joined = self.doc_stats.join(scored, "doc_id").withColumn(
+            "score", F.round("score", SCORE_DECIMALS)
+        )
+        if cursor is not None:
+            cs, cu = float(cursor[0]), str(cursor[1])
+            joined = joined.filter(
+                (F.col("score") < F.lit(cs))
+                | ((F.col("score") == F.lit(cs)) & (F.col("url") > F.lit(cu)))
+            )
+        out_cols = self._hit_cols(attributes_to_retrieve)
+        return (
+            joined.orderBy(F.desc("score"), F.asc("url")).limit(k).select(*out_cols)
+        )
+
+    def batch_search_terms(
+        self, term_sets: list[list[str]], k: int = 10
+    ) -> DataFrame:
+        """Many single-variant BM25 top-k queries in ONE cluster job,
+        returned as ONE DataFrame keyed by ``query_id`` (input order).
+
+        The DataFrame-native core of the reference's batch endpoint
+        (search_proxy_service.py:267-349): where the reference fans out N
+        concurrent HTTP searches under an asyncio semaphore, here every
+        query becomes a variant namespace in the SAME block-max bucket
+        top-k job (:meth:`score_variants_topk`) — candidate blocks for all
+        queries ride one shuffle, per-bucket heaps stay k-sized per query,
+        and one window finalizes each query's global top-k.  Per-query cost
+        amortizes toward the batched at-scale number instead of paying N
+        job overheads (``SearchService.batch_search`` builds full
+        SearchResponse pages on top of the same idea; this method is the
+        raw-terms surface that stays a DataFrame, for pipelines that join
+        search results onward rather than serve them)."""
+        qterms = [
+            QueryTerm(i, t)
+            for i, ts in enumerate(term_sets)
+            for t in dict.fromkeys(ts)
+        ]
+        if not qterms:
+            raise ValueError("batch_search_terms needs at least one non-empty query")
+        scored = self.score_variants_topk(qterms, k=k)
+        w = Window.partitionBy("variant_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        topk = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+        return (
+            self.doc_stats.join(F.broadcast(topk), "doc_id")
+            .select(
+                F.col("variant_id").alias("query_id"),
+                "url",
+                "doc_id",
+                "score",
+                "terms_matched",
+            )
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        )
+
     def search_prefix(
         self,
         query: str,

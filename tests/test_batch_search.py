@@ -58,3 +58,24 @@ def test_batch_records_events_per_query(svc):
     svc.batch_search(QUERIES[:2], limit=3, session_id="batch-1")
     assert len(svc.events) == before + 2
     assert all(e["session_id"] == "batch-1" for e in svc.events[-2:])
+
+
+def test_batch_search_terms_equals_singles(svc):
+    """DataFrame-native batch (batch_search_terms): one job, per-query
+    top-k identical to N independent search_terms calls."""
+    eng = svc.engine
+    term_sets = [["ไทย"], ["อาหาร", "ไทย"], ["machine", "learning"]]
+    out = eng.batch_search_terms(term_sets, k=8).collect()
+    assert {r["query_id"] for r in out} <= {0, 1, 2}
+    for qid, ts in enumerate(term_sets):
+        got = [(r["url"], round(r["score"], 6)) for r in out if r["query_id"] == qid]
+        want = [
+            (r["url"], round(r["score"], 6))
+            for r in eng.search_terms(ts, k=8).collect()
+        ]
+        assert got == want, f"query {qid}"
+
+
+def test_batch_search_terms_validation(svc):
+    with pytest.raises(ValueError, match="non-empty"):
+        svc.engine.batch_search_terms([], k=5)

@@ -377,3 +377,48 @@ def test_list_indexes_states(spark, tmp_path):
     assert got["idx_b"]["state"] == "staging" and got["idx_b"]["n_docs"] == -1
     assert got["idx_c"]["state"] == "compacting"
     assert list_indexes(str(tmp_path / "missing")) == []
+
+
+def test_delete_by_filter_counts_excludes_and_repeats(spark, built):
+    from meilisearch_thai_spark.index.maintenance import delete_by_filter
+
+    out, pages = built
+    n_en = pages.filter("lang = 'en'").count()
+    assert n_en > 0
+    # predicate delete: count == matching docs, queries exclude them
+    assert delete_by_filter(spark, out, {"lang": {"$eq": "en"}}) == n_en
+    # repeat is a no-op (already tombstoned)
+    assert delete_by_filter(spark, out, {"lang": {"$eq": "en"}}) == 0
+    eng = SearchEngine(spark, out, cache_postings=False)
+    term = _common_term(eng)
+    hits = eng.search_terms([term], k=50, attributes_to_retrieve=["lang"]).collect()
+    assert hits and all(r["lang"] != "en" for r in hits)
+    # overlapping predicate recounts only the NEW victims
+    n_th = pages.filter("lang = 'th'").count()
+    assert (
+        delete_by_filter(spark, out, {"lang": {"$in": ["en", "th"]}}) == n_th
+    )
+
+
+def test_delete_by_filter_equals_delete_docs(spark, tmp_path):
+    from meilisearch_thai_spark.index.maintenance import delete_by_filter
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    pages = generate_pages(spark, 200, seed=7).persist()
+    build_index(spark, pages, a, bucket_span=128)
+    build_index(spark, pages, b, bucket_span=128)
+    victims = [r["url"] for r in pages.filter("lang = 'th-en'").collect()]
+    assert delete_by_filter(spark, a, {"lang": {"$eq": "th-en"}}) == len(victims)
+    assert delete_docs(spark, b, victims) == len(victims)
+    assert sorted(tombstoned_ids(spark, a)) == sorted(tombstoned_ids(spark, b))
+    pages.unpersist()
+
+
+def test_delete_by_filter_respects_declarations(spark, built):
+    from meilisearch_thai_spark.index.maintenance import delete_by_filter
+    from meilisearch_thai_spark.index.settings import update_filterable_attributes
+
+    out, _ = built
+    update_filterable_attributes(out, ["lang"])
+    with pytest.raises(ValueError, match="not declared"):
+        delete_by_filter(spark, out, {"doc_len": {"$gt": 10}})
