@@ -210,6 +210,17 @@ def main() -> None:
         "weburl_robots",
         "r11_typo_search",
         "r11_proximity_search",
+        # round-4 (cont. 4): end-to-end fuzzy-dedup decision (LSH pairs →
+        # label-propagation components → canonical pick), crawl-frontier
+        # generation (candidate collapse + anti-join + PageRank join +
+        # per-host cap), batch serving as one DataFrame job, and keyset
+        # deep pagination (cursor page through the exact-scored path;
+        # per-call engine init + the page-1 cursor fetch included — that
+        # IS the surface's cost)
+        "dedup_fuzzy_keep_best",
+        "weburl_frontier",
+        "x1_batch_search",
+        "x21_search_after",
     ]
     for name in names[6:]:
         qs[name](spark, SF_DIR).collect()  # untimed: builds the memoized index
