@@ -321,3 +321,33 @@ def test_repetition_signals_zero_shuffle(spark, sf_dir):
     txt = _final_plan(df)
     assert "Exchange" not in txt
     assert "MapInPandas" not in txt and "BatchEvalPython" not in txt
+
+
+def test_search_after_plan_keeps_topk_heap_k_sized(spark, warm_engine):
+    """Keyset pagination: the cursor lands as a plain Filter between the
+    scoring aggregate and TakeOrderedAndProject(k) — the heap must be
+    limit=k, never offset+k (the whole point of the cursor)."""
+    page = warm_engine.search_after(["เทคโนโลยี"], cursor=(3.5, "https://x/9"), k=7)
+    page.collect()
+    txt = _final_plan(page)
+    assert "TakeOrderedAndProject" in txt and "limit=7" in txt.replace(" ", "")
+    # the cursor predicate is present as a filter, not a post-collect trim
+    assert "Filter" in txt and "3.5" in txt
+
+
+def test_batch_search_terms_single_python_stage(spark, warm_engine):
+    """The N-query batch is ONE job: exactly one MapInPandas (the shared
+    bucket top-k kernel) no matter how many queries ride it."""
+    out = warm_engine.batch_search_terms(
+        [["เทคโนโลยี"], ["อาหาร"], ["โรงเรียน"]], k=5
+    )
+    out.collect()
+    txt = _final_plan(out)
+    # AQE prints a reused broadcast subtree at each consumer, so dedupe by
+    # kernel content: exactly ONE distinct Python stage
+    kernels = {
+        line[line.index("MapInPandas"):]
+        for line in txt.splitlines()
+        if "MapInPandas" in line
+    }
+    assert len(kernels) == 1, kernels
