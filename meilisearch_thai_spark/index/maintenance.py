@@ -58,6 +58,18 @@ def clear_tombstones(index_dir: str) -> None:
     shutil.rmtree(os.path.join(index_dir, TOMBSTONES), ignore_errors=True)
 
 
+def _staged_layout(index_dir: str, watermarks: tuple[int, int]) -> bool:
+    """True when the directory uses the batched staging layout (tf shards +
+    committed batch lineage) — the one shared definition for delete paths,
+    so the registry-pinning rule cannot drift between them."""
+    from ..streaming.ingest import ADHOC_BATCH_BASE
+
+    sw, aw = watermarks
+    return os.path.isdir(os.path.join(index_dir, "tf")) and (
+        sw >= 0 or aw >= ADHOC_BATCH_BASE
+    )
+
+
 def delete_docs(spark: SparkSession, index_dir: str, urls: list[str]) -> int:
     """Tombstone the documents with the given urls; returns how many were
     NEWLY deleted — present in the physical index and not already tombstoned
@@ -93,13 +105,11 @@ def delete_docs(spark: SparkSession, index_dir: str, urls: list[str]) -> int:
     # Fresh builds (build_index / build_index_resumable) intentionally do
     # resurrect (a rebuild defines a new document set), so only the batched
     # layout records here.
-    from ..streaming.ingest import ADHOC_BATCH_BASE, _batch_watermarks, record_staged_deletions
+    from ..streaming.ingest import _batch_watermarks, record_staged_deletions
 
-    sw, aw = _batch_watermarks(index_dir)
-    if os.path.isdir(os.path.join(index_dir, "tf")) and (
-        sw >= 0 or aw >= ADHOC_BATCH_BASE
-    ):
-        record_staged_deletions(index_dir, uniq, watermarks=(sw, aw))
+    wm = _batch_watermarks(index_dir)
+    if _staged_layout(index_dir, wm):
+        record_staged_deletions(index_dir, uniq, watermarks=wm)
     return n_new
 
 
@@ -121,25 +131,61 @@ def delete_by_filter(spark: SparkSession, index_dir: str, filters: dict) -> int:
     contract: candidates excluded inside the top-k heaps, corpus stats
     (df/avgdl/n_docs) unchanged until :func:`compact_index`.
 
-    On a STAGED (tf) layout the deletions must also pin into the staged
+    The predicate evaluates against the QUERYABLE index (doc_stats).  On a
+    STAGED (tf) layout the deletions must also pin into the staged
     registry, which is driver-side and url-keyed — that path collects the
     matching urls, guarded by ``TOMBSTONE_LITERAL_CAP`` (a predicate delete
     bigger than that on a staged layout wants finalize + compaction, not a
-    bigger registry).  Single-writer contract, same as every directory
-    mutation here."""
-    from ..query.requests import filters_to_column
+    bigger registry) — and a staged layout carrying documents NOT YET
+    published by a finalize is REFUSED (MeiliSearch task ordering: a delete
+    issued after an add must cover the added docs; this engine cannot
+    evaluate the predicate on unpublished tf rows, so it demands
+    ``finalize_streamed_index`` first rather than silently missing them).
+    Single-writer contract, same as every directory mutation here."""
+    from ..query.requests import check_declared, filters_to_column
 
+    if not filters:
+        # MeiliSearch 400s a deleteByFilter without a filter; an empty dict
+        # would otherwise translate to lit(True) and tombstone EVERYTHING
+        raise ValueError(
+            "delete_by_filter requires a non-empty filter (an empty one "
+            "would delete every document; if that is really intended, "
+            "delete the index instead)"
+        )
     meta = load_meta(index_dir)
-    declared = getattr(meta, "filterable_attributes", None)
-    if declared is not None:
-        bad = sorted(set(filters.keys()) - set(declared))
-        if bad:
-            raise ValueError(
-                f"filterable fields {bad} not declared (settings allow "
-                f"{sorted(declared)}); declare them with "
-                "update_filterable_attributes"
-            )
+    check_declared(
+        filters.keys(),
+        getattr(meta, "filterable_attributes", None),
+        "filterable fields",
+    )
     ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    from ..streaming.ingest import _batch_watermarks, record_staged_deletions, _load_deleted_registry
+
+    wm = _batch_watermarks(index_dir)
+    staged = _staged_layout(index_dir, wm)
+    if staged:
+        # refuse when tf holds urls doc_stats has never published (staged
+        # adds awaiting finalize) — minus registry-pinned deletions, which
+        # legitimately vanish from doc_stats while staying in tf
+        tf_urls = (
+            spark.read.parquet(os.path.join(index_dir, "tf"))
+            .select("url")
+            .distinct()
+            .join(ds.select("url"), "url", "left_anti")
+        )
+        pinned = [r["url"] for r in _load_deleted_registry(index_dir)]
+        if pinned:
+            tf_urls = tf_urls.join(
+                spark.createDataFrame([(u,) for u in pinned], "url string"),
+                "url",
+                "left_anti",
+            )
+        if tf_urls.limit(1).count() > 0:
+            raise ValueError(
+                "delete_by_filter on a staged layout with unpublished "
+                "documents (tf rows not yet in doc_stats) — the predicate "
+                "cannot see them; run finalize_streamed_index first"
+            )
     doomed = ds.filter(filters_to_column(filters)).select("url")
     prior = _tombstone_urls(spark, index_dir)
     fresh = doomed if prior is None else doomed.join(prior, "url", "left_anti")
@@ -156,12 +202,6 @@ def delete_by_filter(spark: SparkSession, index_dir: str, filters: dict) -> int:
         n_new = fresh.count()
         if n_new == 0:
             return 0
-        from ..streaming.ingest import ADHOC_BATCH_BASE, _batch_watermarks, record_staged_deletions
-
-        sw, aw = _batch_watermarks(index_dir)
-        staged = os.path.isdir(os.path.join(index_dir, "tf")) and (
-            sw >= 0 or aw >= ADHOC_BATCH_BASE
-        )
         if staged and n_new > TOMBSTONE_LITERAL_CAP:
             # checked BEFORE the append so a refused bulk delete leaves the
             # directory untouched
@@ -175,7 +215,7 @@ def delete_by_filter(spark: SparkSession, index_dir: str, filters: dict) -> int:
         )
         if staged:
             urls = [r["url"] for r in fresh.collect()]
-            record_staged_deletions(index_dir, urls, watermarks=(sw, aw))
+            record_staged_deletions(index_dir, urls, watermarks=wm)
         return n_new
     finally:
         fresh.unpersist()

@@ -1375,16 +1375,9 @@ class SearchEngine:
         )
 
     def _check_declared(self, fields, declared, kind: str) -> None:
-        """Enforce a filterable/sortable declaration when one exists (None =
-        undeclared mode, everything allowed — IndexMeta docs)."""
-        if declared is None:
-            return
-        bad = sorted(set(fields) - set(declared))
-        if bad:
-            raise ValueError(
-                f"{kind} {bad} not declared (settings allow {sorted(declared)}); "
-                f"declare them with update_{kind.split()[0]}_attributes"
-            )
+        from .requests import check_declared
+
+        check_declared(fields, declared, kind)
 
     def allowed_docs(self, filters: dict) -> DataFrame:
         """P4: filter dict → allowed doc_id set from the doc metadata table
@@ -1830,8 +1823,15 @@ class SearchEngine:
 
         uniq, prefixes, qterms, required = self._expand_matching(terms, matching)
         if not qterms:
-            return self.search_terms(terms, k=k, matching=matching, filters=filters,
-                                     attributes_to_retrieve=attributes_to_retrieve)
+            # no scorable terms → the walk has no pages.  With a cursor the
+            # answer must stay inside THIS method's total order (never
+            # silently forward to search_terms, which would drop the cursor
+            # and re-serve page 1); without one, page 1 == the plain result.
+            base = self.search_terms(
+                terms, k=k, matching=matching, filters=filters,
+                attributes_to_retrieve=attributes_to_retrieve,
+            )
+            return base.limit(0) if cursor is not None else base
         scored = self._exact_scored(qterms, filters, required, prefixes)
         joined = self.doc_stats.join(scored, "doc_id").withColumn(
             "score", F.round("score", SCORE_DECIMALS)
@@ -1865,13 +1865,25 @@ class SearchEngine:
         SearchResponse pages on top of the same idea; this method is the
         raw-terms surface that stays a DataFrame, for pipelines that join
         search results onward rather than serve them)."""
+        if not term_sets:
+            raise ValueError("batch_search_terms needs at least one query")
+        # same per-query preamble as search_terms (stopword drop + dedup) —
+        # batch results must equal N independent single-query calls even on
+        # an engine with configured stopwords
         qterms = [
             QueryTerm(i, t)
             for i, ts in enumerate(term_sets)
-            for t in dict.fromkeys(ts)
+            for t in dict.fromkeys(self._drop_stopwords(list(ts)))
         ]
         if not qterms:
-            raise ValueError("batch_search_terms needs at least one non-empty query")
+            # every query was all-stopwords: N empty result pages
+            return self.doc_stats.limit(0).select(
+                F.lit(0).alias("query_id"),
+                "url",
+                "doc_id",
+                F.lit(0.0).alias("score"),
+                F.lit(0).cast("long").alias("terms_matched"),
+            )
         scored = self.score_variants_topk(qterms, k=k)
         w = Window.partitionBy("variant_id").orderBy(F.desc("score"), F.asc("doc_id"))
         topk = (

@@ -72,6 +72,21 @@ def validate_request(req: SearchRequest) -> SearchRequest:
 _OPS = {"$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$exists"}
 
 
+def check_declared(fields, declared, kind: str) -> None:
+    """Enforce a filterable/sortable declaration when one exists (None =
+    undeclared mode, everything allowed — IndexMeta docs).  Shared by the
+    search path (SearchEngine) and maintenance (delete_by_filter) so the
+    two can never drift on what a declaration allows."""
+    if declared is None:
+        return
+    bad = sorted(set(fields) - set(declared))
+    if bad:
+        raise ValueError(
+            f"{kind} {bad} not declared (settings allow {sorted(declared)}); "
+            f"declare them with update_{kind.split()[0]}_attributes"
+        )
+
+
 def filters_to_column(filters: dict):
     """AND-joined Column predicate from the reference's filter dict syntax."""
     from pyspark.sql import functions as F

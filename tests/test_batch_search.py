@@ -77,5 +77,34 @@ def test_batch_search_terms_equals_singles(svc):
 
 
 def test_batch_search_terms_validation(svc):
-    with pytest.raises(ValueError, match="non-empty"):
+    with pytest.raises(ValueError, match="at least one"):
         svc.engine.batch_search_terms([], k=5)
+
+
+def test_batch_search_terms_stopwords_equal_singles(spark, tmp_path):
+    """Batch == singles on an engine with configured stopwords: the batch
+    preamble must drop them exactly like search_terms does."""
+    from meilisearch_thai_spark.index.builder import build_index
+    from meilisearch_thai_spark.query.executor import SearchEngine
+    from meilisearch_thai_spark.sources.pages import generate_pages
+
+    out = str(tmp_path / "idx_sw")
+    build_index(
+        spark, generate_pages(spark, 300, seed=41), out, stopwords=["ไทย"]
+    )
+    eng = SearchEngine(spark, out, cache_postings=False)
+    term_sets = [["ไทย", "อาหาร"], ["ไทย"]]
+    rows = eng.batch_search_terms(term_sets, k=5).collect()
+    got0 = [(r["url"], round(r["score"], 6)) for r in rows if r["query_id"] == 0]
+    want0 = [
+        (r["url"], round(r["score"], 6))
+        for r in eng.search_terms(term_sets[0], k=5).collect()
+    ]
+    assert got0 == want0
+    # the all-stopword query contributes no rows, like its single-query twin
+    assert [r for r in rows if r["query_id"] == 1] == []
+    assert eng.search_terms(term_sets[1], k=5).collect() == []
+    # every-query-all-stopwords: empty frame, correct schema, no job blowup
+    empty = eng.batch_search_terms([["ไทย"]], k=5)
+    assert empty.collect() == []
+    assert empty.columns == ["query_id", "url", "doc_id", "score", "terms_matched"]

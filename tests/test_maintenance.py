@@ -422,3 +422,28 @@ def test_delete_by_filter_respects_declarations(spark, built):
     update_filterable_attributes(out, ["lang"])
     with pytest.raises(ValueError, match="not declared"):
         delete_by_filter(spark, out, {"doc_len": {"$gt": 10}})
+
+
+def test_delete_by_filter_rejects_empty_and_unpublished_staged(spark, tmp_path):
+    from meilisearch_thai_spark.index.maintenance import delete_by_filter
+    from meilisearch_thai_spark.streaming.ingest import (
+        add_documents,
+        finalize_streamed_index,
+    )
+
+    out = str(tmp_path / "idx_staged")
+    pages = generate_pages(spark, 120, seed=11).persist()
+    add_documents(spark, pages.filter("lang != 'en'"), out)
+    # an empty filter would translate to lit(True) — must 400, not wipe
+    with pytest.raises(ValueError, match="non-empty filter"):
+        delete_by_filter(spark, out, {})
+    # stage a second batch WITHOUT finalize: predicate deletes must refuse
+    # (they cannot see the unpublished docs)
+    add_documents(spark, pages.filter("lang = 'en'"), out, finalize=False)
+    with pytest.raises(ValueError, match="unpublished"):
+        delete_by_filter(spark, out, {"lang": {"$eq": "en"}})
+    # after finalize the same predicate works and counts the en docs
+    finalize_streamed_index(spark, out)
+    n_en = pages.filter("lang = 'en'").count()
+    assert delete_by_filter(spark, out, {"lang": {"$eq": "en"}}) == n_en
+    pages.unpersist()

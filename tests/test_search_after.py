@@ -64,3 +64,17 @@ def test_search_after_with_filters(spark, eng):
     ).collect()
     assert all(r["lang"] in ("th", "th-en") for r in p2)
     assert {r["url"] for r in p1}.isdisjoint({r["url"] for r in p2})
+
+
+def test_search_after_stopword_terms_cursor_yields_empty(spark, tmp_path):
+    """A cursor must never be silently dropped: termless (all-stopword)
+    queries return page 1 as-is but an explicit cursor walk terminates."""
+    from meilisearch_thai_spark.index.builder import build_index
+
+    out = str(tmp_path / "idx_sw2")
+    build_index(
+        spark, generate_pages(spark, 200, seed=42), out, stopwords=["ไทย"]
+    )
+    e = SearchEngine(spark, out, cache_postings=False)
+    assert e.search_after(["ไทย"], cursor=(1.0, "u"), k=5).collect() == []
+    assert e.search_after(["ไทย"], k=5).collect() == []
