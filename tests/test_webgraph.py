@@ -200,3 +200,100 @@ def test_frontier_duckdb_parity(spark):
     assert len(a) == len(b) and len(a) > 0
     for col in ["host", "url", "rank_units", "n_refs", "slot"]:
         assert (a[col].values == b[col].values).all(), col
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_frontier_randomized_batch_parity(spark, seed):
+    """Randomized link soup × crawled sets, Spark vs DuckDB in one batch:
+    candidate collapse, anti-join, rank coalesce, host extraction, and the
+    per-host window must agree on every (case-variant scheme, port, missing
+    rank, shared target, already-crawled target) combination emitted."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(seed)
+    hosts = [f"h{i}.example.com" for i in range(8)]
+    schemes = ["https://", "http://", "HTTPS://", "Http://"]
+
+    def url(host):
+        port = rng.choice(["", "", ":8080", ":443"])
+        path = rng.choice(["/", "/p", "/p/q", "/x?y=1", ""])
+        return f"{rng.choice(schemes)}{host}{port}{path}"
+
+    pages = []
+    for i in range(25):
+        targets = [url(rng.choice(hosts)) for _ in range(rng.randint(0, 4))]
+        html = "".join(f'<a href="{t}">t{j}</a>' for j, t in enumerate(targets))
+        pages.append((i, url(rng.choice(hosts)), f"<html>{html}</html>"))
+    # crawled = own urls + a random slice of the targets (the anti-join bites)
+    pdf = spark.createDataFrame(pages, "doc_id long, url string, html string")
+    links = wg.extract_links(pdf, "doc_id", "html")
+    some_targets = [
+        (r["link"],) for r in links.collect() if rng.random() < 0.3
+    ]
+    crawled_rows = [(u,) for _, u, _ in pages] + some_targets
+    crawled = spark.createDataFrame(crawled_rows, "url string")
+    # ranks for a subset of hosts only (missing -> 0)
+    rank_rows = [(h, rng.randint(1, 1000)) for h in hosts[:5]]
+    ranks = spark.createDataFrame(rank_rows, "host string, rank_units long")
+    a = (
+        wg.frontier(crawled, links, ranks, per_host_cap=2)
+        .toPandas().sort_values(["host", "slot"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("pg", pd.DataFrame(pages, columns=["doc_id", "url", "html"]))
+    con.register("cr", pd.DataFrame(crawled_rows, columns=["url"]))
+    con.register("rk", pd.DataFrame(rank_rows, columns=["host", "rank_units"]))
+    b = con.execute(
+        wg.frontier_sql(
+            "SELECT url FROM cr",
+            wg.extract_links_sql("pg", "doc_id", "html"),
+            "SELECT host, rank_units FROM rk",
+            per_host_cap=2,
+        )
+    ).df().sort_values(["host", "slot"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in ["host", "url", "rank_units", "n_refs", "slot"]:
+        assert list(a[c]) == list(b[c]), f"seed={seed} col={c}"
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_keep_best_randomized_batch_parity(spark, seed):
+    """Randomized docs + candidate pairs (chains, cliques, dupes, length
+    ties), Spark label propagation vs DuckDB recursive closure + the same
+    canonical window."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from meilisearch_thai_spark.pipeline import dedup as dd
+
+    rng = random.Random(100 + seed)
+    docs = [(i, "w " * rng.randint(1, 30) + rng.choice(["a", "bb", ""])) for i in range(40)]
+    pairs = []
+    for _ in range(25):
+        u, v = rng.randrange(40), rng.randrange(40)
+        if u != v:
+            pairs.append((u, v))
+    if not pairs:
+        pairs = [(0, 1)]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    pdf = spark.createDataFrame(pairs, "left_key long, right_key long")
+    a = (
+        dd.keep_best_per_cluster(ddf, pdf, "doc_id", "text")
+        .toPandas().sort_values("component").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("dtab", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    con.register("ptab", pd.DataFrame(pairs, columns=["left_key", "right_key"]))
+    b = con.execute(
+        dd.keep_best_per_cluster_sql(
+            "SELECT * FROM ptab", "dtab", "doc_id", "text"
+        )
+    ).df().sort_values("component").reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for c in ["component", "kept_key", "kept_len", "n_members"]:
+        assert list(a[c]) == list(b[c]), f"seed={seed} col={c}"
