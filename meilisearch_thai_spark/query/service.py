@@ -535,6 +535,61 @@ class SearchService:
             for r in rows
         }
 
+    def search_after(
+        self,
+        query: str,
+        cursor: tuple[float, str] | None = None,
+        limit: int = 10,
+        filters: dict | None = None,
+    ) -> tuple[list[dict], tuple[float, str] | None]:
+        """Keyset deep pagination at the service level: one page of hits
+        plus the cursor for the next call (``None`` when the walk is done).
+
+        The query tokenizes through the shared pipeline (negatives are
+        rejected — an exclusion set has no stable cursor order contract),
+        then pages through :meth:`SearchEngine.search_after`'s
+        (presentation-score DESC, url ASC) total order.  This is the
+        exhaustive-export surface (dump every match, arbitrarily deep);
+        interactive pagination stays on :meth:`search`'s offset/limit."""
+        from .pipeline import split_query_negatives
+        from ..tokenizer import extract_index_terms, tokenize_for_index
+
+        positive, negatives = split_query_negatives(query)
+        if negatives:
+            raise ValueError(
+                "search_after does not support negative keywords; "
+                "use search() for filtered interactive queries"
+            )
+        terms = extract_index_terms(tokenize_for_index(positive))
+        rows = self.engine.search_after(
+            terms, cursor=cursor, k=limit, filters=filters
+        ).collect()
+        hits = [
+            {"url": r["url"], "score": r["score"], "terms_matched": r["terms_matched"]}
+            for r in rows
+        ]
+        nxt = (rows[-1]["score"], rows[-1]["url"]) if len(rows) == limit else None
+        return hits, nxt
+
+    def delete_documents(
+        self, urls: list[str] | None = None, filters: dict | None = None
+    ) -> int:
+        """Service-level delete (reference client.py:251-268 delete by ids;
+        MeiliSearch v1.2 deleteByFilter for the predicate form) — exactly
+        one of ``urls``/``filters``.  The live engine refreshes its
+        tombstone snapshot afterwards, so this service's next query already
+        excludes the victims (per-engine snapshot semantics otherwise)."""
+        if (urls is None) == (filters is None):
+            raise ValueError("pass exactly one of urls= or filters=")
+        from ..index.maintenance import delete_by_filter, delete_docs
+
+        if urls is not None:
+            n = delete_docs(self.engine.spark, self.engine.index_dir, urls)
+        else:
+            n = delete_by_filter(self.engine.spark, self.engine.index_dir, filters)
+        self.engine.refresh_deletes()
+        return n
+
     def suggest(self, query: str) -> str | None:
         """"Did you mean": rewrite out-of-vocabulary query words to their
         best in-vocabulary typo correction (the same banded-Damerau

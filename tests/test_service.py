@@ -239,3 +239,38 @@ def test_suggest_prefers_higher_df_among_equal_distance(spark, tmp_path_factory)
     svc = SearchService(spark, out, cache_postings=False)
     # 'pater' is OOV and 1 edit from BOTH 'paper' (df=9) and 'pager' (df=1)
     assert svc.suggest("pater") == "paper"
+
+
+def test_service_search_after_walks_and_terminates(service):
+    pages, cursor, seen = 0, None, []
+    while True:
+        hits, cursor = service.search_after("อาหารไทย", cursor=cursor, limit=5)
+        seen.extend(h["url"] for h in hits)
+        pages += 1
+        if cursor is None:
+            break
+        assert pages < 200  # must terminate
+    assert len(seen) == len(set(seen)) > 0  # no repeats, non-empty walk
+    with pytest.raises(ValueError, match="negative"):
+        service.search_after("อาหาร -ไทย")
+
+
+def test_service_delete_documents_both_forms(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("svc_del"))
+    pages = generate_pages(spark, 300, seed=17).persist()
+    build_index(spark, pages, out)
+    svc = SearchService(spark, out, cache_postings=False)
+    with pytest.raises(ValueError, match="exactly one"):
+        svc.delete_documents()
+    with pytest.raises(ValueError, match="exactly one"):
+        svc.delete_documents(urls=["u"], filters={"lang": {"$eq": "en"}})
+    victim = pages.limit(1).collect()[0]["url"]
+    assert svc.delete_documents(urls=[victim]) == 1
+    # live engine already excludes it (refresh_deletes ran)
+    r = svc.search("อาหาร", limit=50)
+    assert victim not in {h.url for h in r.hits}
+    n_en = pages.filter("lang = 'en'").count()
+    got = svc.delete_documents(filters={"lang": {"$eq": "en"}})
+    # the url-delete above may have consumed one en doc already
+    assert got in (n_en, n_en - 1)
+    pages.unpersist()
