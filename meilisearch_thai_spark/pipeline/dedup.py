@@ -67,6 +67,24 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str, n_hashes: in
     return sh.groupBy("doc_key").agg(*aggs)
 
 
+def _banded_buckets(
+    docs: DataFrame, id_col: str, text_col: str, n_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_key, bucket) rows: md5 band keys over the minhash signature —
+    the shared front half of within-corpus and cross-snapshot LSH."""
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes)
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
+    banded = sig.select("doc_key", *band_cols)
+    return banded.select(
+        "doc_key",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame, id_col: str, text_col: str, n_hashes: int = N_MINHASH, bands: int = LSH_BANDS
 ) -> DataFrame:
@@ -75,22 +93,47 @@ def minhash_lsh_candidates(
     band key = md5(concat of the band's rows); pairs sharing any band bucket
     are candidates.  Self-join happens per-bucket (bounded groups), the
     classic scale-out shape — never an O(n²) cross join."""
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes)
-    rows_per_band = n_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
-    banded = sig.select("doc_key", *band_cols)
-    stacked = banded.select(
-        "doc_key",
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
-    )
+    stacked = _banded_buckets(docs, id_col, text_col, n_hashes, bands)
     a = stacked.alias("a")
     b2 = stacked.alias("b")
     return (
         a.join(b2, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_key") < F.col("b.doc_key")))
         .select(F.col("a.doc_key").alias("left_key"), F.col("b.doc_key").alias("right_key"))
+        .distinct()
+    )
+
+
+def minhash_against_snapshot(
+    new_docs: DataFrame,
+    snapshot: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Cross-snapshot NEAR-dup candidates: (new_key, snap_key) pairs whose
+    minhash signatures share a band bucket — the monthly-crawl fuzzy twin of
+    :func:`against_snapshot` (each Common-Crawl dump re-captures most of the
+    web with boilerplate drift, so exact digests miss what near-dup catches).
+
+    Shape: both corpora reduce to (doc_key, bucket) band rows independently
+    (one shuffle each, the signature groupBy), then ONE bucket-equijoin new
+    × snapshot — per-bucket bounded groups, never a cross join; the
+    snapshot side ships 16-byte band keys, never text.  At 100 TB keep the
+    snapshot's band table MATERIALIZED and bucketed by ``bucket`` so each
+    monthly delta joins against it exchange-free (the same
+    write-once-join-monthly plan as the exact-digest path).
+
+    Returns distinct (new_key, snap_key) candidate pairs; verify with an
+    exact Jaccard pass (``ngram_jaccard_pairs``-style) before dropping."""
+    a = _banded_buckets(new_docs, id_col, text_col, n_hashes, bands).alias("a")
+    b = _banded_buckets(snapshot, id_col, text_col, n_hashes, bands).alias("b")
+    return (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .select(
+            F.col("a.doc_key").alias("new_key"),
+            F.col("b.doc_key").alias("snap_key"),
+        )
         .distinct()
     )
 
@@ -134,6 +177,54 @@ stacked AS (
 )
 SELECT DISTINCT a.doc_key AS left_key, b.doc_key AS right_key
 FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.doc_key < b.doc_key
+"""
+
+
+def minhash_against_snapshot_sql(
+    new_sql: str, snap_sql: str, id_col: str, text_col: str, n: int = 3,
+    n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
+) -> str:
+    """DuckDB twin of :func:`minhash_against_snapshot` (two independent
+    banded chains + one bucket equijoin)."""
+    rows_per_band = n_hashes // bands
+    mh_cols = ",\n         ".join(
+        f"MIN(substring(md5('{i}|' || sh), 1, 16)) AS mh{i}" for i in range(n_hashes)
+    )
+    band_cols = ",\n         ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band)) + f") AS band{b}"
+        for b in range(bands)
+    )
+    band_list = ", ".join(f"band{b}" for b in range(bands))
+
+    def chain(src_sql: str, sfx: str) -> str:
+        return f"""
+toks_{sfx} AS (
+  SELECT {id_col} AS doc_key, string_split({text_col}, ' ') AS t FROM ({src_sql})
+),
+sh_{sfx} AS (
+  SELECT DISTINCT doc_key,
+         array_to_string(t[i : i + {n - 1}], ' ') AS sh
+  FROM toks_{sfx}, unnest(range(1, greatest(len(t) - {n - 1}, 1) + 1)) AS r(i)
+),
+sig_{sfx} AS (
+  SELECT doc_key,
+         {mh_cols}
+  FROM sh_{sfx} GROUP BY 1
+),
+banded_{sfx} AS (
+  SELECT doc_key,
+         {band_cols}
+  FROM sig_{sfx}
+),
+stacked_{sfx} AS (
+  SELECT doc_key, unnest([{band_list}]) AS bucket FROM banded_{sfx}
+)"""
+
+    return f"""
+WITH {chain(new_sql, 'n')},
+{chain(snap_sql, 's')}
+SELECT DISTINCT a.doc_key AS new_key, b.doc_key AS snap_key
+FROM stacked_n a JOIN stacked_s b ON a.bucket = b.bucket
 """
 
 

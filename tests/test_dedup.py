@@ -399,3 +399,57 @@ def test_keep_best_per_cluster_duckdb_parity(spark, sf_dir):
     assert len(a) == len(b) and len(a) > 0
     for col in ["component", "kept_key", "kept_len", "n_members"]:
         assert (a[col].values == b[col].values).all(), col
+
+
+def test_minhash_against_snapshot_semantics(spark):
+    from meilisearch_thai_spark.pipeline.dedup import minhash_against_snapshot
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    snap = spark.createDataFrame(
+        [(1, base), (2, "completely different words about thai food recipes here now")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base.replace("today", "tomorrow")),  # near-dup of 1
+            (11, "unrelated text on spark partitioning and shuffles at scale ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_key"], r["snap_key"])
+        for r in minhash_against_snapshot(new, snap, "doc_id", "text").collect()
+    }
+    assert (10, 1) in got
+    assert all(nk != 11 for nk, _ in got)
+
+
+def test_minhash_against_snapshot_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.dedup import (
+        minhash_against_snapshot,
+        minhash_against_snapshot_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    snap = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    a = (
+        minhash_against_snapshot(new, snap, "doc_id", "text")
+        .toPandas().sort_values(["new_key", "snap_key"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    b = con.execute(
+        minhash_against_snapshot_sql(
+            "SELECT * FROM documents WHERE doc_id % 2 = 1",
+            "SELECT * FROM documents WHERE doc_id % 2 = 0",
+            "doc_id", "text",
+        )
+    ).df().sort_values(["new_key", "snap_key"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for c in ["new_key", "snap_key"]:
+        assert list(a[c]) == list(b[c]), c
