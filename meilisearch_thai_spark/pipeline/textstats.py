@@ -451,3 +451,78 @@ FROM pos GROUP BY 1
 ORDER BY n DESC, pair ASC
 LIMIT {k}
 """
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_count: int = 2,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Corpus-scale BPE training (Sennrich et al. 2016): learn ``n_merges``
+    merge rules by repeatedly merging the most frequent adjacent symbol
+    pair — the iterative extension of :func:`bpe_pair_counts` (whose top
+    pair IS merge #1).
+
+    Like real trainers, everything runs over the frequency-weighted
+    VOCABULARY, never the token stream: one corpus-scale groupBy builds
+    (word → count) once, then each merge round touches only vocab-scale
+    data — one pair-explode + hash agg for the argmax (count DESC, pair
+    ASC total order; TakeOrderedAndProject, one row to the driver) and one
+    pure-codegen ``aggregate()`` fold that rewrites each word's symbol
+    array left-to-right non-overlapping (after a merge the new symbol
+    ``l||r`` can never equal ``l`` again, so the fold needs no lookahead).
+    The vocab frame ``localCheckpoint``s every round — same constant-plan
+    lesson as connected_components/pagerank; at 100 TB vocab is ~1e8 rows
+    (log-scale smaller than the corpus), so rounds are small jobs.
+
+    Stops early when the best remaining pair's count drops below
+    ``min_count``.  Returns (merges in order, final vocab DataFrame of
+    (word, symbols, wc))."""
+    if n_merges < 1:
+        raise ValueError("train_bpe needs at least one merge")
+    vocab = (
+        docs.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .withColumn("symbols", F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_idx = F.expr("sequence(1, size(symbols) - 1)")
+        pairs = (
+            vocab.filter(F.size("symbols") >= 2)
+            .select(
+                F.explode(pair_idx).alias("i"),
+                F.col("symbols"),
+                F.col("wc"),
+            )
+            .select(
+                F.element_at("symbols", F.col("i")).alias("l"),
+                F.element_at("symbols", F.col("i") + 1).alias("r"),
+                "wc",
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("wc").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not top or top[0]["n"] < min_count:
+            break
+        l, r = top[0]["l"], top[0]["r"]
+        merges.append((l, r))
+        lc, rc, mc = F.lit(l), F.lit(r), F.lit(l + r)
+        folded = F.aggregate(
+            "symbols",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lc)
+                & (x == rc),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(mc)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        new = vocab.select("word", "wc", folded.alias("symbols")).localCheckpoint()
+        vocab.unpersist()
+        vocab = new
+    return merges, vocab.select("word", "symbols", "wc")
