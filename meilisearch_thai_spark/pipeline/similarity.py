@@ -596,3 +596,79 @@ FROM sem LEFT JOIN kw USING (doc_key) CROSS JOIN mx
 ORDER BY hybrid_score DESC, doc_key ASC
 LIMIT {k}
 """
+
+
+def pool_embeddings(
+    chunks: DataFrame,
+    group_col: str,
+    vec_col: str,
+    mode: str = "mean",
+) -> DataFrame:
+    """Roll chunk embeddings up to one vector per ``group_col`` (the
+    chunk→document step every retrieval pipeline runs after
+    ``chunk_documents`` + embed: a document's embedding = the mean (or
+    element-wise max) of its chunks').
+
+    Shape: posexplode the vectors once, ONE groupBy (group, dim) with
+    map-side combine — the dimension fan-out multiplies rows by dim but
+    every row is 20 bytes, and the aggregate collapses them before any
+    further movement — then one groupBy(group) reassembles the vector via
+    sort_array over (dim, value) structs (exact: dims are distinct ints,
+    so the struct sort is a total order and never compares floats).
+    Mean uses SUM/COUNT in double precision; engines agree to float
+    tolerance, not bitwise (float addition order varies with
+    partitioning), so the oracle compare rounds — same contract as every
+    cosine entry.
+
+    Returns (``group_col``, embedding array<double>, n_chunks).
+    """
+    if mode not in ("mean", "max"):
+        raise ValueError(f"mode must be 'mean' or 'max', got {mode!r}")
+    agg = F.avg("v") if mode == "mean" else F.max("v")
+    per_dim = (
+        chunks.select(
+            F.col(group_col),
+            F.posexplode(F.col(vec_col)).alias("dim", "v"),
+        )
+        .groupBy(group_col, "dim")
+        .agg(agg.alias("pv"))
+    )
+    n = chunks.groupBy(group_col).agg(F.count("*").cast("long").alias("n_chunks"))
+    return (
+        per_dim.groupBy(group_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "pv"))), lambda s: s["pv"]
+            ).alias("embedding")
+        )
+        .join(n, group_col)
+    )
+
+
+def pool_embeddings_sql(
+    chunks_sql: str, group_col: str, vec_col: str, mode: str = "mean"
+) -> str:
+    """DuckDB twin of :func:`pool_embeddings` (parallel unnests zip value
+    with position — DuckDB has no WITH ORDINALITY — then per-dim aggregate
+    + ordered array_agg)."""
+    if mode not in ("mean", "max"):
+        raise ValueError(f"mode must be 'mean' or 'max', got {mode!r}")
+    agg = "AVG(v)" if mode == "mean" else "MAX(v)"
+    return f"""
+WITH c AS ({chunks_sql}),
+expl AS (
+  SELECT {group_col},
+         unnest({vec_col}) AS v,
+         unnest(generate_series(1, len({vec_col}))) AS dim
+  FROM c
+),
+per_dim AS (
+  SELECT {group_col}, dim, {agg} AS pv FROM expl GROUP BY 1, 2
+),
+n AS (
+  SELECT {group_col}, COUNT(*)::BIGINT AS n_chunks FROM c GROUP BY 1
+)
+SELECT p.{group_col}, array_agg(p.pv ORDER BY p.dim) AS embedding, ANY_VALUE(n.n_chunks) AS n_chunks
+FROM per_dim p JOIN n USING ({group_col})
+GROUP BY 1
+"""

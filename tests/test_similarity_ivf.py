@@ -90,3 +90,57 @@ def test_hybrid_topk_ratio_extremes(spark):
     with pytest.raises(ValueError, match="semantic_ratio"):
         hybrid_topk(docs, emb, "doc_id", "text", "vec_id", "embedding",
                     terms, 3, semantic_ratio=1.5)
+
+
+def test_pool_embeddings_mean_and_max(spark):
+    from meilisearch_thai_spark.pipeline.similarity import pool_embeddings
+
+    chunks = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (1, [3.0, 0.0, 1.0]),
+            (2, [5.0, 5.0, 5.0]),
+        ],
+        "doc_id long, vec array<double>",
+    )
+    mean = {r["doc_id"]: (r["embedding"], r["n_chunks"])
+            for r in pool_embeddings(chunks, "doc_id", "vec", "mean").collect()}
+    assert mean[1] == ([2.0, 1.0, 2.0], 2) and mean[2] == ([5.0, 5.0, 5.0], 1)
+    mx = {r["doc_id"]: r["embedding"]
+          for r in pool_embeddings(chunks, "doc_id", "vec", "max").collect()}
+    assert mx[1] == [3.0, 2.0, 3.0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mean"):
+        pool_embeddings(chunks, "doc_id", "vec", "median")
+
+
+def test_pool_embeddings_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.similarity import (
+        pool_embeddings,
+        pool_embeddings_sql,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id % 50 AS gid", "embedding"
+    )
+    a = (
+        pool_embeddings(emb, "gid", "embedding", "mean")
+        .toPandas().sort_values("gid").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    b = con.execute(
+        pool_embeddings_sql(
+            "SELECT vec_id % 50 AS gid, embedding FROM embeddings", "gid", "embedding"
+        )
+    ).df().sort_values("gid").reset_index(drop=True)
+    assert list(a["gid"]) == list(b["gid"])
+    assert list(a["n_chunks"]) == list(b["n_chunks"])
+    for va, vb in zip(a["embedding"], b["embedding"]):
+        assert len(va) == len(vb)
+        assert all(abs(x - y) < 1e-9 for x, y in zip(va, vb))
