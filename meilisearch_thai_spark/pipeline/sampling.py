@@ -374,3 +374,47 @@ SELECT {group_col}, n_docs, n_tokens,
 FROM w, tot
 ORDER BY {group_col}
 """
+
+
+def shuffle_assign(
+    docs: DataFrame, id_col: str, seed: str, n_shards: int
+) -> DataFrame:
+    """Deterministic global shuffle for training-shard writing: every row
+    gets a ``shard`` (uniform by hash) and a ``shuffle_key`` that orders
+    rows WITHIN the shard — both pure functions of (seed, id), so the
+    assignment is identical on any engine, any parallelism, any run
+    (the same engine-independence contract as :func:`deterministic_sample`;
+    Spark's own ``orderBy(rand(seed))`` is partitioning-dependent and a
+    full global sort besides).
+
+    Writing the shards is ``repartition(n_shards, "shard")`` +
+    ``sortWithinPartitions("shuffle_key")`` + ``partitionBy("shard")`` —
+    one hash exchange and per-partition local sorts; no global sort ever
+    happens, which is the point at 100 TB (a total order across shards is
+    unnecessary for SGD — shard + intra-shard order is the industry
+    contract for shuffled webtext shards).
+
+    Returns the input plus (shard int, shuffle_key string).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.md5(F.concat(F.lit(seed + "|s|"), F.col(id_col).cast("string")))
+    ordk = F.md5(F.concat(F.lit(seed + "|o|"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    return docs.withColumn("shard", shard).withColumn("shuffle_key", ordk)
+
+
+def shuffle_assign_sql(table: str, id_col: str, seed: str, n_shards: int) -> str:
+    """DuckDB twin of :func:`shuffle_assign` (md5 agrees across engines;
+    DuckDB lacks conv(), so the 8-hex prefix parses via the '0x' string
+    cast — same unsigned 32-bit value as Spark's conv(hex, 16, 10))."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    return f"""
+SELECT *,
+       CAST(('0x' || substring(md5('{seed}' || '|s|' || CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT % {n_shards} AS INTEGER) AS shard,
+       md5('{seed}' || '|o|' || CAST({id_col} AS VARCHAR)) AS shuffle_key
+FROM {table}
+"""

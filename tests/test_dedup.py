@@ -453,3 +453,42 @@ def test_minhash_against_snapshot_duckdb_parity(spark, sf_dir):
     assert len(a) == len(b) > 0
     for c in ["new_key", "snap_key"]:
         assert list(a[c]) == list(b[c]), c
+
+
+def test_shuffle_assign_deterministic_balanced_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.sampling import (
+        shuffle_assign,
+        shuffle_assign_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = shuffle_assign(docs, "doc_id", "ep0", 8)
+    pa = a.toPandas().sort_values("doc_id").reset_index(drop=True)
+    # deterministic across runs
+    pb = shuffle_assign(docs, "doc_id", "ep0", 8).toPandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    assert (pa["shard"].values == pb["shard"].values).all()
+    # a different seed produces a different permutation
+    pc = shuffle_assign(docs, "doc_id", "ep1", 8).toPandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    assert (pa["shard"].values != pc["shard"].values).any()
+    # roughly balanced shards (md5 uniformity)
+    counts = pa["shard"].value_counts()
+    assert len(counts) == 8 and counts.min() > 0.6 * counts.max()
+    # DuckDB twin bit-for-bit
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    d = con.execute(
+        shuffle_assign_sql("(SELECT doc_id FROM documents) t", "doc_id", "ep0", 8)
+    ).df().sort_values("doc_id").reset_index(drop=True)
+    assert (pa["shard"].values == d["shard"].values).all()
+    assert list(pa["shuffle_key"]) == list(d["shuffle_key"])
+    # intra-shard order is the md5 order, not the id order (it shuffles)
+    s0 = pa[pa["shard"] == 0].sort_values("shuffle_key")["doc_id"].tolist()
+    assert s0 != sorted(s0)
