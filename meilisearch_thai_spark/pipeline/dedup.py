@@ -138,12 +138,15 @@ def minhash_against_snapshot(
     )
 
 
-def minhash_lsh_candidates_sql(
-    table: str, id_col: str, text_col: str, n: int = 3,
-    n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
+def _banded_chain_sql(
+    src: str, id_col: str, text_col: str, n: int,
+    n_hashes: int, bands: int, sfx: str = "",
 ) -> str:
-    """DuckDB twin of :func:`minhash_lsh_candidates` (md5-based hashes are
-    engine-independent, so even the LSH banding is exactly reproducible)."""
+    """The shared banded-LSH CTE chain (toks -> shingles -> signature ->
+    bands -> stacked buckets) — the SQL analogue of :func:`_banded_buckets`,
+    used by both the within-corpus and cross-snapshot twins so the hash
+    derivation can never drift between them.  ``src`` is interpolated after
+    FROM verbatim (a table name, or a parenthesized+aliased subquery)."""
     rows_per_band = n_hashes // bands
     mh_cols = ",\n         ".join(
         f"MIN(substring(md5('{i}|' || sh), 1, 16)) AS mh{i}" for i in range(n_hashes)
@@ -154,27 +157,37 @@ def minhash_lsh_candidates_sql(
     )
     band_list = ", ".join(f"band{b}" for b in range(bands))
     return f"""
-WITH toks AS (
-  SELECT {id_col} AS doc_key, string_split({text_col}, ' ') AS t FROM {table}
+toks{sfx} AS (
+  SELECT {id_col} AS doc_key, string_split({text_col}, ' ') AS t FROM {src}
 ),
-sh AS (
+sh{sfx} AS (
   SELECT DISTINCT doc_key,
          array_to_string(t[i : i + {n - 1}], ' ') AS sh
-  FROM toks, unnest(range(1, greatest(len(t) - {n - 1}, 1) + 1)) AS r(i)
+  FROM toks{sfx}, unnest(range(1, greatest(len(t) - {n - 1}, 1) + 1)) AS r(i)
 ),
-sig AS (
+sig{sfx} AS (
   SELECT doc_key,
          {mh_cols}
-  FROM sh GROUP BY 1
+  FROM sh{sfx} GROUP BY 1
 ),
-banded AS (
+banded{sfx} AS (
   SELECT doc_key,
          {band_cols}
-  FROM sig
+  FROM sig{sfx}
 ),
-stacked AS (
-  SELECT doc_key, unnest([{band_list}]) AS bucket FROM banded
-)
+stacked{sfx} AS (
+  SELECT doc_key, unnest([{band_list}]) AS bucket FROM banded{sfx}
+)"""
+
+
+def minhash_lsh_candidates_sql(
+    table: str, id_col: str, text_col: str, n: int = 3,
+    n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
+) -> str:
+    """DuckDB twin of :func:`minhash_lsh_candidates` (md5-based hashes are
+    engine-independent, so even the LSH banding is exactly reproducible)."""
+    return f"""
+WITH {_banded_chain_sql(table, id_col, text_col, n, n_hashes, bands)}
 SELECT DISTINCT a.doc_key AS left_key, b.doc_key AS right_key
 FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.doc_key < b.doc_key
 """
@@ -186,43 +199,11 @@ def minhash_against_snapshot_sql(
 ) -> str:
     """DuckDB twin of :func:`minhash_against_snapshot` (two independent
     banded chains + one bucket equijoin)."""
-    rows_per_band = n_hashes // bands
-    mh_cols = ",\n         ".join(
-        f"MIN(substring(md5('{i}|' || sh), 1, 16)) AS mh{i}" for i in range(n_hashes)
-    )
-    band_cols = ",\n         ".join(
-        "md5(" + " || '|' || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band)) + f") AS band{b}"
-        for b in range(bands)
-    )
-    band_list = ", ".join(f"band{b}" for b in range(bands))
-
-    def chain(src_sql: str, sfx: str) -> str:
-        return f"""
-toks_{sfx} AS (
-  SELECT {id_col} AS doc_key, string_split({text_col}, ' ') AS t FROM ({src_sql})
-),
-sh_{sfx} AS (
-  SELECT DISTINCT doc_key,
-         array_to_string(t[i : i + {n - 1}], ' ') AS sh
-  FROM toks_{sfx}, unnest(range(1, greatest(len(t) - {n - 1}, 1) + 1)) AS r(i)
-),
-sig_{sfx} AS (
-  SELECT doc_key,
-         {mh_cols}
-  FROM sh_{sfx} GROUP BY 1
-),
-banded_{sfx} AS (
-  SELECT doc_key,
-         {band_cols}
-  FROM sig_{sfx}
-),
-stacked_{sfx} AS (
-  SELECT doc_key, unnest([{band_list}]) AS bucket FROM banded_{sfx}
-)"""
-
+    chain_n = _banded_chain_sql(f"({new_sql})", id_col, text_col, n, n_hashes, bands, "_n")
+    chain_s = _banded_chain_sql(f"({snap_sql})", id_col, text_col, n, n_hashes, bands, "_s")
     return f"""
-WITH {chain(new_sql, 'n')},
-{chain(snap_sql, 's')}
+WITH {chain_n},
+{chain_s}
 SELECT DISTINCT a.doc_key AS new_key, b.doc_key AS snap_key
 FROM stacked_n a JOIN stacked_s b ON a.bucket = b.bucket
 """

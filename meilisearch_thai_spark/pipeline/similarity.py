@@ -620,20 +620,27 @@ def pool_embeddings(
     partitioning), so the oracle compare rounds — same contract as every
     cosine entry.
 
+    NULL/empty vectors carry no signal: they are dropped BEFORE both the
+    pool and the ``n_chunks`` count (so the pair stays consistent — a mean
+    over 3 vectors always reports n_chunks=3), and a group whose chunks
+    are ALL null/empty is absent from the output (there is no embedding to
+    report; callers wanting those groups left-join this result back).
+
     Returns (``group_col``, embedding array<double>, n_chunks).
     """
     if mode not in ("mean", "max"):
         raise ValueError(f"mode must be 'mean' or 'max', got {mode!r}")
     agg = F.avg("v") if mode == "mean" else F.max("v")
+    vec = chunks.filter(F.size(F.col(vec_col)) > 0)  # size(NULL) = -1
     per_dim = (
-        chunks.select(
+        vec.select(
             F.col(group_col),
             F.posexplode(F.col(vec_col)).alias("dim", "v"),
         )
         .groupBy(group_col, "dim")
         .agg(agg.alias("pv"))
     )
-    n = chunks.groupBy(group_col).agg(F.count("*").cast("long").alias("n_chunks"))
+    n = vec.groupBy(group_col).agg(F.count("*").cast("long").alias("n_chunks"))
     return (
         per_dim.groupBy(group_col)
         .agg(
@@ -655,7 +662,7 @@ def pool_embeddings_sql(
         raise ValueError(f"mode must be 'mean' or 'max', got {mode!r}")
     agg = "AVG(v)" if mode == "mean" else "MAX(v)"
     return f"""
-WITH c AS ({chunks_sql}),
+WITH c AS (SELECT * FROM ({chunks_sql}) WHERE len({vec_col}) > 0),
 expl AS (
   SELECT {group_col},
          unnest({vec_col}) AS v,

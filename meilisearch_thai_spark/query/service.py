@@ -554,6 +554,11 @@ class SearchService:
         from .pipeline import split_query_negatives
         from ..tokenizer import extract_index_terms, tokenize_for_index
 
+        if not 1 <= limit <= 10_000:
+            # export pages may be big (unlike search()'s interactive 100
+            # cap) but limit=0 has no next-cursor and negatives have no
+            # meaning — validate here, the request layer never sees this
+            raise ValueError(f"limit must be in [1, 10000], got {limit}")
         positive, negatives = split_query_negatives(query)
         if negatives:
             raise ValueError(

@@ -50,9 +50,14 @@ def batch_exact_dedup_first(
     docs: DataFrame, text_col: str, ts_col: str, tie_col: str
 ) -> DataFrame:
     """Batch twin with a DETERMINISTIC winner: per content digest keep the
-    first row by (ts, tie) — the order a time-ordered crawl stream arrives
-    in, so stream output == this twin under the live-crawl contract (the
-    same equivalence quota.py documents).  One window per digest."""
+    first row by (ts, tie).  The stream matches it on the SURVIVOR SET
+    always; on WHICH row survives only when a digest's first delivery is
+    unique within its micro-batch (cross-batch order is arrival order, but
+    ``dropDuplicatesWithinWatermark`` keeps an arbitrary row among
+    same-digest rows of ONE batch — within-batch processing order is not
+    event-time order).  Pipelines that key on the surviving row's url
+    across engines should re-canonicalize with THIS twin at finalize; the
+    stream's job is volume reduction at ingest.  One window per digest."""
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
         F.asc(ts_col), F.asc(tie_col)
     )

@@ -274,3 +274,10 @@ def test_service_delete_documents_both_forms(spark, tmp_path_factory):
     # the url-delete above may have consumed one en doc already
     assert got in (n_en, n_en - 1)
     pages.unpersist()
+
+
+def test_service_search_after_limit_validation(service):
+    with pytest.raises(ValueError, match=r"limit must be in"):
+        service.search_after("อาหาร", limit=0)
+    with pytest.raises(ValueError, match=r"limit must be in"):
+        service.search_after("อาหาร", limit=10_001)

@@ -144,3 +144,21 @@ def test_pool_embeddings_duckdb_parity(spark, sf_dir):
     for va, vb in zip(a["embedding"], b["embedding"]):
         assert len(va) == len(vb)
         assert all(abs(x - y) < 1e-9 for x, y in zip(va, vb))
+
+
+def test_pool_embeddings_null_and_empty_chunks(spark):
+    from meilisearch_thai_spark.pipeline.similarity import pool_embeddings
+
+    chunks = spark.createDataFrame(
+        [
+            (1, [2.0, 4.0]),
+            (1, []),            # empty: excluded from pool AND count
+            (1, None),          # null: same
+            (2, []),            # all-empty group: absent from output
+        ],
+        "doc_id long, vec array<double>",
+    )
+    rows = pool_embeddings(chunks, "doc_id", "vec", "mean").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["embedding"], r["n_chunks"]) == (1, [2.0, 4.0], 1)
