@@ -1050,10 +1050,7 @@ def quality_classifier(
     toks = ws_tokens(F.lower(F.col(text_col)))
 
     def w_milli(tok):
-        h = F.conv(
-            F.substring(F.md5(F.concat(F.lit(seed + "|"), tok)), 1, 15), 16, 10
-        ).cast("long")
-        j = h % n_buckets
+        j = _hash_bucket(tok, n_buckets, seed)  # the shared bucketing
         return (j * F.lit(2654435761)) % 2001 - 1000
 
     total = F.aggregate(
@@ -1222,3 +1219,120 @@ SELECT {id_col}, {score_col},
        NTILE({n_buckets}) OVER (ORDER BY {score_col} DESC, {id_col} ASC) AS bucket
 FROM ({scored_sql})
 """
+
+
+def _hash_bucket(tok, n_buckets: int, seed: str):
+    """Token → feature bucket: the ONE hashing definition shared by the
+    placeholder classifier, the trainer, and trained-weight inference
+    (md5(seed|token) 15-hex prefix → long → mod)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"), tok)), 1, 15), 16, 10
+    ).cast("long")
+    return h % n_buckets
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 1024,
+    epochs: int = 10,
+    lr: float = 1.0,
+    seed: str = "qc",
+) -> tuple[list[float], float]:
+    """Train the fastText-shape quality filter (logistic regression over
+    hashed mean-normalized unigram counts) with full-batch gradient
+    descent — the training half of :func:`quality_classifier`'s documented
+    upgrade path ("swapping in trained weights"), DCLM/FineWeb-Edu style:
+    label a small seed set (wiki-like = 1, raw-crawl = 0), train, then
+    filter the 100 TB corpus with :func:`quality_classifier_trained`.
+
+    Scale shape: the feature table (doc, bucket, x) materializes ONCE
+    (one explode + one groupBy, then ``localCheckpoint`` — epochs never
+    re-tokenize); each epoch is two hash aggregations — per-doc scores
+    (weights enter as a BROADCAST n_buckets-entry array literal, so the
+    dot product is a zero-shuffle lookup-sum) and per-bucket gradients —
+    plus one n_buckets-row collect to update the driver-held vector.
+    Training data is seed-set-sized, not corpus-sized; n_buckets floats
+    on the driver is the entire model state.
+
+    Floating-point note: gradient sums run in doubles, so exact bits can
+    vary with partitioning (unlike this repo's integer-fixed-point ops);
+    tests assert separation quality, not bitwise equality.
+
+    Returns (weights, bias): weights[j] multiplies feature j, bias adds.
+    """
+    if epochs < 1:
+        raise ValueError("train_quality_classifier needs at least one epoch")
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.col(label_col).cast("double").alias("y"),
+        F.explode(F.transform(toks, lambda t: _hash_bucket(t, n_buckets, seed))).alias("j"),
+        F.greatest(F.size(toks), F.lit(1)).alias("n"),
+    )
+    feats = (
+        base.groupBy("doc_key", "y", "j")
+        .agg((F.count("*") / F.first("n")).alias("x"))
+        .localCheckpoint()
+    )
+    n_docs = feats.select("doc_key").distinct().count()
+    w = [0.0] * n_buckets
+    b = 0.0
+    try:
+        for _ in range(epochs):
+            warr = F.array(*[F.lit(float(v)) for v in w])
+            scores = feats.groupBy("doc_key", "y").agg(
+                F.sum(F.element_at(warr, F.col("j").cast("int") + 1) * F.col("x")).alias("s")
+            )
+            resid = scores.select(
+                "doc_key",
+                (F.col("y") - F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("s") + F.lit(b))))).alias("r"),
+            )
+            grad_rows = (
+                feats.join(resid, "doc_key")
+                .groupBy("j")
+                .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+                .collect()
+            )
+            bias_g = resid.agg(F.sum("r").alias("g")).collect()[0]["g"] or 0.0
+            for row in grad_rows:
+                w[int(row["j"])] += lr * float(row["g"]) / n_docs
+            b += lr * float(bias_g) / n_docs
+    finally:
+        feats.unpersist()
+    return w, b
+
+
+def quality_classifier_trained(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[float],
+    bias: float = 0.0,
+    seed: str = "qc",
+) -> DataFrame:
+    """Inference with TRAINED weights — identical plan shape to the
+    placeholder :func:`quality_classifier` (token → hash bucket → weight
+    lookup → mean logit, pure Column codegen, zero shuffle at 100 TB);
+    the weight vector rides the plan as a broadcast array literal and the
+    lookup is ``element_at``.  Returns (doc_key, logit, keep)."""
+    n_buckets = len(weights)
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    warr = F.array(*[F.lit(float(v)) for v in weights])
+    total = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(warr, _hash_bucket(t, n_buckets, seed).cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.greatest(F.size(toks), F.lit(1))
+    logit = total / n + F.lit(float(bias))
+    return docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.round(logit, 9).alias("logit"),
+        (logit >= 0).alias("keep"),
+    )

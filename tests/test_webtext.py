@@ -724,3 +724,66 @@ def test_repetition_randomized_batch_parity(spark, seed):
     )
     for c in a.columns:
         assert list(a[c]) == list(b[c]), f"seed={seed} col={c}"
+
+
+def test_train_quality_classifier_separates_and_generalizes(spark):
+    """The trainer must learn to separate two disjoint vocabularies and
+    the trained-inference path must agree with the learned weights on
+    held-out docs (DCLM shape: seed-set training, corpus filtering)."""
+    import random
+
+    from meilisearch_thai_spark.pipeline.webtext import (
+        quality_classifier_trained,
+        train_quality_classifier,
+    )
+
+    rng = random.Random(3)
+    good_vocab = [f"good{i}" for i in range(30)]
+    bad_vocab = [f"bad{i}" for i in range(30)]
+
+    def doc(vocab):
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 15)))
+
+    rows = [(i, doc(good_vocab), 1) for i in range(40)] + [
+        (100 + i, doc(bad_vocab), 0) for i in range(40)
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w, b = train_quality_classifier(
+        train, "doc_id", "text", "label", n_buckets=256, epochs=15, lr=4.0
+    )
+    assert len(w) == 256 and any(v != 0.0 for v in w)
+    # train accuracy
+    scored = {
+        r["doc_key"]: r["keep"]
+        for r in quality_classifier_trained(
+            train, "doc_id", "text", w, b, seed="qc"
+        ).collect()
+    }
+    acc = sum(
+        1 for i, _t, y in rows if scored[i] == bool(y)
+    ) / len(rows)
+    assert acc >= 0.95, acc
+    # held-out docs from the same vocabularies generalize
+    held = spark.createDataFrame(
+        [(1000 + i, doc(good_vocab), 1) for i in range(10)]
+        + [(2000 + i, doc(bad_vocab), 0) for i in range(10)],
+        "doc_id long, text string, label int",
+    )
+    hs = {
+        r["doc_key"]: r["keep"]
+        for r in quality_classifier_trained(
+            held, "doc_id", "text", w, b, seed="qc"
+        ).collect()
+    }
+    hacc = sum(1 for r in held.collect() if hs[r["doc_id"]] == bool(r["label"])) / 20
+    assert hacc >= 0.9, hacc
+
+
+def test_train_quality_classifier_validation(spark):
+    import pytest as _pytest
+
+    from meilisearch_thai_spark.pipeline.webtext import train_quality_classifier
+
+    df = spark.createDataFrame([(1, "a", 1)], "doc_id long, text string, label int")
+    with _pytest.raises(ValueError, match="at least one epoch"):
+        train_quality_classifier(df, "doc_id", "text", "label", epochs=0)
