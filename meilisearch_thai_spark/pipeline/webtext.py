@@ -1336,3 +1336,67 @@ def quality_classifier_trained(
         F.round(logit, 9).alias("logit"),
         (logit >= 0).alias("keep"),
     )
+
+
+# metadata tags are matched in two steps (whole tag, then the attribute out
+# of the matched tag) so ATTRIBUTE ORDER never matters — RE2/Java common
+# subset has no lookahead to do it in one pattern
+_META_DESC_TAG_RE = r'(?is)<meta[^>]*name="description"[^>]*>'
+_META_ROBOTS_TAG_RE = r'(?is)<meta[^>]*name="robots"[^>]*>'
+_META_OG_TITLE_TAG_RE = r'(?is)<meta[^>]*property="og:title"[^>]*>'
+_LINK_CANONICAL_TAG_RE = r'(?is)<link[^>]*rel="canonical"[^>]*>'
+_CONTENT_ATTR_RE = r'(?is)content="([^"]*)"'
+_HREF_ATTR_RE = r'(?is)href="([^"]*)"'
+_HTML_LANG_RE = r'(?is)<html[^>]*\slang="([^"]*)"'
+
+
+def extract_html_metadata(docs: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Head-metadata extraction — the crawl signals next to
+    :func:`extract_html_text`'s body text: meta description, canonical
+    url (the dedup key site owners DECLARE, feeding the same rollups as
+    weburl.normalize_urls), og:title, the html lang attribute (a
+    language-ID prior), and the robots meta noindex flag (the in-page
+    counterpart of weburl's robots.txt gate).
+
+    Two-step tag→attribute matching keeps attribute order irrelevant
+    inside the RE2/Java regex subset; pure per-row Column codegen, zero
+    shuffle, exact DuckDB twin.  Missing tags yield empty strings
+    (noindex false), NULL html yields all-empty.
+
+    Returns (doc_key, title, description, canonical, og_title, html_lang,
+    noindex)."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+
+    def attr(tag_re: str, attr_re: str):
+        return F.regexp_extract(F.regexp_extract(h, tag_re, 0), attr_re, 1)
+
+    title = F.trim(F.regexp_extract(h, _HTML_TITLE_RE, 1))
+    robots = F.lower(attr(_META_ROBOTS_TAG_RE, _CONTENT_ATTR_RE))
+    return docs.select(
+        F.col(id_col).alias("doc_key"),
+        title.alias("title"),
+        F.trim(attr(_META_DESC_TAG_RE, _CONTENT_ATTR_RE)).alias("description"),
+        attr(_LINK_CANONICAL_TAG_RE, _HREF_ATTR_RE).alias("canonical"),
+        F.trim(attr(_META_OG_TITLE_TAG_RE, _CONTENT_ATTR_RE)).alias("og_title"),
+        F.lower(F.regexp_extract(h, _HTML_LANG_RE, 1)).alias("html_lang"),
+        robots.rlike("noindex").alias("noindex"),
+    )
+
+
+def extract_html_metadata_sql(table: str, id_col: str, html_col: str) -> str:
+    """DuckDB twin of :func:`extract_html_metadata`."""
+    h = f"COALESCE({html_col}, '')"
+
+    def attr(tag_re: str, attr_re: str) -> str:
+        return f"regexp_extract(regexp_extract({h}, '{tag_re}', 0), '{attr_re}', 1)"
+
+    return f"""
+SELECT {id_col} AS doc_key,
+       trim(regexp_extract({h}, '{_HTML_TITLE_RE}', 1)) AS title,
+       trim({attr(_META_DESC_TAG_RE, _CONTENT_ATTR_RE)}) AS description,
+       {attr(_LINK_CANONICAL_TAG_RE, _HREF_ATTR_RE)} AS canonical,
+       trim({attr(_META_OG_TITLE_TAG_RE, _CONTENT_ATTR_RE)}) AS og_title,
+       lower(regexp_extract({h}, '{_HTML_LANG_RE}', 1)) AS html_lang,
+       regexp_matches(lower({attr(_META_ROBOTS_TAG_RE, _CONTENT_ATTR_RE)}), 'noindex') AS noindex
+FROM {table}
+"""

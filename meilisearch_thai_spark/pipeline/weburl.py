@@ -454,3 +454,61 @@ SELECT doc_key, host, path,
        w.rpath AS matched_path
 FROM best
 """
+
+
+# sitemap <url> blocks, matched whole then field-extracted (same two-step
+# pattern as webgraph's anchor tags — RE2/Java common subset, no DOM)
+_SITEMAP_URL_BLOCK_RE = r"(?is)<url>.*?</url>"
+_SITEMAP_LOC_RE = r"(?is)<loc>\s*([^<]*?)\s*</loc>"
+_SITEMAP_LASTMOD_RE = r"(?is)<lastmod>\s*([^<]*?)\s*</lastmod>"
+
+
+def parse_sitemaps(sitemaps: DataFrame, host_col: str, xml_col: str) -> DataFrame:
+    """Sitemap XML → one row per declared url: (host, url, lastmod) — the
+    crawl-discovery channel next to link extraction (sitemaps.org protocol;
+    sites declare urls + last-modified so crawlers can schedule
+    re-fetches).  Feeds the same consumers as webgraph.frontier
+    (discovery) and recrawl_latest (freshness).
+
+    Whole-``<url>``-block extraction then per-block loc/lastmod — attribute
+    order and interleaved tags never matter; entries without a ``<loc>``
+    are dropped (protocol-invalid), ``lastmod`` parses RFC 3339
+    date/date-time to a timestamp (NULL when absent or unparseable —
+    schedulers treat unknown freshness as stale).  Pure codegen explode;
+    the sitemap table is hosts-bounded, never corpus-bounded."""
+    blocks = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(F.coalesce(F.col(xml_col), F.lit("")), F.lit(_SITEMAP_URL_BLOCK_RE), 0)
+        ).alias("block"),
+    )
+    return (
+        blocks.select(
+            "host",
+            F.regexp_extract("block", _SITEMAP_LOC_RE, 1).alias("url"),
+            # try_to_timestamp, not to_timestamp: ANSI mode (Spark 4
+            # default) makes the latter THROW on junk lastmod values, and
+            # web sitemaps are full of junk — null-on-unparseable is the
+            # contract (mirrored by TRY_CAST in the DuckDB twin)
+            F.try_to_timestamp(
+                F.regexp_extract("block", _SITEMAP_LASTMOD_RE, 1)
+            ).alias("lastmod"),
+        )
+        .filter(F.col("url") != "")
+    )
+
+
+def parse_sitemaps_sql(sitemaps_sql: str, host_col: str, xml_col: str) -> str:
+    """DuckDB twin of :func:`parse_sitemaps` (TRY_CAST mirrors Spark's
+    null-on-unparseable to_timestamp)."""
+    return f"""
+SELECT host,
+       regexp_extract(block, '{_SITEMAP_LOC_RE}', 1) AS url,
+       TRY_CAST(regexp_extract(block, '{_SITEMAP_LASTMOD_RE}', 1) AS TIMESTAMP) AS lastmod
+FROM (
+  SELECT {host_col} AS host,
+         unnest(regexp_extract_all(COALESCE({xml_col}, ''), '{_SITEMAP_URL_BLOCK_RE}', 0)) AS block
+  FROM ({sitemaps_sql})
+)
+WHERE regexp_extract(block, '{_SITEMAP_LOC_RE}', 1) <> ''
+"""

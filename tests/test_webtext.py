@@ -787,3 +787,44 @@ def test_train_quality_classifier_validation(spark):
     df = spark.createDataFrame([(1, "a", 1)], "doc_id long, text string, label int")
     with _pytest.raises(ValueError, match="at least one epoch"):
         train_quality_classifier(df, "doc_id", "text", "label", epochs=0)
+
+
+def test_extract_html_metadata_order_case_and_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from meilisearch_thai_spark.pipeline.webtext import (
+        extract_html_metadata,
+        extract_html_metadata_sql,
+    )
+
+    rows = [
+        (1, '<html lang="TH-th"><head><title> Page One </title>'
+            '<meta content="Desc here" name="description">'          # attr order flipped
+            '<LINK REL="canonical" HREF="https://ex.com/one">'        # case variant
+            '<meta property="og:title" content="OG One">'
+            '<meta name="robots" content="NOINDEX, nofollow">'
+            '</head><body>x</body></html>'),
+        (2, '<html><body>no head metadata at all</body></html>'),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r["doc_key"]: r.asDict() for r in extract_html_metadata(df, "doc_id", "html").collect()}
+    assert got[1]["title"] == "Page One"
+    assert got[1]["description"] == "Desc here"
+    assert got[1]["canonical"] == "https://ex.com/one"
+    assert got[1]["og_title"] == "OG One"
+    assert got[1]["html_lang"] == "th-th"
+    assert got[1]["noindex"] is True
+    assert got[2]["description"] == "" and got[2]["noindex"] is False
+    assert got[3]["title"] == "" and got[3]["html_lang"] == ""
+    # DuckDB twin
+    con = duckdb.connect()
+    con.register("pages_md", pd.DataFrame(rows, columns=["doc_id", "html"]))
+    b = con.execute(
+        extract_html_metadata_sql("pages_md", "doc_id", "html")
+    ).df().sort_values("doc_key")
+    for _, row in b.iterrows():
+        g = got[row["doc_key"]]
+        for c in ["title", "description", "canonical", "og_title", "html_lang", "noindex"]:
+            assert g[c] == row[c], (row["doc_key"], c)

@@ -381,3 +381,40 @@ def test_robots_randomized_batch_parity(spark, seed):
     assert len(a) == 60
     for c in a.columns:
         assert list(a[c]) == list(b[c]), f"seed={seed} col={c}"
+
+
+def test_parse_sitemaps_fields_and_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from meilisearch_thai_spark.pipeline.weburl import parse_sitemaps, parse_sitemaps_sql
+
+    xml = (
+        "<?xml version='1.0'?><urlset>"
+        "<url><loc> https://a.com/p1 </loc><lastmod>2026-01-02</lastmod></url>"
+        "<URL><loc>https://a.com/p2</loc></URL>"              # case-insensitive block
+        "<url><lastmod>2026-01-01</lastmod></url>"            # no loc: dropped
+        "<url><loc>https://a.com/p3</loc><lastmod>not a date</lastmod></url>"
+        "</urlset>"
+    )
+    rows = [("a.com", xml), ("b.com", None)]
+    df = spark.createDataFrame(rows, "host string, xml string")
+    got = sorted(
+        (r["host"], r["url"], str(r["lastmod"]))
+        for r in parse_sitemaps(df, "host", "xml").collect()
+    )
+    assert got == [
+        ("a.com", "https://a.com/p1", "2026-01-02 00:00:00"),
+        ("a.com", "https://a.com/p2", "None"),
+        ("a.com", "https://a.com/p3", "None"),  # unparseable lastmod -> NULL
+    ]
+    con = duckdb.connect()
+    con.register("sm", pd.DataFrame(rows, columns=["host", "xml"]))
+    b = con.execute(
+        parse_sitemaps_sql("SELECT * FROM sm", "host", "xml")
+    ).df()
+    got_b = sorted(
+        (r["host"], r["url"], str(r["lastmod"]) if pd.notna(r["lastmod"]) else "None")
+        for _, r in b.iterrows()
+    )
+    assert got_b == got
