@@ -738,6 +738,16 @@ _HTML_ENTITIES = [
 ]
 
 
+def _decode_entities(col):
+    """Decode the six common entities; ``&amp;`` LAST so author-escaped
+    markup (``&amp;lt;``) cannot re-form an entity.  Shared by body text,
+    head metadata, and sitemap loc decoding."""
+    for ent, rep in _HTML_ENTITIES:
+        if ent != "&amp;":
+            col = F.replace(col, F.lit(ent), F.lit(rep))
+    return F.replace(col, F.lit("&amp;"), F.lit("&"))
+
+
 def html_text_columns(html_col):
     """(title Column, text Column) of the extraction in
     :func:`extract_html_text`, applicable IN PLACE on any frame — the shape
@@ -745,12 +755,6 @@ def html_text_columns(html_col):
     where urls repeat across re-crawls and an id-keyed join would mispair
     rows)."""
     from pyspark.sql import Column
-
-    def _decode_entities(col):
-        for ent, rep in _HTML_ENTITIES:
-            if ent != "&amp;":
-                col = F.replace(col, F.lit(ent), F.lit(rep))
-        return F.replace(col, F.lit("&amp;"), F.lit("&"))
 
     h = html_col if isinstance(html_col, Column) else F.col(html_col)
     h = F.coalesce(h, F.lit(""))
@@ -1340,63 +1344,109 @@ def quality_classifier_trained(
 
 # metadata tags are matched in two steps (whole tag, then the attribute out
 # of the matched tag) so ATTRIBUTE ORDER never matters — RE2/Java common
-# subset has no lookahead to do it in one pattern
-_META_DESC_TAG_RE = r'(?is)<meta[^>]*name="description"[^>]*>'
-_META_ROBOTS_TAG_RE = r'(?is)<meta[^>]*name="robots"[^>]*>'
-_META_OG_TITLE_TAG_RE = r'(?is)<meta[^>]*property="og:title"[^>]*>'
-_LINK_CANONICAL_TAG_RE = r'(?is)<link[^>]*rel="canonical"[^>]*>'
-_CONTENT_ATTR_RE = r'(?is)content="([^"]*)"'
-_HREF_ATTR_RE = r'(?is)href="([^"]*)"'
-_HTML_LANG_RE = r'(?is)<html[^>]*\slang="([^"]*)"'
+# subset has no lookahead to do it in one pattern.  Attribute values match
+# double- OR single-quoted forms (["'] classes in the tag patterns; paired
+# alternates for the value extraction); UNQUOTED values are supported only
+# for the html lang attribute (common there, rare for content/href urls —
+# the remaining restriction, documented).
+_META_DESC_TAG_RE = "(?is)<meta[^>]*name=[\"']description[\"'][^>]*>"
+_META_ROBOTS_TAG_RE = "(?is)<meta[^>]*name=[\"']robots[\"'][^>]*>"
+_META_OG_TITLE_TAG_RE = "(?is)<meta[^>]*property=[\"']og:title[\"'][^>]*>"
+_LINK_CANONICAL_TAG_RE = "(?is)<link[^>]*rel=[\"']canonical[\"'][^>]*>"
+_CONTENT_ATTR_DQ_RE = '(?is)content="([^"]*)"'
+_CONTENT_ATTR_SQ_RE = "(?is)content='([^']*)'"
+_HREF_ATTR_DQ_RE = '(?is)href="([^"]*)"'
+_HREF_ATTR_SQ_RE = "(?is)href='([^']*)'"
+_HTML_LANG_RE = "(?is)<html[^>]*\\slang=[\"']?([^\\s>\"']*)"
+# robots meta: the 'none' directive is defined as noindex,nofollow
+_NOINDEX_RE = r"noindex|(^|[,\s])none($|[,\s])"
 
 
 def extract_html_metadata(docs: DataFrame, id_col: str, html_col: str) -> DataFrame:
     """Head-metadata extraction — the crawl signals next to
     :func:`extract_html_text`'s body text: meta description, canonical
     url (the dedup key site owners DECLARE, feeding the same rollups as
-    weburl.normalize_urls), og:title, the html lang attribute (a
-    language-ID prior), and the robots meta noindex flag (the in-page
-    counterpart of weburl's robots.txt gate).
+    weburl.normalize_urls — trimmed so it joins raw fetch urls), og:title,
+    the html lang attribute (a language-ID prior), and the robots meta
+    noindex flag incl. the ``none`` directive (the in-page counterpart of
+    weburl's robots.txt gate).
 
     Two-step tag→attribute matching keeps attribute order irrelevant
-    inside the RE2/Java regex subset; pure per-row Column codegen, zero
-    shuffle, exact DuckDB twin.  Missing tags yield empty strings
-    (noindex false), NULL html yields all-empty.
+    inside the RE2/Java regex subset; single- and double-quoted attribute
+    values both match (unquoted only for lang — see the regex block
+    comment); entity decoding matches :func:`extract_html_text`, so the
+    two functions' titles agree byte-for-byte on the same page.  Pure
+    per-row Column codegen, zero shuffle, exact DuckDB twin.  Missing
+    tags yield empty strings (noindex false), NULL html yields all-empty.
 
     Returns (doc_key, title, description, canonical, og_title, html_lang,
     noindex)."""
     h = F.coalesce(F.col(html_col), F.lit(""))
 
-    def attr(tag_re: str, attr_re: str):
-        return F.regexp_extract(F.regexp_extract(h, tag_re, 0), attr_re, 1)
+    def attr(tag_re: str, dq_re: str, sq_re: str):
+        tag = F.regexp_extract(h, tag_re, 0)
+        dq = F.regexp_extract(tag, dq_re, 1)
+        sq = F.regexp_extract(tag, sq_re, 1)
+        # '' = no match; a genuinely-empty double-quoted value falling
+        # through to the single-quote probe still yields '' — same answer
+        return F.when(dq != "", dq).otherwise(sq)
 
-    title = F.trim(F.regexp_extract(h, _HTML_TITLE_RE, 1))
-    robots = F.lower(attr(_META_ROBOTS_TAG_RE, _CONTENT_ATTR_RE))
+    content = lambda tag_re: attr(tag_re, _CONTENT_ATTR_DQ_RE, _CONTENT_ATTR_SQ_RE)  # noqa: E731
+    title = F.trim(_decode_entities(F.regexp_extract(h, _HTML_TITLE_RE, 1)))
+    robots = F.lower(content(_META_ROBOTS_TAG_RE))
     return docs.select(
         F.col(id_col).alias("doc_key"),
         title.alias("title"),
-        F.trim(attr(_META_DESC_TAG_RE, _CONTENT_ATTR_RE)).alias("description"),
-        attr(_LINK_CANONICAL_TAG_RE, _HREF_ATTR_RE).alias("canonical"),
-        F.trim(attr(_META_OG_TITLE_TAG_RE, _CONTENT_ATTR_RE)).alias("og_title"),
+        F.trim(_decode_entities(content(_META_DESC_TAG_RE))).alias("description"),
+        F.trim(
+            _decode_entities(
+                attr(_LINK_CANONICAL_TAG_RE, _HREF_ATTR_DQ_RE, _HREF_ATTR_SQ_RE)
+            )
+        ).alias("canonical"),
+        F.trim(_decode_entities(content(_META_OG_TITLE_TAG_RE))).alias("og_title"),
         F.lower(F.regexp_extract(h, _HTML_LANG_RE, 1)).alias("html_lang"),
-        robots.rlike("noindex").alias("noindex"),
+        robots.rlike(_NOINDEX_RE).alias("noindex"),
     )
+
+
+def _decode_entities_sql(expr: str) -> str:
+    """SQL twin of :func:`_decode_entities` (same replacement order)."""
+    for ent, rep in _HTML_ENTITIES:
+        if ent != "&amp;":
+            rep_sql = rep.replace("'", "''")
+            expr = f"replace({expr}, '{ent}', '{rep_sql}')"
+    return f"replace({expr}, '&amp;', '&')"
+
+
+def _sql_quote(pattern: str) -> str:
+    """Regex pattern → SQL string literal body (single quotes doubled —
+    several patterns here carry ' inside ["'] classes)."""
+    return pattern.replace("'", "''")
 
 
 def extract_html_metadata_sql(table: str, id_col: str, html_col: str) -> str:
     """DuckDB twin of :func:`extract_html_metadata`."""
     h = f"COALESCE({html_col}, '')"
 
-    def attr(tag_re: str, attr_re: str) -> str:
-        return f"regexp_extract(regexp_extract({h}, '{tag_re}', 0), '{attr_re}', 1)"
+    def attr(tag_re: str, dq_re: str, sq_re: str) -> str:
+        tag = f"regexp_extract({h}, '{_sql_quote(tag_re)}', 0)"
+        dq = f"regexp_extract({tag}, '{_sql_quote(dq_re)}', 1)"
+        sq = f"regexp_extract({tag}, '{_sql_quote(sq_re)}', 1)"
+        return f"CASE WHEN {dq} <> '' THEN {dq} ELSE {sq} END"
 
+    def content(tag_re: str) -> str:
+        return attr(tag_re, _CONTENT_ATTR_DQ_RE, _CONTENT_ATTR_SQ_RE)
+
+    href = attr(_LINK_CANONICAL_TAG_RE, _HREF_ATTR_DQ_RE, _HREF_ATTR_SQ_RE)
+    title = f"regexp_extract({h}, '{_sql_quote(_HTML_TITLE_RE)}', 1)"
+    lang = f"regexp_extract({h}, '{_sql_quote(_HTML_LANG_RE)}', 1)"
     return f"""
 SELECT {id_col} AS doc_key,
-       trim(regexp_extract({h}, '{_HTML_TITLE_RE}', 1)) AS title,
-       trim({attr(_META_DESC_TAG_RE, _CONTENT_ATTR_RE)}) AS description,
-       {attr(_LINK_CANONICAL_TAG_RE, _HREF_ATTR_RE)} AS canonical,
-       trim({attr(_META_OG_TITLE_TAG_RE, _CONTENT_ATTR_RE)}) AS og_title,
-       lower(regexp_extract({h}, '{_HTML_LANG_RE}', 1)) AS html_lang,
-       regexp_matches(lower({attr(_META_ROBOTS_TAG_RE, _CONTENT_ATTR_RE)}), 'noindex') AS noindex
+       trim({_decode_entities_sql(title)}) AS title,
+       trim({_decode_entities_sql(content(_META_DESC_TAG_RE))}) AS description,
+       trim({_decode_entities_sql(href)}) AS canonical,
+       trim({_decode_entities_sql(content(_META_OG_TITLE_TAG_RE))}) AS og_title,
+       lower({lang}) AS html_lang,
+       regexp_matches(lower({content(_META_ROBOTS_TAG_RE)}), '{_sql_quote(_NOINDEX_RE)}') AS noindex
 FROM {table}
 """

@@ -472,10 +472,18 @@ def parse_sitemaps(sitemaps: DataFrame, host_col: str, xml_col: str) -> DataFram
 
     Whole-``<url>``-block extraction then per-block loc/lastmod — attribute
     order and interleaved tags never matter; entries without a ``<loc>``
-    are dropped (protocol-invalid), ``lastmod`` parses RFC 3339
-    date/date-time to a timestamp (NULL when absent or unparseable —
-    schedulers treat unknown freshness as stale).  Pure codegen explode;
-    the sitemap table is hosts-bounded, never corpus-bounded."""
+    are dropped (protocol-invalid); ``<loc>`` XML entities decode (the
+    protocol REQUIRES urls entity-escaped, so every query-string url
+    carries ``&amp;`` — undecoded it would never join a raw fetch-url
+    key); ``lastmod`` parses RFC 3339 date/date-time to a timestamp (NULL
+    when absent or unparseable — schedulers treat unknown freshness as
+    stale).  Timestamps are instants: offset-bearing lastmod values
+    resolve through Spark's session timezone at render time, while the
+    DuckDB twin renders naive UTC — run cross-engine compares under
+    ``spark.sql.session.timeZone=UTC``.  Pure codegen explode; the
+    sitemap table is hosts-bounded, never corpus-bounded."""
+    from .webtext import _decode_entities
+
     blocks = sitemaps.select(
         F.col(host_col).alias("host"),
         F.explode(
@@ -485,7 +493,9 @@ def parse_sitemaps(sitemaps: DataFrame, host_col: str, xml_col: str) -> DataFram
     return (
         blocks.select(
             "host",
-            F.regexp_extract("block", _SITEMAP_LOC_RE, 1).alias("url"),
+            _decode_entities(
+                F.regexp_extract("block", _SITEMAP_LOC_RE, 1)
+            ).alias("url"),
             # try_to_timestamp, not to_timestamp: ANSI mode (Spark 4
             # default) makes the latter THROW on junk lastmod values, and
             # web sitemaps are full of junk — null-on-unparseable is the
@@ -500,15 +510,19 @@ def parse_sitemaps(sitemaps: DataFrame, host_col: str, xml_col: str) -> DataFram
 
 def parse_sitemaps_sql(sitemaps_sql: str, host_col: str, xml_col: str) -> str:
     """DuckDB twin of :func:`parse_sitemaps` (TRY_CAST mirrors Spark's
-    null-on-unparseable to_timestamp)."""
+    null-on-unparseable try_to_timestamp; compare offset-bearing lastmod
+    under session timeZone=UTC — see the Spark docstring)."""
+    from .webtext import _decode_entities_sql
+
+    loc = f"regexp_extract(block, '{_SITEMAP_LOC_RE}', 1)"
     return f"""
 SELECT host,
-       regexp_extract(block, '{_SITEMAP_LOC_RE}', 1) AS url,
+       {_decode_entities_sql(loc)} AS url,
        TRY_CAST(regexp_extract(block, '{_SITEMAP_LASTMOD_RE}', 1) AS TIMESTAMP) AS lastmod
 FROM (
   SELECT {host_col} AS host,
          unnest(regexp_extract_all(COALESCE({xml_col}, ''), '{_SITEMAP_URL_BLOCK_RE}', 0)) AS block
   FROM ({sitemaps_sql})
 )
-WHERE regexp_extract(block, '{_SITEMAP_LOC_RE}', 1) <> ''
+WHERE {loc} <> ''
 """

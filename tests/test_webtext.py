@@ -796,28 +796,35 @@ def test_extract_html_metadata_order_case_and_parity(spark):
     from meilisearch_thai_spark.pipeline.webtext import (
         extract_html_metadata,
         extract_html_metadata_sql,
+        extract_html_text,
     )
 
     rows = [
-        (1, '<html lang="TH-th"><head><title> Page One </title>'
-            '<meta content="Desc here" name="description">'          # attr order flipped
-            '<LINK REL="canonical" HREF="https://ex.com/one">'        # case variant
-            '<meta property="og:title" content="OG One">'
+        (1, '<html lang="TH-th"><head><title> Page &amp; One </title>'
+            '<meta content="Desc &quot;here&quot;" name="description">'  # attr order flipped
+            '<LINK REL="canonical" HREF=" https://ex.com/one?a=1&amp;b=2 ">'  # case + pad + entity
+            "<meta property='og:title' content='OG One'>"                 # single quotes
             '<meta name="robots" content="NOINDEX, nofollow">'
             '</head><body>x</body></html>'),
         (2, '<html><body>no head metadata at all</body></html>'),
         (3, None),
+        (4, "<html lang=th><head><meta name='robots' content='none'>"     # unquoted lang,
+            '</head><body>y</body></html>'),                              # 'none' directive
     ]
     df = spark.createDataFrame(rows, "doc_id long, html string")
     got = {r["doc_key"]: r.asDict() for r in extract_html_metadata(df, "doc_id", "html").collect()}
-    assert got[1]["title"] == "Page One"
-    assert got[1]["description"] == "Desc here"
-    assert got[1]["canonical"] == "https://ex.com/one"
+    assert got[1]["title"] == "Page & One"
+    assert got[1]["description"] == 'Desc "here"'
+    assert got[1]["canonical"] == "https://ex.com/one?a=1&b=2"  # decoded + trimmed
     assert got[1]["og_title"] == "OG One"
     assert got[1]["html_lang"] == "th-th"
     assert got[1]["noindex"] is True
     assert got[2]["description"] == "" and got[2]["noindex"] is False
     assert got[3]["title"] == "" and got[3]["html_lang"] == ""
+    assert got[4]["html_lang"] == "th" and got[4]["noindex"] is True
+    # title agrees byte-for-byte with the body-text extractor's title
+    t = {r["doc_key"]: r["title"] for r in extract_html_text(df, "doc_id", "html").collect()}
+    assert t[1] == got[1]["title"]
     # DuckDB twin
     con = duckdb.connect()
     con.register("pages_md", pd.DataFrame(rows, columns=["doc_id", "html"]))

@@ -391,22 +391,32 @@ def test_parse_sitemaps_fields_and_parity(spark):
 
     xml = (
         "<?xml version='1.0'?><urlset>"
-        "<url><loc> https://a.com/p1 </loc><lastmod>2026-01-02</lastmod></url>"
+        "<url><loc> https://a.com/p1?x=1&amp;y=2 </loc><lastmod>2026-01-02</lastmod></url>"
         "<URL><loc>https://a.com/p2</loc></URL>"              # case-insensitive block
         "<url><lastmod>2026-01-01</lastmod></url>"            # no loc: dropped
         "<url><loc>https://a.com/p3</loc><lastmod>not a date</lastmod></url>"
+        "<url><loc>https://a.com/p4</loc>"
+        "<lastmod>2026-01-05T18:00:15+00:00</lastmod></url>"  # RFC 3339 w/ offset
         "</urlset>"
     )
     rows = [("a.com", xml), ("b.com", None)]
     df = spark.createDataFrame(rows, "host string, xml string")
-    got = sorted(
-        (r["host"], r["url"], str(r["lastmod"]))
-        for r in parse_sitemaps(df, "host", "xml").collect()
-    )
+    # offset-bearing lastmod resolves through the session tz: pin UTC for
+    # the cross-engine compare (the documented contract)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        got = sorted(
+            (r["host"], r["url"], str(r["lastmod"]))
+            for r in parse_sitemaps(df, "host", "xml").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
     assert got == [
-        ("a.com", "https://a.com/p1", "2026-01-02 00:00:00"),
+        ("a.com", "https://a.com/p1?x=1&y=2", "2026-01-02 00:00:00"),  # &amp; decoded
         ("a.com", "https://a.com/p2", "None"),
         ("a.com", "https://a.com/p3", "None"),  # unparseable lastmod -> NULL
+        ("a.com", "https://a.com/p4", "2026-01-05 18:00:15"),
     ]
     con = duckdb.connect()
     con.register("sm", pd.DataFrame(rows, columns=["host", "xml"]))
