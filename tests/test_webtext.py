@@ -835,3 +835,58 @@ def test_extract_html_metadata_order_case_and_parity(spark):
         g = got[row["doc_key"]]
         for c in ["title", "description", "canonical", "og_title", "html_lang", "noindex"]:
             assert g[c] == row[c], (row["doc_key"], c)
+
+
+def test_extract_html_metadata_randomized_batch_parity(spark):
+    """Randomized head soup (attribute order, quote style, case, entities,
+    missing tags), Spark vs DuckDB in one batch."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from meilisearch_thai_spark.pipeline.webtext import (
+        extract_html_metadata,
+        extract_html_metadata_sql,
+    )
+
+    rng = random.Random(7)
+
+    def tag(name_attr, name_val, val_attr, val):
+        q = rng.choice(['"', "'"])
+        parts = [f'{name_attr}={q}{name_val}{q}', f'{val_attr}={q}{val}{q}']
+        rng.shuffle(parts)
+        t = "meta" if name_attr in ("name", "property") else "link"
+        return f"<{t} {' '.join(parts)}>"
+
+    rows = []
+    for i in range(30):
+        bits = []
+        if rng.random() < 0.7:
+            bits.append(f"<title>T{i} &amp; co</title>")
+        if rng.random() < 0.6:
+            bits.append(tag("name", "description", "content", f"D{i} &quot;x&quot;"))
+        if rng.random() < 0.5:
+            bits.append(tag("rel", "canonical", "href", f" https://e{i}.com/?a=1&amp;b={i} "))
+        if rng.random() < 0.5:
+            bits.append(tag("property", "og:title", "content", f"OG{i}"))
+        if rng.random() < 0.5:
+            bits.append(
+                tag("name", "robots", "content", rng.choice(["noindex", "none", "all", "nofollow"]))
+            )
+        rng.shuffle(bits)
+        lang = rng.choice(['lang="en"', "lang='TH'", "lang=de", ""])
+        rows.append((i, f"<html {lang}><head>{''.join(bits)}</head><body>b</body></html>"))
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    a = (
+        extract_html_metadata(df, "doc_id", "html")
+        .toPandas().sort_values("doc_key").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("soup", pd.DataFrame(rows, columns=["doc_id", "html"]))
+    b = con.execute(
+        extract_html_metadata_sql("soup", "doc_id", "html")
+    ).df().sort_values("doc_key").reset_index(drop=True)
+    assert len(a) == 30
+    for c in ["title", "description", "canonical", "og_title", "html_lang", "noindex"]:
+        assert list(a[c]) == list(b[c]), c
