@@ -76,17 +76,101 @@ def load_compound_words() -> frozenset[str]:
 
 @lru_cache(maxsize=1)
 def merged_words() -> frozenset[str]:
-    return load_base_words() | load_compound_words()
+    return load_base_words() | load_compound_words() | _CUSTOM_WORDS
 
 
 @lru_cache(maxsize=1)
 def merged_trie() -> Trie:
-    """The pinned segmentation trie: base vocabulary ∪ compound dictionary."""
+    """The pinned segmentation trie: base vocabulary ∪ compound dictionary
+    ∪ the runtime custom-word overlay (empty by default)."""
     return Trie(merged_words())
 
 
 @lru_cache(maxsize=1)
 def dictionary_fingerprint() -> str:
-    """SHA-256 over the sorted merged wordlist — pinned into index lineage."""
+    """SHA-256 over the sorted EFFECTIVE wordlist (packaged ∪ overlay) —
+    pinned into index lineage.  With no overlay this is the packaged
+    dictionary's fingerprint, byte-stable across rounds."""
     blob = "\n".join(sorted(merged_words())).encode("utf-8")
     return hashlib.sha256(blob).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Runtime custom-dictionary overlay — the reference's dictionary-management
+# endpoints (src/api/endpoints/config.py:389-535 add_dictionary_words /
+# remove_dictionary_words / get_custom_dictionary) re-expressed.  The overlay
+# is PROCESS-GLOBAL like the pinned dictionary itself (one effective
+# dictionary per tokenizing process — the reference's segmenter singleton has
+# the same shape); per-index persistence lives in meta.json
+# (``index.settings.update_dictionary``), and executor workers receive the
+# overlay by closure capture in the tokenize UDF factories, never by ambient
+# module state (workers re-import modules fresh, so ambient state would
+# silently tokenize with the packaged dictionary only).
+# ---------------------------------------------------------------------------
+
+_CUSTOM_WORDS: frozenset[str] = frozenset()
+
+
+def get_custom_dictionary() -> list[str]:
+    """The current runtime overlay words, sorted (reference
+    ``get_custom_dictionary``)."""
+    return sorted(_CUSTOM_WORDS)
+
+
+def _clear_dictionary_caches() -> None:
+    """Invalidate every cache derived from the merged dictionary: the word
+    set, trie, fingerprint, the segmenter singleton, and the per-worker
+    token memo caches in ``tokenizer.udfs`` (their keys are text-only, so a
+    dictionary change would otherwise serve stale segmentations)."""
+    import sys
+
+    merged_words.cache_clear()
+    merged_trie.cache_clear()
+    dictionary_fingerprint.cache_clear()
+    tok = sys.modules.get("meilisearch_thai_spark.tokenizer")
+    if tok is not None:
+        tok.default_segmenter.cache_clear()
+    udfs = sys.modules.get("meilisearch_thai_spark.tokenizer.udfs")
+    if udfs is not None:
+        udfs._tokens_cached.cache_clear()
+        udfs._terms_cached.cache_clear()
+        udfs._norm_cached.cache_clear()
+
+
+def set_custom_words(words) -> bool:
+    """Replace the overlay wholesale; returns True when it changed (and all
+    tokenizer caches were invalidated).  Idempotent no-op on an identical
+    set — safe to call at the top of every Arrow batch on reused workers."""
+    global _CUSTOM_WORDS
+    new = frozenset(w for w in (str(x).strip() for x in words) if w)
+    if new == _CUSTOM_WORDS:
+        return False
+    _CUSTOM_WORDS = new
+    _clear_dictionary_caches()
+    return True
+
+
+def add_custom_words(words) -> int:
+    """Add words to the overlay (reference ``add_dictionary_words``);
+    returns how many were actually new."""
+    before = _CUSTOM_WORDS
+    set_custom_words(before | {str(w).strip() for w in words})
+    return len(_CUSTOM_WORDS - before)
+
+
+def remove_custom_words(words) -> int:
+    """Remove words from the overlay (reference ``remove_dictionary_words``);
+    packaged base/compound words are the pinned contract and cannot be
+    removed — attempting to raises.  Returns how many were removed."""
+    target = {w for w in (str(x).strip() for x in words) if w}
+    pinned = sorted(target & (load_base_words() | load_compound_words()))
+    if pinned:
+        raise ValueError(
+            f"cannot remove packaged dictionary words {pinned}: the base "
+            "vocabulary and compound dictionary are the pinned tokenization "
+            "contract (byte-identity) — only runtime overlay words are "
+            "removable"
+        )
+    before = _CUSTOM_WORDS
+    set_custom_words(before - target)
+    return len(before - _CUSTOM_WORDS)

@@ -120,6 +120,15 @@ class IndexMeta:
     # corpus values and postings carry GLOBAL df, so every shard scores with
     # corpus-wide BM25 statistics (exact parity with the single index)
     sharding: dict | None = None
+    # runtime custom-dictionary overlay (reference config.py:389-535
+    # add/remove_dictionary_words): words added to the segmentation
+    # dictionary AFTER this index was built.  Query-side tokenization picks
+    # them up immediately on refresh_index; documents containing them keep
+    # their build-time tokenization until routed through the add_documents
+    # retokenize path (index.settings.update_dictionary documents the
+    # contract).  dictionary_fingerprint above covers the dictionary in
+    # effect when the CURRENT postings were tokenized.
+    custom_dictionary: list[str] = field(default_factory=list)
 
     def public_fields(self, available_columns) -> list[str]:
         """The retrievable/facetable/distinct-able document fields: the
@@ -340,12 +349,21 @@ def tokenized_docs(
         acc += counts[pid]
     boff = spark.sparkContext.broadcast(offsets)
 
+    # runtime custom-dictionary overlay (dictionary.py): captured here on the
+    # driver so executor workers — which re-import modules fresh — tokenize
+    # with the same effective dictionary; empty tuple = pinned packaged dict
+    from ..dictionary import get_custom_dictionary
+
+    custom_words = tuple(get_custom_dictionary())
+
     def assign_and_tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
         from collections import Counter
 
+        from ..dictionary import set_custom_words
         from ..tokenizer import default_processor, extract_index_terms, tokenize_for_index
 
+        set_custom_words(custom_words)  # idempotent on reused workers
         # direct calls, no memo cache: web corpus texts are ~all unique, so a
         # cache is pure overhead (and its churn hurts multi-worker scaling);
         # tokens are computed once and reused for both terms and the norm hash
@@ -659,7 +677,7 @@ def build_index(
     an Iceberg deployment is ``sink=IcebergSink("cat.db.idx")`` — one
     constructor, zero builder changes (north-rule Iceberg mapping).
     """
-    from ..dictionary import dictionary_fingerprint
+    from ..dictionary import dictionary_fingerprint, get_custom_dictionary
     from .sinks import ParquetSink
 
     sink = sink or ParquetSink(out_dir)
@@ -769,6 +787,7 @@ def build_index(
         k1=params.k1,
         b=params.b,
         dictionary_fingerprint=dictionary_fingerprint(),
+        custom_dictionary=get_custom_dictionary(),
         positional=positional,
         stopwords_fingerprint=_settings.stopwords_fingerprint(stopset),
         stopwords=sorted(stopset) if stopset else [],

@@ -1,0 +1,157 @@
+"""Health / readiness probes and config hot-reload status — the reference's
+ops surface (src/api/endpoints/health.py:21-270 basic / liveness /
+readiness / startup / detailed / dependency probes, and
+src/api/endpoints/config_management.py:255-337 ``get_hot_reload_status`` /
+``trigger_reload``) re-expressed driver-side.
+
+Design stance: the reference's probes check an asyncio service's
+dependencies (MeiliSearch reachable, tokenizer loaded, queue depth).  The
+Spark analogue's dependencies are (a) a live SparkSession, (b) readable
+index directories in a known lifecycle state, and (c) serving engines whose
+loaded settings match what is on disk.  Everything here is driver-side
+metadata work — ``health_report`` runs zero Spark jobs unless
+``with_stats=True`` explicitly asks for per-index document counts (one
+exchange-free aggregate per index, the ``index_stats`` contract), so the
+probe is cheap enough for a liveness poll loop.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from .builder import load_meta
+from .maintenance import list_indexes
+from .settings import TYPO_DEFAULTS, _effective_dictionary_fingerprint
+
+
+# The settings surface that can drift between an engine's loaded meta and
+# the on-disk meta.json (everything updatable without a rebuild).
+_RELOADABLE = (
+    "synonyms_fingerprint",
+    "stopwords_fingerprint",
+    "stopwords",
+    "typo_tolerance",
+    "filterable_attributes",
+    "sortable_attributes",
+    "custom_dictionary",
+)
+
+
+def _settings_view(meta) -> dict:
+    """The comparable projection of a meta (loaded or on-disk): the
+    reloadable settings, normalized so absent == default."""
+    view = {}
+    for k in _RELOADABLE:
+        v = getattr(meta, k, None)
+        if k == "typo_tolerance":
+            v = {**TYPO_DEFAULTS, **(v or {})}
+        elif k in ("stopwords", "custom_dictionary"):
+            v = sorted(v or [])
+        view[k] = v
+    return view
+
+
+def reload_status(engine) -> dict:
+    """The reference's ``get_hot_reload_status``: is the live engine's
+    loaded configuration current with the on-disk meta.json, and what
+    drifted?  ``stale=True`` means a settings update (synonyms, stop-words,
+    typo tolerance, declarations, custom dictionary) landed after the
+    engine last loaded — call :func:`trigger_reload` (or
+    ``engine.refresh_index()``) to pick it up.
+
+    Also surfaces postings-level drift: a dictionary update whose documents
+    were not reprocessed yet (effective fingerprint != build fingerprint)
+    — reload alone cannot fix that one, so it is reported separately as
+    ``documents_stale``.
+    """
+    disk = load_meta(engine.index_dir)
+    loaded_view = _settings_view(engine.meta)
+    disk_view = _settings_view(disk)
+    drifted = sorted(k for k in _RELOADABLE if loaded_view[k] != disk_view[k])
+    return {
+        "index_dir": engine.index_dir,
+        "stale": bool(drifted),
+        "drifted_settings": drifted,
+        "documents_stale": _effective_dictionary_fingerprint(
+            disk.custom_dictionary or []
+        )
+        != disk.dictionary_fingerprint,
+        "loaded_n_docs": engine.meta.n_docs,
+        "disk_n_docs": disk.n_docs,
+    }
+
+
+def trigger_reload(engine) -> dict:
+    """The reference's ``trigger_reload``: refresh the engine from disk and
+    return the post-reload status (``stale`` is False on success by
+    construction)."""
+    engine.refresh_index()
+    return reload_status(engine)
+
+
+def health_report(
+    spark,
+    root_dir: str,
+    engines: dict | None = None,
+    with_stats: bool = False,
+) -> dict:
+    """One composite probe (reference ``detailed_health_check``):
+
+    - **liveness**: the SparkSession answers a driver-side call
+      (``applicationId`` — no job);
+    - **readiness**: every index under ``root_dir`` is in a servable
+      lifecycle state (``available``), none corrupt / mid-compaction;
+    - **engines**: per live engine, the :func:`reload_status` staleness
+      check plus the warm tier's memory accounting
+      (``warm_memory_report``);
+    - **stats** (opt-in, runs Spark jobs): per-available-index
+      ``numberOfDocuments`` via the exchange-free ``index_stats``
+      aggregate.
+
+    Status rolls up MeiliSearch-style: ``available`` when live and every
+    index is servable and no engine is stale; ``degraded`` when live but
+    something needs attention; the function raising IS the "dead" signal
+    (a health endpoint that cannot even introspect should not fake a
+    payload).
+    """
+    t0 = time.time()
+    try:
+        app_id = spark.sparkContext.applicationId
+        spark_alive = True
+    except Exception:  # stopped/broken session — still report, degraded
+        app_id, spark_alive = None, False
+
+    indexes = list_indexes(root_dir)
+    unavailable = [i for i in indexes if i["state"] != "available"]
+
+    engine_reports = {}
+    any_stale = False
+    for uid, eng in (engines or {}).items():
+        rs = reload_status(eng)
+        any_stale = any_stale or rs["stale"]
+        engine_reports[uid] = {
+            "reload": rs,
+            "memory": eng.warm_memory_report(),
+        }
+
+    stats = {}
+    if with_stats and spark_alive:
+        from .settings import index_stats
+
+        for i in indexes:
+            if i["state"] == "available":
+                stats[i["uid"]] = index_stats(
+                    spark, os.path.join(root_dir, i["uid"])
+                )
+
+    healthy = spark_alive and not unavailable and not any_stale
+    return {
+        "status": "available" if healthy else "degraded",
+        "spark": {"alive": spark_alive, "application_id": app_id},
+        "indexes": indexes,
+        "unavailable_indexes": [i["uid"] for i in unavailable],
+        "engines": engine_reports,
+        "stats": stats,
+        "probe_seconds": round(time.time() - t0, 4),
+    }

@@ -104,7 +104,7 @@ def build_index_resumable(
     phrase-capable index identical to ``build_index(positional=True)``.
     """
     from ..dictionary import dictionary_fingerprint
-    from ..tokenizer.udfs import index_features_udf
+    from ..tokenizer.udfs import index_features_udf_with_dictionary
 
     os.makedirs(os.path.join(out_dir, "lineage"), exist_ok=True)
     shard_key = F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards)).cast("int")
@@ -132,7 +132,7 @@ def build_index_resumable(
             .withColumn("shard", shard_key)
         )
         toks = (
-            sub.withColumn("_f", index_features_udf("text"))
+            sub.withColumn("_f", index_features_udf_with_dictionary()("text"))
             .select(
                 "shard",
                 "url",
@@ -234,7 +234,7 @@ def finalize_index(
     see ``index.sinks`` for the Iceberg mapping).  The tf/doc_map STAGING
     area stays path-based parquet deliberately — it is the resumable
     checkpoint format (shard markers + atomic dirs), not a queryable table."""
-    from ..dictionary import dictionary_fingerprint
+    from ..dictionary import dictionary_fingerprint, get_custom_dictionary
     from .sinks import ParquetSink
 
     sink = sink or ParquetSink(out_dir)
@@ -284,6 +284,7 @@ def finalize_index(
         k1=params.k1,
         b=params.b,
         dictionary_fingerprint=dictionary_fingerprint(),
+        custom_dictionary=get_custom_dictionary(),
         positional=positional,
     )
     pst = sink.read(spark, "postings")
@@ -316,6 +317,14 @@ def finalize_index(
         )
         meta.sortable_attributes = prev.get(
             "sortable_attributes", meta.sortable_attributes
+        )
+        # the runtime custom-dictionary overlay survives a delta add too;
+        # the finalize's dictionary_fingerprint (stamped above from the
+        # live process) already reflects it when the caller applied it
+        # via update_dictionary/reprocess_documents
+        meta.custom_dictionary = sorted(
+            set(prev.get("custom_dictionary", []))
+            | set(meta.custom_dictionary or [])
         )
     with open(meta_path, "w") as fh:
         json.dump(asdict(meta), fh, indent=1)

@@ -535,6 +535,7 @@ _MERGE_META_KEYS = (
     "b",
     "positional",
     "dictionary_fingerprint",
+    "custom_dictionary",
     "stopwords_fingerprint",
     "stopwords_build",
     "fields",

@@ -63,6 +63,18 @@ def stopwords_fingerprint(words) -> str:
     return hashlib.sha256("\n".join(sorted(words)).encode("utf-8")).hexdigest()
 
 
+def _effective_dictionary_fingerprint(custom: list[str]) -> str:
+    """SHA-256 of packaged ∪ overlay — what queries tokenize with after
+    refresh; equals meta.dictionary_fingerprint when the overlay is empty
+    and the postings are current."""
+    from ..dictionary import load_base_words, load_compound_words
+
+    words = load_base_words() | load_compound_words() | {
+        w for w in (str(x).strip() for x in custom) if w
+    }
+    return hashlib.sha256("\n".join(sorted(words)).encode("utf-8")).hexdigest()
+
+
 def _write_meta(index_dir: str, meta: IndexMeta) -> None:
     path = os.path.join(index_dir, "meta.json")
     tmp = path + ".tmp"
@@ -117,6 +129,92 @@ def update_stop_words(index_dir: str, stop_words: list[str]) -> IndexMeta:
     return meta
 
 
+def update_dictionary(
+    index_dir: str,
+    add: list[str] | None = None,
+    remove: list[str] | None = None,
+    apply_runtime: bool = True,
+) -> IndexMeta:
+    """Runtime custom-dictionary management — the reference's most-used
+    config endpoint family (src/api/endpoints/config.py:389-535
+    ``add_dictionary_words`` / ``remove_dictionary_words`` /
+    ``get_custom_dictionary``), re-expressed over the index's meta.json.
+
+    Semantics (the wakame story: operators add a Thai compound word at
+    runtime and searches start segmenting it as one token):
+
+    - the overlay persists per-index in ``meta.custom_dictionary`` and is
+      fingerprint-chained via ``export_settings()['effective_dictionary_
+      fingerprint']``;
+    - with ``apply_runtime`` (default) the overlay is applied to THIS
+      process's tokenizer immediately (``dictionary.set_custom_words``), so
+      query-side tokenization — and any live engine after
+      :meth:`SearchEngine.refresh_index` — picks the words up at once;
+    - DOCUMENTS keep their build-time tokenization until re-routed through
+      the ``add_documents`` retokenize path: call
+      :func:`reprocess_documents` with the affected pages (staged layouts),
+      or rebuild (classic ``build_index`` layouts — ``reprocess_documents``
+      raises with that guidance).  ``meta.dictionary_fingerprint`` keeps
+      recording what the current POSTINGS were tokenized with;
+    - removing a PACKAGED (base/compound) word raises — the packaged
+      dictionary is the pinned byte-identity contract; only overlay words
+      round-trip.  Removing a word not in the overlay is an idempotent
+      no-op, like deleting an absent document.
+    """
+    from ..dictionary import (
+        load_base_words,
+        load_compound_words,
+        set_custom_words,
+    )
+
+    meta = load_meta(index_dir)
+    current = set(meta.custom_dictionary or [])
+    add_set = {w for w in (str(x).strip() for x in (add or [])) if w}
+    rm_set = {w for w in (str(x).strip() for x in (remove or [])) if w}
+    both = sorted(add_set & rm_set)
+    if both:
+        raise ValueError(f"words {both} appear in both add= and remove=")
+    pinned = sorted(rm_set & (load_base_words() | load_compound_words()))
+    if pinned:
+        raise ValueError(
+            f"cannot remove packaged dictionary words {pinned}: the base "
+            "vocabulary and compound dictionary are the pinned tokenization "
+            "contract — only runtime overlay words are removable"
+        )
+    meta.custom_dictionary = sorted((current | add_set) - rm_set)
+    _write_meta(index_dir, meta)
+    if apply_runtime:
+        set_custom_words(meta.custom_dictionary)
+    return meta
+
+
+def get_custom_dictionary(index_dir: str) -> list[str]:
+    """The index's persisted overlay words (reference
+    ``get_custom_dictionary``)."""
+    return list(load_meta(index_dir).custom_dictionary or [])
+
+
+def reprocess_documents(spark, pages, index_dir: str, **add_kwargs) -> IndexMeta:
+    """Route documents through the existing ``add_documents`` retokenize
+    path AFTER a dictionary update, so their postings reflect the new
+    effective dictionary (re-adding a url overwrites its document —
+    MeiliSearch update-by-primary-key semantics).
+
+    Applies the index's persisted overlay to this process first, so the
+    delta tokenizes with exactly the dictionary ``update_dictionary`` wrote.
+    On a classic ``build_index`` layout (no tf/ staging area)
+    ``add_documents`` raises with rebuild guidance — that error IS the
+    documented answer for non-incremental indexes.
+    """
+    from ..dictionary import set_custom_words
+    from ..streaming.ingest import add_documents
+
+    meta = load_meta(index_dir)
+    set_custom_words(meta.custom_dictionary or [])
+    out = add_documents(spark, pages, index_dir, **add_kwargs)
+    return out if out is not None else meta
+
+
 def export_settings(index_dir: str) -> dict:
     """The reference's ``export_config`` (:334-350): the full settings view
     of an index, for diffing/migration tooling."""
@@ -134,6 +232,10 @@ def export_settings(index_dir: str) -> dict:
         "stored_fields": list(meta.stored_fields),
         "positional": meta.positional,
         "dictionary_fingerprint": meta.dictionary_fingerprint,
+        "custom_dictionary": list(meta.custom_dictionary or []),
+        "effective_dictionary_fingerprint": _effective_dictionary_fingerprint(
+            meta.custom_dictionary or []
+        ),
         "stopwords_fingerprint": meta.stopwords_fingerprint,
         "synonyms_fingerprint": meta.synonyms_fingerprint,
         "typo_tolerance": {**TYPO_DEFAULTS, **(meta.typo_tolerance or {})},

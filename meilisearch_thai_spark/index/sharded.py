@@ -52,7 +52,7 @@ _EMPTY_STATS_SCHEMA = (
     "doc_id long, url string, lang string, doc_len int, norm_hash string"
 )
 
-from ..dictionary import dictionary_fingerprint
+from ..dictionary import dictionary_fingerprint, get_custom_dictionary
 from .builder import (
     DEFAULT_BLOCK_SIZE,
     DEFAULT_BUCKET_SPAN,
@@ -164,6 +164,7 @@ def build_sharded_index(
             k1=params.k1,
             b=params.b,
             dictionary_fingerprint=dictionary_fingerprint(),
+            custom_dictionary=get_custom_dictionary(),
             sharding={"n_shards": n_shards, "shard": s},
         )
         agg = (

@@ -139,6 +139,7 @@ def pagerank(
     iterations: int = 5,
     damping_bp: int = 8500,
     scale: int = 10**9,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over the host graph, integer fixed-point.
 
@@ -152,7 +153,19 @@ def pagerank(
     — all BIGINT, so the result is independent of partitioning, join order,
     and engine (the DuckDB twin in :func:`pagerank_sql` matches exactly).
     Fixed ``iterations`` (power method; 5 rounds separate hubs from leaves,
-    production crawls run ~20).  Dangling mass is dropped (see module doc).
+    production crawls run ~20).  Dangling mass is dropped by default (see
+    module doc); ``redistribute_dangling=True`` adds the classic uniform
+    redistribution — the dangling nodes' total rank is ONE BIGINT scalar
+    per iteration (a 1-row aggregate, broadcast back as a literal), so the
+    integer fixed-point bit-parity contract is preserved:
+
+        share = sum(dangling rank_units) div N
+        new   = base + damping_bp * (inflow + share) div 10000
+
+    With the flag on, ranks sum to ``scale`` minus only the integer-division
+    losses (bounded by n_edges + 2*n_nodes units — each edge contribution
+    and each div-10000 loses < 1 unit), instead of leaking the whole
+    dangling outflow each round.
 
     Returns (host, rank_units); ``rank_units / scale`` is the float rank.
     """
@@ -176,8 +189,23 @@ def pagerank(
         return nodes.withColumn("rank_units", F.lit(0).cast("long"))
     init = scale // n_nodes
     base = (10000 - damping_bp) * init // 10000
+    dangling = None
+    if redistribute_dangling:
+        dangling = nodes.join(
+            out_w.withColumnRenamed("src", "host"), "host", "left_anti"
+        ).localCheckpoint()
     ranks = nodes.withColumn("rank_units", F.lit(init).cast("long")).localCheckpoint()
     for _ in range(iterations):
+        share = 0
+        if redistribute_dangling:
+            # one scalar crosses to the driver per iteration (bounded, like
+            # the BPE argmax): the dangling nodes' total rank — then rides
+            # back into the plan as a literal, keeping the arithmetic
+            # partition- and engine-independent
+            d_row = dangling.join(ranks, "host").agg(
+                F.sum("rank_units").alias("d")
+            ).collect()[0]
+            share = int(d_row["d"] or 0) // n_nodes
         inflow = (
             ew.join(ranks.withColumnRenamed("host", "src"), "src")
             .select(
@@ -191,13 +219,17 @@ def pagerank(
             "host",
             (
                 F.lit(base)
-                + F.expr(f"{damping_bp} * coalesce(in_units, 0L) div 10000")
+                + F.expr(
+                    f"{damping_bp} * (coalesce(in_units, 0L) + {share}L) div 10000"
+                )
             ).alias("rank_units"),
         ).localCheckpoint()
         ranks.unpersist()
         ranks = new
     ew.unpersist()
     nodes.unpersist()
+    if dangling is not None:
+        dangling.unpersist()
     return ranks
 
 
@@ -209,6 +241,7 @@ def pagerank_sql(
     iterations: int = 5,
     damping_bp: int = 8500,
     scale: int = 10**9,
+    redistribute_dangling: bool = False,
 ) -> str:
     """DuckDB twin of :func:`pagerank`: the fixed iteration count unrolls to
     chained CTEs r1..rK (aggregation in a recursive CTE term is not portable
@@ -237,9 +270,40 @@ def pagerank_sql(
         r0 AS (
             SELECT host, (SELECT init FROM consts) AS rank_units FROM nodes
         )"""
+    if redistribute_dangling:
+        head += """,
+        dang AS (
+            SELECT host FROM nodes
+            WHERE host NOT IN (SELECT src FROM e)
+        )"""
     steps = []
     for i in range(1, iterations + 1):
-        steps.append(f"""
+        if redistribute_dangling:
+            # same scalar as the Spark side's per-iteration collect: the
+            # previous round's dangling mass div N, added INSIDE the
+            # damping multiply so the integer arithmetic matches bit-for-bit
+            steps.append(f"""
+        d{i} AS (
+            SELECT COALESCE(CAST(SUM(r.rank_units) AS BIGINT), 0)
+                   // (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS share
+            FROM r{i - 1} r JOIN dang USING (host)
+        ),
+        r{i} AS (
+            SELECT nodes.host,
+                   CAST((10000 - {damping_bp}) * (SELECT init FROM consts) // 10000
+                        + CAST({damping_bp} AS BIGINT)
+                          * (COALESCE(s.in_units, 0) + (SELECT share FROM d{i}))
+                          // 10000
+                        AS BIGINT) AS rank_units
+            FROM nodes LEFT JOIN (
+                SELECT ew.dst AS host,
+                       CAST(SUM(r.rank_units * ew.w // ew.out_w) AS BIGINT) AS in_units
+                FROM ew JOIN r{i - 1} r ON ew.src = r.host
+                GROUP BY ew.dst
+            ) s USING (host)
+        )""")
+        else:
+            steps.append(f"""
         r{i} AS (
             SELECT nodes.host,
                    CAST((10000 - {damping_bp}) * (SELECT init FROM consts) // 10000

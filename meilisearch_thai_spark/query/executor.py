@@ -602,6 +602,13 @@ class SearchEngine:
         # they must leave query term sets too (else 'all'/'last'/'frequency'
         # require df=0 terms and match nothing)
         self._stopwords = frozenset(getattr(self.meta, "stopwords", []) or [])
+        # runtime custom-dictionary overlay (settings.update_dictionary):
+        # applied to this process's tokenizer so QUERY tokenization matches
+        # the index's effective dictionary immediately — same
+        # last-loaded-index-wins contract as the segmenter singleton itself
+        from ..dictionary import set_custom_words
+
+        set_custom_words(getattr(self.meta, "custom_dictionary", []) or [])
         # S5 synonyms ride with the index settings (builder.IndexMeta); the
         # engine feeds them into variant generation — MeiliSearch applies
         # synonyms at search time, the posting data is untouched

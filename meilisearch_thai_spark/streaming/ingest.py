@@ -46,12 +46,12 @@ def _tf_rows(
     """pages → (shard, batch_id, url, term, tf, doc_len, norm_hash[,
     positions]) rows via the fused tokenize pass (terms pre-aggregated per
     doc, no shuffle)."""
-    from ..tokenizer.udfs import index_features_udf
+    from ..tokenizer.udfs import index_features_udf_with_dictionary
 
     shard = F.pmod(F.xxhash64(F.col("url")), F.lit(n_shards)).cast("int")
     feat = (
         pages.select("url", "text", "lang")
-        .withColumn("_f", index_features_udf("text"))
+        .withColumn("_f", index_features_udf_with_dictionary()("text"))
         .select(
             shard.alias("shard"),
             F.lit(batch_id).alias("batch_id"),

@@ -69,15 +69,9 @@ _FEATURES_TYPE = T.StructType(
 )
 
 
-@F.pandas_udf(_FEATURES_TYPE)
-def index_features_udf(texts: pd.Series) -> pd.DataFrame:
-    """T1+T9 fused: one Arrow pass producing (index terms, sha256(norm_text)).
-
-    ``norm_hash`` equals ``F.sha2(zwsp_norm_udf(text), 256)`` — hashed here in
-    Python so the (large) ZWSP string never crosses back to the JVM; only the
-    64-hex digest does.  Tokenization runs once for both outputs via the
-    shared memo cache.
-    """
+def _index_features_batch(texts: pd.Series) -> pd.DataFrame:
+    """Shared body of the fused features UDF (module-level so both the
+    pinned UDF and the overlay factory's closures pickle it by reference)."""
     import hashlib
 
     terms, hashes = [], []
@@ -89,6 +83,46 @@ def index_features_udf(texts: pd.Series) -> pd.DataFrame:
             terms.append([])
             hashes.append(hashlib.sha256((t or "").encode("utf-8")).hexdigest())
     return pd.DataFrame({"terms": terms, "norm_hash": hashes})
+
+
+@F.pandas_udf(_FEATURES_TYPE)
+def index_features_udf(texts: pd.Series) -> pd.DataFrame:
+    """T1+T9 fused: one Arrow pass producing (index terms, sha256(norm_text)).
+
+    ``norm_hash`` equals ``F.sha2(zwsp_norm_udf(text), 256)`` — hashed here in
+    Python so the (large) ZWSP string never crosses back to the JVM; only the
+    64-hex digest does.  Tokenization runs once for both outputs via the
+    shared memo cache.
+
+    Tokenizes with the PACKAGED dictionary only — call sites that must honor
+    the runtime custom-dictionary overlay (reference config.py:389-535) use
+    :func:`index_features_udf_with_dictionary` instead, which closure-ships
+    the overlay to executor workers.
+    """
+    return _index_features_batch(texts)
+
+
+def index_features_udf_with_dictionary():
+    """Factory: the fused features UDF with the driver's CURRENT runtime
+    custom-dictionary overlay captured into the closure, so executor Python
+    workers (which re-import modules fresh and are reused across jobs)
+    tokenize with the same effective dictionary as the driver's query side.
+    With no overlay active this returns the plain pinned UDF — zero change
+    to existing plans or their byte-identity."""
+    from ..dictionary import get_custom_dictionary
+
+    custom = tuple(get_custom_dictionary())
+    if not custom:
+        return index_features_udf
+
+    @F.pandas_udf(_FEATURES_TYPE)
+    def _overlay_features_udf(texts: pd.Series) -> pd.DataFrame:
+        from ..dictionary import set_custom_words
+
+        set_custom_words(custom)  # idempotent per worker; clears memo caches on change
+        return _index_features_batch(texts)
+
+    return _overlay_features_udf
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

@@ -1,0 +1,101 @@
+"""Health/readiness probes + config hot-reload status (reference
+health.py:21-270, config_management.py:255-337): report shape, staleness
+flip on a settings update, reload clearing it, and the documents-stale
+signal a dictionary update leaves until reprocess."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from meilisearch_thai_spark import dictionary as D
+from meilisearch_thai_spark.index.builder import build_index
+from meilisearch_thai_spark.index.health import (
+    health_report,
+    reload_status,
+    trigger_reload,
+)
+from meilisearch_thai_spark.index.settings import update_dictionary, update_synonyms
+from meilisearch_thai_spark.query.executor import SearchEngine
+from meilisearch_thai_spark.sources.pages import generate_pages
+
+
+@pytest.fixture(autouse=True)
+def _clean_overlay():
+    D.set_custom_words([])
+    yield
+    D.set_custom_words([])
+
+
+@pytest.fixture(scope="module")
+def root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("healthroot"))
+    pages = generate_pages(spark, 60, seed=11)
+    build_index(spark, pages, os.path.join(root, "idx1"))
+    return root
+
+
+def test_report_shape_and_available(spark, root):
+    eng = SearchEngine(spark, os.path.join(root, "idx1"))
+    rep = health_report(spark, root, engines={"idx1": eng})
+    assert rep["status"] == "available"
+    assert rep["spark"]["alive"] and rep["spark"]["application_id"]
+    assert [i["uid"] for i in rep["indexes"]] == ["idx1"]
+    assert rep["indexes"][0]["state"] == "available"
+    assert rep["unavailable_indexes"] == []
+    assert rep["engines"]["idx1"]["reload"]["stale"] is False
+    assert "memory" in rep["engines"]["idx1"]
+    assert rep["stats"] == {}  # no Spark jobs unless asked
+
+
+def test_with_stats_runs_index_stats(spark, root):
+    rep = health_report(spark, root, with_stats=True)
+    assert rep["stats"]["idx1"]["numberOfDocuments"] == 60
+
+
+def test_settings_update_flips_staleness_and_reload_clears_it(spark, root):
+    idx = os.path.join(root, "idx1")
+    eng = SearchEngine(spark, idx)
+    assert reload_status(eng)["stale"] is False
+
+    update_synonyms(idx, {"laptop": ["notebook"]})
+    rs = reload_status(eng)
+    assert rs["stale"] is True
+    assert "synonyms_fingerprint" in rs["drifted_settings"]
+    # composite probe degrades on a stale engine
+    assert health_report(spark, root, engines={"idx1": eng})["status"] == "degraded"
+
+    rs2 = trigger_reload(eng)
+    assert rs2["stale"] is False
+    assert health_report(spark, root, engines={"idx1": eng})["status"] == "available"
+
+
+def test_dictionary_update_reports_documents_stale(spark, root):
+    idx = os.path.join(root, "idx1")
+    eng = SearchEngine(spark, idx)
+    update_dictionary(idx, add=["ควอนตัมคอมพิวเตอร์"])
+    rs = reload_status(eng)
+    assert rs["stale"] is True and "custom_dictionary" in rs["drifted_settings"]
+    # reload picks up the query-side setting, but the postings were built
+    # with the old dictionary — documents_stale persists until reprocess
+    rs2 = trigger_reload(eng)
+    assert rs2["stale"] is False
+    assert rs2["documents_stale"] is True
+    update_dictionary(idx, remove=["ควอนตัมคอมพิวเตอร์"])
+    eng.refresh_index()
+    assert reload_status(eng)["documents_stale"] is False
+
+
+def test_degraded_on_unservable_index(spark, root, tmp_path):
+    import shutil
+
+    root2 = str(tmp_path / "r2")
+    os.makedirs(root2)
+    shutil.copytree(os.path.join(root, "idx1"), os.path.join(root2, "idxA"))
+    # a corrupt meta is an unservable lifecycle state
+    with open(os.path.join(root2, "idxA", "meta.json"), "w") as fh:
+        fh.write("{not json")
+    rep = health_report(spark, root2)
+    assert rep["status"] == "degraded"
+    assert rep["unavailable_indexes"] == ["idxA"]

@@ -109,6 +109,75 @@ def test_pagerank_single_iteration_and_validation(spark):
         wg.pagerank(df, iterations=0)
 
 
+def _py_pagerank_dangling(edges, iterations=5, damping_bp=8500, scale=10**9):
+    """Pure-Python twin of the redistribute_dangling update (exact)."""
+    out_w: dict = {}
+    for s, d, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    dangling = [n for n in nodes if n not in out_w]
+    init = scale // len(nodes)
+    base = (10000 - damping_bp) * init // 10000
+    ranks = {n: init for n in nodes}
+    for _ in range(iterations):
+        share = sum(ranks[n] for n in dangling) // len(nodes)
+        inflow = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            inflow[d] += ranks[s] * w // out_w[s]
+        ranks = {
+            n: base + damping_bp * (inflow[n] + share) // 10000 for n in nodes
+        }
+    return ranks
+
+
+def test_pagerank_dangling_redistribution(spark):
+    df = spark.createDataFrame(EDGES, ["src_host", "dst_host", "n_links"])
+    got = {
+        r.host: r.rank_units
+        for r in wg.pagerank(df, iterations=5, redistribute_dangling=True).collect()
+    }
+    assert got == _py_pagerank_dangling(EDGES, iterations=5)
+    # mass conservation: with the leak closed, the sum is scale minus only
+    # integer-division losses (< 1 unit per edge contribution, per node
+    # base/damping div, and per-iteration share div)
+    n_nodes, n_edges = 5, len(EDGES)
+    assert 10**9 - (n_edges + 2 * n_nodes + 1) * 5 <= sum(got.values()) <= 10**9
+    # and strictly more mass retained than the dropping variant
+    dropped = {r.host: r.rank_units for r in wg.pagerank(df, iterations=5).collect()}
+    assert sum(got.values()) > sum(dropped.values())
+    # the dangling sink's inflow sources (a) benefit; ordering of hub stays
+    assert got["hub"] == max(got.values())
+
+
+def test_pagerank_dangling_duckdb_parity(spark):
+    import duckdb
+
+    df = spark.createDataFrame(EDGES, ["src_host", "dst_host", "n_links"])
+    got = {
+        r.host: r.rank_units
+        for r in wg.pagerank(df, iterations=4, redistribute_dangling=True).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE eref(src_host VARCHAR, dst_host VARCHAR, n_links BIGINT)"
+    )
+    con.executemany("INSERT INTO eref VALUES (?,?,?)", EDGES)
+    sql = wg.pagerank_sql(
+        "SELECT * FROM eref", iterations=4, redistribute_dangling=True
+    )
+    oracle = {h: int(u) for h, u in con.execute(sql).fetchall()}
+    assert got == oracle
+    # no dangling nodes → flag is a no-op (shares are all zero)
+    cyc = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)]
+    dfc = spark.createDataFrame(cyc, ["src_host", "dst_host", "n_links"])
+    a = {r.host: r.rank_units for r in wg.pagerank(dfc, iterations=3).collect()}
+    b = {
+        r.host: r.rank_units
+        for r in wg.pagerank(dfc, iterations=3, redistribute_dangling=True).collect()
+    }
+    assert a == b
+
+
 def test_pagerank_cycle_is_uniform(spark):
     cyc = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)]
     df = spark.createDataFrame(cyc, ["src_host", "dst_host", "n_links"])
