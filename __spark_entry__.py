@@ -44,6 +44,14 @@ _UPD_SUFFIX = " merge join refresh"
 # same literals in the DuckDB twin)
 _BLOCKED_HOSTS = [f"www.site{i}.example.com" for i in (0, 3, 7, 11, 19)]
 
+# frozen trained quality-classifier weights (integer milli-units) — output
+# of scripts/train_qc_weights.py (deterministic labeled seed set over the
+# documents table's vocabulary family; provenance + retrain recipe in that
+# script's docstring).  Embedded as literals in BOTH engines so the
+# quality_classifier_trained entry is bit-identical under the oracle gate.
+_QC_TRAINED_MILLI = [0, 0, 716, -826, 519, 0, 0, -419, 512, 79, -857, -764, 0, 0, 0, 548, -21, 0, 0, 0, 0, 0, 0, -736, 0, 0, 0, 532, 14, 561, 0, -80, 0, 608, 664, 744, 704, 0, 0, 0, -689, -243, 0, 0, -753, 0, -153, 0, -73, 1287, 494, -144, 0, 0, -863, -1607, 34, -769, 514, 92, 147, 0, -256, 620]
+_QC_TRAINED_BIAS_MILLI = 134
+
 # deterministic mini-web over documents for the webgraph entries: 20 hosts,
 # every page carries one topical anchor (host walk *7+1), one relative href
 # (must be dropped), and one case/port-variant anchor (host walk *3+5).
@@ -1543,6 +1551,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "host", "slot"
         )
 
+    def quality_classifier_trained(spark, sf):
+        # frozen TRAINED weights (scripts/train_qc_weights.py: distributed
+        # logistic regression over hashed unigram counts on a labeled seed
+        # set, quantized to integer milli-units) — the deployable DCLM-style
+        # filter; integer sums keep it bit-identical to the DuckDB twin
+        return wtx.quality_classifier_frozen(
+            _t(spark, sf, "documents"), "doc_id", "text",
+            _QC_TRAINED_MILLI, _QC_TRAINED_BIAS_MILLI,
+        ).orderBy("doc_key")
+
     # ------------------------------------------------------------------
     # REGISTRY ORDER IS THE DRIVER-GATE BUDGET (COVERAGE.md §rotation): the
     # driver runs the FIRST 50 entries per round.  ROUND 5 executes the
@@ -1664,6 +1682,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_delete_by_filter": s9_delete_by_filter,
         "dedup_fuzzy_keep_best": dedup_fuzzy_keep_best,
         "weburl_frontier": weburl_frontier,
+        # ---- position 101+: round-5 additions OUTSIDE the 100-slot ledger
+        # (COVERAGE.md amendment: taking a gate slot would force a rested
+        # entry to rest twice; verified by scripts/selfcheck.py + pytest
+        # instead — the same DuckDB compare the driver runs) ----
+        "quality_classifier_trained": quality_classifier_trained,
     }
 
 
@@ -1797,6 +1820,11 @@ LIMIT 100
         "webtext_quality_classifier": wtx.quality_classifier_sql(
             "documents", "doc_id", "text"
         ),
+        "quality_classifier_trained": wtx.quality_classifier_frozen_sql(
+            "documents", "doc_id", "text",
+            _QC_TRAINED_MILLI, _QC_TRAINED_BIAS_MILLI,
+        )
+        + " ORDER BY doc_key",
         "webtext_line_dedup_global": wtx.dedup_lines_global_sql(
             "(SELECT doc_id, 'shared header' || chr(10) || text || chr(10) || "
             "'shared footer' AS text FROM documents) m",

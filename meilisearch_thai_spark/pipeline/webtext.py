@@ -1342,6 +1342,96 @@ def quality_classifier_trained(
     )
 
 
+def freeze_classifier_weights(
+    weights: list[float], bias: float, scale: int = 1000
+) -> tuple[list[int], int]:
+    """Quantize trained float weights to integer milli-units for
+    :func:`quality_classifier_frozen` — the deployment step that restores
+    the placeholder's cross-engine bit-identity (integer sums are
+    order-independent; double sums are not).  1e-3 quantization is far
+    below a hashed-unigram linear model's decision noise."""
+    return [int(round(w * scale)) for w in weights], int(round(bias * scale))
+
+
+def quality_classifier_frozen(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    milli_weights: list[int],
+    bias_milli: int = 0,
+    seed: str = "qc",
+) -> DataFrame:
+    """Inference with TRAINED-then-quantized weights — the deployable form
+    of :func:`train_quality_classifier`'s output (freeze with
+    :func:`freeze_classifier_weights`), closing the loop the placeholder
+    :func:`quality_classifier` documents ("swapping in trained weights").
+
+    Identical plan shape to the placeholder: token → shared md5 bucket →
+    weight lookup → mean logit, pure Column codegen, ZERO shuffle — a
+    linear scan at 100 TB.  The weight vector rides the plan as a
+    broadcast ``n_buckets``-entry array literal (``element_at`` lookup).
+    Determinism across engines: milli-weights stay INTEGER through the
+    sum, ``keep`` is the integer sign test of ``total + n*bias`` (never a
+    float threshold), and the reported ``logit`` does one float division
+    at the end — bit-identical to the DuckDB twin
+    :func:`quality_classifier_frozen_sql`, unlike the float-summing
+    :func:`quality_classifier_trained` whose bits can vary with fold
+    order.  Returns (doc_key, logit, keep).
+    """
+    n_buckets = len(milli_weights)
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    warr = F.array(*[F.lit(int(v)).cast("long") for v in milli_weights])
+    total = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(warr, _hash_bucket(t, n_buckets, seed).cast("int") + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.greatest(F.size(toks), F.lit(1))
+    scored = total + n.cast("long") * F.lit(int(bias_milli))
+    return docs.select(
+        F.col(id_col).alias("doc_key"),
+        F.round(scored / (F.lit(1000.0) * n), 9).alias("logit"),
+        (scored >= 0).alias("keep"),
+    )
+
+
+def quality_classifier_frozen_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    milli_weights: list[int],
+    bias_milli: int = 0,
+    seed: str = "qc",
+) -> str:
+    """DuckDB twin of :func:`quality_classifier_frozen` (weights as a
+    literal list, same shared md5 bucketing, integer sum + sign test)."""
+    n_buckets = len(milli_weights)
+    wlist = "[" + ",".join(str(int(v)) for v in milli_weights) + "]"
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_key,
+         list_filter(string_split(lower({text_col}), ' '), x -> x <> '') AS toks
+  FROM {table}
+),
+s AS (
+  SELECT doc_key, greatest(len(toks), 1) AS n,
+         COALESCE(list_sum(list_transform(toks, x ->
+           list_extract({wlist},
+             (('0x' || substr(md5('{seed}' || '|' || x), 1, 15))::UBIGINT::BIGINT
+              % {n_buckets})::INT + 1)
+         )), 0)::BIGINT AS total
+  FROM t
+)
+SELECT doc_key,
+       ROUND((total + n * {int(bias_milli)}) / (1000.0 * n), 9) AS logit,
+       (total + n * {int(bias_milli)}) >= 0 AS keep
+FROM s
+"""
+
+
 # metadata tags are matched in two steps (whole tag, then the attribute out
 # of the matched tag) so ATTRIBUTE ORDER never matters — RE2/Java common
 # subset has no lookahead to do it in one pattern.  Attribute values match

@@ -779,6 +779,88 @@ def test_train_quality_classifier_separates_and_generalizes(spark):
     assert hacc >= 0.9, hacc
 
 
+def test_quality_classifier_frozen_parity_and_separation(spark):
+    """The deployable frozen form: integer milli-quantized trained weights
+    must (a) keep the trainer's separation, (b) agree with the float
+    inference path on decisions, and (c) match the DuckDB twin
+    bit-for-bit (the property the float path cannot guarantee)."""
+    import random
+
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.webtext import (
+        freeze_classifier_weights,
+        quality_classifier_frozen,
+        quality_classifier_frozen_sql,
+        quality_classifier_trained,
+        train_quality_classifier,
+    )
+
+    rng = random.Random(7)
+    good_vocab = [f"nice{i}" for i in range(25)]
+    bad_vocab = [f"junk{i}" for i in range(25)]
+
+    def doc(vocab):
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 20)))
+
+    rows = [(i, doc(good_vocab), 1) for i in range(30)] + [
+        (100 + i, doc(bad_vocab), 0) for i in range(30)
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w, b = train_quality_classifier(
+        train, "doc_id", "text", "label", n_buckets=64, epochs=15, lr=4.0
+    )
+    mw, mb = freeze_classifier_weights(w, b)
+    assert len(mw) == 64 and any(v != 0 for v in mw)
+
+    frozen = quality_classifier_frozen(train, "doc_id", "text", mw, mb).collect()
+    keeps = {r["doc_key"]: r["keep"] for r in frozen}
+    acc = sum(1 for i, _t, y in rows if keeps[i] == bool(y)) / len(rows)
+    assert acc >= 0.95, acc
+
+    # quantized decisions track the float path (1e-3 quantization noise
+    # cannot flip a confidently-separated seed set)
+    float_keeps = {
+        r["doc_key"]: r["keep"]
+        for r in quality_classifier_trained(train, "doc_id", "text", w, b).collect()
+    }
+    agree = sum(1 for k in keeps if keeps[k] == float_keeps[k]) / len(keeps)
+    assert agree >= 0.95, agree
+
+    # bit-identical DuckDB twin (logit AND keep)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR, label INT)")
+    con.executemany("INSERT INTO d VALUES (?,?,?)", rows)
+    oracle = {
+        k: (float(lg), bool(kp))
+        for k, lg, kp in con.execute(
+            quality_classifier_frozen_sql("d", "doc_id", "text", mw, mb)
+        ).fetchall()
+    }
+    got = {r["doc_key"]: (float(r["logit"]), bool(r["keep"])) for r in frozen}
+    assert got == oracle
+
+    # the committed driver literals reproduce their recorded separation on
+    # the generator's own seed set (guards against stale frozen weights)
+    import __spark_entry__ as entry
+    from scripts.train_qc_weights import labeled_rows
+
+    seed_df = spark.createDataFrame(
+        labeled_rows(), "doc_id long, text string, label int"
+    )
+    sk = {
+        r["doc_key"]: r["keep"]
+        for r in quality_classifier_frozen(
+            seed_df, "doc_id", "text",
+            entry._QC_TRAINED_MILLI, entry._QC_TRAINED_BIAS_MILLI,
+        ).collect()
+    }
+    sacc = sum(
+        1 for r in seed_df.collect() if sk[r["doc_id"]] == bool(r["label"])
+    ) / seed_df.count()
+    assert sacc >= 0.98, sacc
+
+
 def test_train_quality_classifier_validation(spark):
     import pytest as _pytest
 
