@@ -566,6 +566,7 @@ class SearchEngine:
     # comes from warm_memory_report() — this constant only sizes the
     # head-term selection before the tier exists
     WARM_BYTES_PER_POSTING = 48
+    _VIEW_SEQ = 0  # process-wide warm temp-view namer (rebuilt per tier)
 
     def __init__(
         self,
@@ -758,6 +759,70 @@ class SearchEngine:
             )
             self._warm.count()
         return self._warm
+
+    def _warm_view(self) -> str:
+        """Register the warm tier as a temp view ONCE per tier build and
+        precompile the per-row BM25 contribution as a SQL scalar string.
+
+        Why: profiling (scripts/profile_serving.py, BASELINE.md §Serving
+        latency decomposition) shows ~87 ms of a warm point query's ~160 ms
+        is DataFrame PLAN CONSTRUCTION — dozens of py4j round-trips building
+        Column expressions — before Spark runs anything.  Routing the
+        single-variant point query through ONE ``spark.sql()`` string cuts
+        that to a single round-trip; the parsed plan is the same shape
+        (cached-relation filter → exchange-free hash agg → TakeOrdered), so
+        results are bit-identical (equality-tested against the Column path
+        in test_warm_serving.py).
+
+        Double literals carry the ``D`` suffix (Spark SQL would otherwise
+        parse ``0.75`` as DECIMAL) and ``repr(float)`` round-trips IEEE
+        doubles exactly, so the SQL expression folds to the same constants
+        as the Column version."""
+        w = self.warm_postings()
+        if getattr(self, "_warm_view_df", None) is not w:
+            SearchEngine._VIEW_SEQ += 1
+            name = f"mst_warm_{SearchEngine._VIEW_SEQ}"
+            w.createOrReplaceTempView(name)
+            self._warm_view_df = w
+            self._warm_view_name = name
+            if self._fp:
+                self._warm_s_sql = "s"  # fielded tier pre-merges scores
+            else:
+                k1, b = self.meta.k1, self.meta.b
+                N, avgdl = float(self.meta.n_docs), float(self.meta.avgdl)
+                self._warm_s_sql = (
+                    f"ln(1.0D + ({N!r}D - df + 0.5D) / (df + 0.5D))"
+                    f" * (tf * {k1 + 1.0!r}D)"
+                    f" / (tf + {k1!r}D * ({1.0 - b!r}D + {b!r}D * dl / {avgdl!r}D))"
+                )
+        return self._warm_view_name
+
+    def _warm_point_rows(self, terms: list[str], k: int) -> list:
+        """Single-variant warm point query as ONE spark.sql call (see
+        :meth:`_warm_view`).  Returns the scored top-k rows
+        (doc_id, score, terms_matched) — same columns, same values as the
+        Column-API warm path."""
+        view = self._warm_view()
+        in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+        return self.spark.sql(
+            f"SELECT doc_id, sum({self._warm_s_sql}) AS score,"
+            f" count(1) AS terms_matched"
+            f" FROM {view} WHERE term IN ({in_list})"
+            f" GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+        ).collect()
+
+    def _stats_view(self) -> str:
+        """doc_stats as a temp view (same once-per-binding contract as
+        :meth:`_warm_view`) — the join side of SQL-composed serving paths
+        (query.federation's warm fast path)."""
+        ds = self.doc_stats
+        if getattr(self, "_stats_view_df", None) is not ds:
+            SearchEngine._VIEW_SEQ += 1
+            name = f"mst_stats_{SearchEngine._VIEW_SEQ}"
+            ds.createOrReplaceTempView(name)
+            self._stats_view_df = ds
+            self._stats_view_name = name
+        return self._stats_view_name
 
     def _warm_covers(self, qterms: list[QueryTerm]) -> bool:
         """True iff every query term is resident in the warm tier.
@@ -1641,6 +1706,12 @@ class SearchEngine:
                     attributes_to_retrieve=attributes_to_retrieve,
                 ).collect()
             ]
+        if len(prefixes) == 1 and not required:
+            # the common serving shape (single conjunctive-free variant):
+            # one spark.sql round-trip instead of ~90 ms of py4j Column
+            # construction — identical plan shape and values (_warm_view)
+            rows = self._warm_point_rows([q.term for q in qterms], k)
+            return self._resolve_meta(rows, attributes_to_retrieve)
         scored = self._warm_score_variants(qterms, required)
         if len(prefixes) > 1:
             scored = self._dedup_best_per_doc(scored)

@@ -24,6 +24,84 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _warm_sql_federated(
+    engines: dict,
+    terms: list[str],
+    k: int,
+    weights: dict[str, float],
+    pool_k: int,
+    normalize: bool,
+):
+    """ONE-spark.sql fast path for the federation when every engine's warm
+    tier covers the query.
+
+    Profiling (scripts/profile_serving.py; BASELINE.md §Serving latency
+    decomposition) puts ~80-90 ms of py4j Column construction PER BRANCH in
+    front of the union — the dominant share of the federated-vs-mono
+    constant the round-4 verdict flagged.  Composing all branches as one
+    SQL string (per-branch warm top-k subquery → doc_stats join → UNION ALL
+    → merge) costs a single driver round-trip regardless of branch count;
+    the parsed plan is the same per-branch-pruned union Catalyst built from
+    the Column API, and AQE broadcasts the k-row join sides exactly as
+    before.  Scores come from the warm tier's BM25 sum — value-equal to the
+    compressed kernels (the warm/compressed equality contract,
+    tests/test_warm_serving.py) and identical after the pool's 4-decimal
+    presentation rounding (parity pinned by tests/test_federation.py and
+    the sharded bit-parity suite).
+
+    Returns None when any engine cannot serve the query warm (budget-cold
+    term, disabled cache, attributesToSearchOn restriction) — the caller
+    falls through to the classic per-branch plan, results identical.
+    """
+    from .executor import QueryTerm
+
+    per_engine: dict[str, list[str]] = {}
+    for uid, eng in engines.items():
+        dropped = list(dict.fromkeys(eng._drop_stopwords(terms)))
+        if dropped and not eng._warm_covers([QueryTerm(0, t) for t in dropped]):
+            return None
+        if not eng._warm_enabled:
+            return None
+        per_engine[uid] = dropped
+    spark = next(iter(engines.values())).spark
+
+    branches = []
+    for uid in sorted(engines):
+        eng = engines[uid]
+        w = float(weights.get(uid, 1.0))
+        dropped = per_engine[uid]
+        view = eng._warm_view()
+        stats = eng._stats_view()
+        if dropped:
+            in_list = ", ".join(
+                "'" + t.replace("'", "''") + "'" for t in sorted(set(dropped))
+            )
+            where = f"term IN ({in_list})"
+        else:
+            where = "FALSE"  # stop-worded-away query: empty branch, shape kept
+        branches.append(
+            f"SELECT '{uid}' AS index_uid, d.url AS url, t.doc_id AS doc_id,"
+            f" round(t.score, 4) AS score, {w!r}D AS _w"
+            f" FROM (SELECT doc_id, sum({eng._warm_s_sql}) AS score"
+            f"       FROM {view} WHERE {where}"
+            f"       GROUP BY doc_id ORDER BY score DESC, doc_id ASC"
+            f"       LIMIT {int(pool_k)}) t"
+            f" JOIN {stats} d ON d.doc_id = t.doc_id"
+        )
+    pooled = " UNION ALL ".join(f"({b})" for b in branches)
+    if normalize:
+        fed = "round(_w * score / max(score) OVER (PARTITION BY index_uid), 4)"
+        order = "federated_score DESC, index_uid ASC, doc_id ASC"
+    else:
+        fed = "round(_w * score, 4)"
+        order = "federated_score DESC, doc_id ASC, index_uid ASC"
+    return spark.sql(
+        f"SELECT index_uid, url, doc_id, score, {fed} AS federated_score"
+        f" FROM ({pooled})"
+        f" ORDER BY {order} LIMIT {int(k)}"
+    )
+
+
 def federated_search(
     engines: dict,
     terms: list[str],
@@ -59,6 +137,9 @@ def federated_search(
     if bad:
         raise ValueError(f"weights name unknown indexes {bad}")
     pool_k = pool_k or k
+    fast = _warm_sql_federated(engines, terms, k, weights, pool_k, normalize)
+    if fast is not None:
+        return fast
     # Per-branch url resolution (search_terms' broadcast join) is the FASTER
     # shape here, measured: a pooled single-join alternative (bare
     # scored_topk branches + one broadcast join against uid-tagged unioned
