@@ -221,6 +221,10 @@ def main() -> None:
         "weburl_frontier",
         "x1_batch_search",
         "x21_search_after",
+        # round 5: frozen trained-weights quality filter (registry position
+        # 101 — outside the 50-slot driver gate by the rotation ledger, so
+        # this timing is its per-round execution signal)
+        "quality_classifier_trained",
     ]
     for name in names[6:]:
         qs[name](spark, SF_DIR).collect()  # untimed: builds the memoized index

@@ -69,6 +69,34 @@ def test_warm_single_variant_plan_is_query_invariant(warm_engine):
     assert shape(["เทคโนโลยี", "อาหาร"]) == shape(["อาหารไทย", "โรงเรียน"])
 
 
+def test_warm_sql_point_path_same_plan_and_values(warm_engine):
+    """Round 5: the one-spark.sql point path (_warm_point_rows) must parse
+    to the SAME plan shape as the Column path — no Python, no Exchange in
+    the query part, TakeOrdered cut — and return the identical rows."""
+    terms = ["เทคโนโลยี", "อาหาร"]
+    view = warm_engine._warm_view()
+    in_list = ", ".join(f"'{t}'" for t in sorted(terms))
+    df = warm_engine.spark.sql(
+        f"SELECT doc_id, sum({warm_engine._warm_s_sql}) AS score,"
+        f" count(1) AS terms_matched FROM {view} WHERE term IN ({in_list})"
+        f" GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10"
+    )
+    df.collect()
+    query_part = _final_plan(df).split("InMemoryRelation")[0]
+    assert "MapInPandas" not in query_part
+    assert "Exchange" not in query_part
+    assert "TakeOrderedAndProject" in _final_plan(df)
+    # value identity vs the Column-API warm path, bit for bit
+    fast = warm_engine._warm_point_rows(terms, 10)
+    scored = warm_engine._warm_score_variants(
+        [QueryTerm(0, t) for t in terms], None
+    ).drop("variant_id")
+    slow = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+    assert [(r["doc_id"], r["score"], r["terms_matched"]) for r in fast] == [
+        (r["doc_id"], r["score"], r["terms_matched"]) for r in slow
+    ]
+
+
 def test_cold_scan_pushes_term_filter(spark, warm_engine):
     cold = SearchEngine(spark, warm_engine.index_dir, cache_postings=False)
     blocks = cold.candidate_blocks([QueryTerm(0, "เทคโนโลยี")])
