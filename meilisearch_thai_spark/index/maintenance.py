@@ -957,3 +957,104 @@ def list_indexes(root_dir: str) -> list[dict]:
             state = "staging"
         out.append({"uid": name, "path": d, "n_docs": n_docs, "state": state})
     return out
+
+
+def list_tasks(index_dir: str, limit: int = 100) -> list[dict]:
+    """MeiliSearch ``GET /tasks`` analogue over this layout's durable
+    records (reference deployments poll task status after every write —
+    client.py ``wait_for_task``).  This engine's writes are synchronous,
+    so every completed mutation surfaces as a ``succeeded`` task derived
+    from its lineage artifact, and in-flight/interrupted multi-step
+    operations (compaction, swap) surface as ``processing`` from their
+    crash-loud markers.  Driver-side fs walk only — no Spark jobs, cheap
+    to poll like :func:`list_indexes`.
+
+    Task types mapped: documentAdditionOrUpdate (ingest batches; partial
+    updates carry their n_retokenized/n_metadata_only split),
+    indexBuildShard (resumable-build shard commits), documentDeletion
+    (tombstone files), indexCompaction / indexSwap (marker-derived,
+    ``processing`` = interrupted or live), indexFinalize (meta.json).
+    Newest first, capped at ``limit``.
+    """
+    tasks: list[dict] = []
+    ldir = os.path.join(index_dir, "lineage")
+    if os.path.isdir(ldir):
+        for fn in sorted(os.listdir(ldir)):
+            if not fn.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(ldir, fn)) as fh:
+                    rec = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            if fn == "deleted.json":
+                # staged-layout deletion registry (urls pinned against
+                # finalize resurrection)
+                n = len(rec) if isinstance(rec, (list, dict)) else 0
+                tasks.append({
+                    "type": "documentDeletion", "status": "succeeded",
+                    "details": {"registeredUrls": n},
+                    "finished_at": os.path.getmtime(os.path.join(ldir, fn)),
+                })
+                continue
+            if fn.startswith("shard-"):
+                ttype = "indexBuildShard"
+            elif rec.get("kind") == "update":
+                ttype = "documentPartialUpdate"
+            else:
+                ttype = "documentAdditionOrUpdate"
+            details = {
+                k: rec[k]
+                for k in (
+                    "batch_id", "shard", "batch_n_docs", "batch_n_tokens",
+                    "batch_n_postings", "n_retokenized", "n_metadata_only",
+                    "wall_sec",
+                )
+                if k in rec
+            }
+            tasks.append({
+                "type": ttype, "status": "succeeded", "details": details,
+                "finished_at": rec.get("ts"),
+            })
+    tdir = os.path.join(index_dir, TOMBSTONES)
+    if os.path.isdir(tdir):
+        # tombstones are appended parquet files — one delete call per file
+        # (coalesce(1) writes); row count via parquet footer metadata only
+        import pyarrow.parquet as pq
+
+        for fn in sorted(os.listdir(tdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(tdir, fn)
+            try:
+                n = pq.ParquetFile(fp).metadata.num_rows
+            except Exception:
+                continue
+            tasks.append({
+                "type": "documentDeletion", "status": "succeeded",
+                "details": {"deletedUrls": int(n)},
+                "finished_at": os.path.getmtime(fp),
+            })
+    if os.path.exists(os.path.join(index_dir, "_COMPACTING")):
+        tasks.append({
+            "type": "indexCompaction", "status": "processing",
+            "details": {"marker": "_COMPACTING"},
+            "finished_at": os.path.getmtime(os.path.join(index_dir, "_COMPACTING")),
+        })
+    for marker, ttype in ((".swapping", "indexSwap"), (".swap_tmp", "indexSwap")):
+        if os.path.exists(index_dir + marker):
+            tasks.append({
+                "type": ttype, "status": "processing",
+                "details": {"marker": marker},
+                "finished_at": os.path.getmtime(index_dir + marker),
+            })
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        tasks.append({
+            "type": "indexFinalize", "status": "succeeded", "details": {},
+            "finished_at": os.path.getmtime(meta_path),
+        })
+    tasks.sort(key=lambda t: (t["finished_at"] or 0), reverse=True)
+    for uid, t in enumerate(tasks):
+        t["uid"] = len(tasks) - 1 - uid  # oldest = 0, like MeiliSearch
+    return tasks[:limit]

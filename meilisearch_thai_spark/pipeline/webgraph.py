@@ -380,6 +380,8 @@ def frontier(
     ranks: DataFrame,
     per_host_cap: int = 3,
     url_col: str = "url",
+    crawl_delays: DataFrame | None = None,
+    cycle_sec: float = 60.0,
 ) -> DataFrame:
     """Crawl-frontier generation: which discovered-but-unfetched urls to
     crawl next, honoring per-host politeness.
@@ -404,6 +406,15 @@ def frontier(
 
     Returns (host, url, rank_units, n_refs, slot), slot = 1..cap in
     (n_refs DESC, url ASC) order within the host.
+
+    ``crawl_delays`` (optional, from
+    :func:`~.weburl.parse_crawl_delay`: (host, crawl_delay_sec)) refines
+    the politeness cap per host: a host declaring Crawl-delay gets at most
+    ``floor(cycle_sec / delay)`` slots this cycle (0 is legitimate — a
+    delay longer than the cycle skips the host), still bounded above by
+    ``per_host_cap``.  The delay table is hosts-bounded and joins
+    broadcast-style; hosts without a declared delay keep the flat cap, so
+    the default plan (``crawl_delays=None``) is byte-identical to before.
     """
     cand = links.groupBy(F.col("link").alias("url")).agg(
         F.countDistinct("doc_key").alias("n_refs")
@@ -421,8 +432,24 @@ def frontier(
         )
     )
     w = Window.partitionBy("host").orderBy(F.desc("n_refs"), F.asc("url"))
-    return scored.withColumn("slot", F.row_number().over(w)).filter(
-        F.col("slot") <= per_host_cap
+    slotted = scored.withColumn("slot", F.row_number().over(w))
+    if crawl_delays is None:
+        return slotted.filter(F.col("slot") <= per_host_cap)
+    cap = F.least(
+        F.lit(per_host_cap),
+        F.coalesce(
+            F.floor(F.lit(float(cycle_sec)) / F.col("crawl_delay_sec")).cast("int"),
+            F.lit(per_host_cap),
+        ),
+    )
+    return (
+        slotted.join(
+            F.broadcast(crawl_delays.select("host", "crawl_delay_sec")),
+            "host",
+            "left",
+        )
+        .filter(F.col("slot") <= cap)
+        .drop("crawl_delay_sec")
     )
 
 
@@ -432,6 +459,8 @@ def frontier_sql(
     ranks_sql: str,
     per_host_cap: int = 3,
     url_col: str = "url",
+    crawl_delays_sql: str | None = None,
+    cycle_sec: float = 60.0,
 ) -> str:
     """DuckDB twin of :func:`frontier` (same candidate collapse, anti-join,
     rank join, and per-host window)."""
@@ -455,5 +484,9 @@ SELECT host, url, rank_units, n_refs, slot FROM (
       SELECT 1 FROM ({crawled_sql}) w WHERE w.{url_col} = c.url
     )
   ) WHERE host <> ''
-) WHERE slot <= {per_host_cap}
+) f
+{f'''LEFT JOIN ({crawl_delays_sql}) cd USING (host)
+WHERE slot <= LEAST({per_host_cap},
+                    COALESCE(CAST(FLOOR({cycle_sec!r} / cd.crawl_delay_sec) AS INT),
+                             {per_host_cap}))''' if crawl_delays_sql else f'WHERE slot <= {per_host_cap}'}
 """

@@ -348,6 +348,117 @@ WHERE NOT b.is_ua AND b.value <> ''
 """
 
 
+def parse_crawl_delay(
+    robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """robots.txt bodies → ``(host, crawl_delay_sec)``: the ``User-agent:
+    *`` group's ``Crawl-delay`` directive (the de-facto politeness
+    extension Bing/Yandex honor; not part of RFC 9309, which is why it is
+    a sibling of :func:`parse_robots` rather than a new rule kind — the
+    Allow/Disallow gate's plan and its driver-gated oracle stay
+    byte-identical).
+
+    Same per-host block-window construction as :func:`parse_robots`
+    (hosts-bounded, never corpus-bounded).  Non-numeric values drop; a
+    host declaring several applicable delays keeps the MOST CONSERVATIVE
+    (maximum).  Hosts without the directive are absent — the crawler's
+    default applies.  Feeds :func:`~..webgraph.frontier`'s
+    ``crawl_delays`` politeness refinement.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("pos")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    lines = (
+        robots.select(
+            F.lower(F.col(host_col)).alias("host"),
+            F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"),
+        )
+        .withColumn("line", F.trim(F.regexp_replace("raw", "#.*$", "")))
+        .withColumn(
+            "key", F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1))
+        )
+        .withColumn("value", F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)))
+        .filter(F.col("key").isin("user-agent", "crawl-delay"))
+    )
+    lines = (
+        lines.withColumn("is_ua", F.col("key") == "user-agent")
+        .withColumn(
+            "block_start",
+            F.last(
+                F.when(
+                    F.col("is_ua")
+                    & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
+                    F.col("pos"),
+                ),
+                ignorenulls=True,
+            ).over(cum),
+        )
+        .filter(F.col("block_start").isNotNull())
+    )
+    star_blocks = (
+        lines.filter(F.col("is_ua") & (F.col("value") == "*"))
+        .select("host", "block_start")
+        .distinct()
+    )
+    return (
+        lines.filter(~F.col("is_ua"))
+        .join(star_blocks, ["host", "block_start"])
+        .withColumn("delay", F.col("value").try_cast("double"))  # ANSI: junk → NULL, not throw
+        .filter(F.col("delay").isNotNull() & (F.col("delay") >= 0))
+        .groupBy("host")
+        .agg(F.max("delay").alias("crawl_delay_sec"))
+    )
+
+
+def parse_crawl_delay_sql(
+    robots_sql: str, host_col: str = "host", body_col: str = "robots_txt"
+) -> str:
+    """DuckDB twin of :func:`parse_crawl_delay`."""
+    return f"""
+WITH r0 AS ({robots_sql}),
+lines0 AS (
+  SELECT lower({host_col}) AS host,
+         generate_subscripts(string_split({body_col}, chr(10)), 1) AS pos,
+         unnest(string_split({body_col}, chr(10))) AS raw
+  FROM r0
+),
+lines2 AS (
+  SELECT host, pos,
+         lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS key,
+         trim(regexp_extract(line, '^[A-Za-z-]+\\s*:(.*)$', 1)) AS value
+  FROM (SELECT host, pos, trim(regexp_replace(raw, '#.*$', '')) AS line
+        FROM lines0)
+  WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+        IN ('user-agent', 'crawl-delay')
+),
+marked AS (
+  SELECT *, (key = 'user-agent') AS is_ua,
+         (key = 'user-agent' AND NOT COALESCE(
+            lag(key = 'user-agent') OVER (PARTITION BY host ORDER BY pos),
+            FALSE)) AS is_block_start
+  FROM lines2
+),
+blocked AS (
+  SELECT *, last_value(CASE WHEN is_block_start THEN pos END IGNORE NULLS)
+              OVER (PARTITION BY host ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block_start
+  FROM marked
+),
+star AS (
+  SELECT DISTINCT host, block_start FROM blocked
+  WHERE is_ua AND value = '*' AND block_start IS NOT NULL
+)
+SELECT host, MAX(delay) AS crawl_delay_sec FROM (
+  SELECT b.host, TRY_CAST(b.value AS DOUBLE) AS delay
+  FROM blocked b JOIN star USING (host, block_start)
+  WHERE NOT b.is_ua
+)
+WHERE delay IS NOT NULL AND delay >= 0
+GROUP BY host
+"""
+
+
 def apply_robots(
     urls: DataFrame, id_col: str, url_col: str, robots: DataFrame
 ) -> DataFrame:

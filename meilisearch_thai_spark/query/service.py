@@ -637,6 +637,81 @@ class SearchService:
                 out.append(w)
         return " ".join(out) if changed else None
 
+    # ------------------------------------------------ config management
+    # (reference src/api/endpoints/config.py:389-535 dictionary family and
+    # config_management.py:255-337 hot reload — the service owns the live
+    # engine, so these compose settings updates with the refresh the
+    # reference's endpoints perform implicitly)
+
+    def update_dictionary(self, add=None, remove=None) -> dict:
+        """Add/remove runtime custom-dictionary words and hot-apply them to
+        THIS service's live engine (query tokenization picks the words up
+        on the very next search).  Returns the reference-shaped report:
+        the overlay plus the documents-stale flag (postings keep their
+        build-time tokenization until :meth:`reprocess_documents`)."""
+        from ..index.health import reload_status
+        from ..index.settings import update_dictionary as _upd
+
+        meta = _upd(self.engine.index_dir, add=add, remove=remove)
+        self.engine.refresh_index()
+        rs = reload_status(self.engine)
+        return {
+            "custom_dictionary": list(meta.custom_dictionary or []),
+            "documents_stale": rs["documents_stale"],
+        }
+
+    def get_custom_dictionary(self) -> list[str]:
+        from ..index.settings import get_custom_dictionary as _get
+
+        return _get(self.engine.index_dir)
+
+    def reprocess_documents(self, pages) -> dict:
+        """Route documents through the add_documents retokenize path (e.g.
+        after a dictionary update) and rebind the live engine."""
+        from ..index.settings import reprocess_documents as _re
+
+        meta = _re(self.engine.spark, pages, self.engine.index_dir)
+        self.engine.refresh_index()
+        return {"numberOfDocuments": meta.n_docs}
+
+    def reload_status(self) -> dict:
+        """Reference ``get_hot_reload_status`` for this service's engine."""
+        from ..index.health import reload_status as _rs
+
+        return _rs(self.engine)
+
+    def reload(self) -> dict:
+        """Reference ``trigger_reload``: refresh from disk, return status."""
+        from ..index.health import trigger_reload as _tr
+
+        return _tr(self.engine)
+
+    def health(self, with_stats: bool = False) -> dict:
+        """Reference health probes scoped to this service's index: Spark
+        liveness + this engine's reload staleness + warm-tier memory, and
+        (opt-in) the exchange-free document stats."""
+        import os as _os
+
+        from ..index.health import health_report
+
+        root = _os.path.dirname(_os.path.abspath(self.engine.index_dir)) or "."
+        uid = _os.path.basename(_os.path.abspath(self.engine.index_dir))
+        rep = health_report(
+            self.engine.spark, root, engines={uid: self.engine},
+            with_stats=with_stats,
+        )
+        # scope the multi-index listing to THIS service's index
+        rep["indexes"] = [i for i in rep["indexes"] if i["uid"] == uid]
+        rep["unavailable_indexes"] = [
+            u for u in rep["unavailable_indexes"] if u == uid
+        ]
+        rep["stats"] = {u: s for u, s in rep["stats"].items() if u == uid}
+        recheck = rep["spark"]["alive"] and not rep["unavailable_indexes"] and not any(
+            e["reload"]["stale"] for e in rep["engines"].values()
+        )
+        rep["status"] = "available" if recheck else "degraded"
+        return rep
+
     def export_metrics(self, spark: SparkSession):
         """S6: metrics DataFrame for the run (write with .write.json/parquet)."""
         from .enhancer import query_metrics_frame

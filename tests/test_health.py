@@ -99,3 +99,46 @@ def test_degraded_on_unservable_index(spark, root, tmp_path):
     rep = health_report(spark, root2)
     assert rep["status"] == "degraded"
     assert rep["unavailable_indexes"] == ["idxA"]
+
+
+def test_service_level_dictionary_and_health(spark, tmp_path):
+    """Service facade composes the round-5 surfaces the way the reference
+    endpoints do: update_dictionary hot-applies to the live engine,
+    health()/reload_status() report scoped status, reprocess closes the
+    documents-stale gap."""
+    import datetime
+
+    from meilisearch_thai_spark.query.service import SearchService
+    from meilisearch_thai_spark.streaming.ingest import add_documents
+    from meilisearch_thai_spark.tokenizer import tokenize_for_index
+
+    WORD = "ควอนตัมคอมพิวเตอร์"
+    ts = datetime.datetime(2026, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("https://s.ex/1", f"งานวิจัย{WORD}ล่าสุด", "th", ts, None),
+            ("https://s.ex/2", "ร้านอาหารไทย", "th", ts, None),
+        ],
+        "url string, text string, lang string, warc_ts timestamp, html binary",
+    )
+    idx = str(tmp_path / "svcidx")
+    add_documents(spark, pages, idx, n_shards=2)
+    svc = SearchService(spark, idx)
+    assert svc.health()["status"] == "available"
+    assert svc.get_custom_dictionary() == []
+
+    rep = svc.update_dictionary(add=[WORD])
+    assert rep["custom_dictionary"] == [WORD]
+    assert rep["documents_stale"] is True  # postings predate the word
+    assert tokenize_for_index(WORD) == [WORD]  # hot-applied
+    assert svc.reload_status()["stale"] is False  # update_dictionary refreshed
+    assert svc.health()["status"] == "available"
+
+    out = svc.reprocess_documents(pages.filter(pages.text.contains(WORD)))
+    assert out["numberOfDocuments"] == 2
+    assert svc.reload_status()["documents_stale"] is False
+    r = svc.search(WORD, limit=5)
+    assert [h.url for h in r.hits] == ["https://s.ex/1"]
+
+    svc.update_dictionary(remove=[WORD])
+    assert svc.get_custom_dictionary() == []

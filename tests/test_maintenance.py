@@ -447,3 +447,52 @@ def test_delete_by_filter_rejects_empty_and_unpublished_staged(spark, tmp_path):
     n_en = pages.filter("lang = 'en'").count()
     assert delete_by_filter(spark, out, {"lang": {"$eq": "en"}}) == n_en
     pages.unpersist()
+
+
+def test_list_tasks_over_lineage_and_markers(spark, tmp_path):
+    """MeiliSearch GET /tasks analogue: every durable mutation surfaces as
+    a succeeded task, in-flight markers as processing, newest first."""
+    import datetime
+    import os as _os
+
+    from meilisearch_thai_spark.index.maintenance import delete_docs, list_tasks
+    from meilisearch_thai_spark.streaming.ingest import add_documents, update_documents
+
+    ts = datetime.datetime(2026, 1, 1)
+    pages = spark.createDataFrame(
+        [(f"https://t.ex/{i}", f"merge join doc {i}", "en", ts, None) for i in range(6)],
+        "url string, text string, lang string, warc_ts timestamp, html binary",
+    )
+    idx = str(tmp_path / "tasksidx")
+    add_documents(spark, pages, idx, n_shards=2)
+    update_documents(
+        spark,
+        spark.createDataFrame(
+            [("https://t.ex/0", "patched text merge", None)],
+            "url string, text string, lang string",
+        ),
+        idx,
+    )
+    delete_docs(spark, idx, ["https://t.ex/5"])
+
+    tasks = list_tasks(idx)
+    types = [t["type"] for t in tasks]
+    assert "documentAdditionOrUpdate" in types
+    assert "documentPartialUpdate" in types
+    assert "documentDeletion" in types
+    assert "indexFinalize" in types
+    assert all(t["status"] == "succeeded" for t in tasks)
+    # uid 0 = oldest; list returned newest-first
+    assert tasks[-1]["uid"] == 0
+    assert [t["uid"] for t in tasks] == sorted(
+        (t["uid"] for t in tasks), reverse=True
+    )
+    upd = next(t for t in tasks if t["type"] == "documentPartialUpdate")
+    assert upd["details"]["n_retokenized"] == 1
+
+    # an interrupted compaction surfaces as processing
+    open(_os.path.join(idx, "_COMPACTING"), "w").close()
+    tasks2 = list_tasks(idx)
+    comp = next(t for t in tasks2 if t["type"] == "indexCompaction")
+    assert comp["status"] == "processing"
+    _os.remove(_os.path.join(idx, "_COMPACTING"))

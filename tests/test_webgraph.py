@@ -366,3 +366,53 @@ def test_keep_best_randomized_batch_parity(spark, seed):
     assert len(a) == len(b) > 0
     for c in ["component", "kept_key", "kept_len", "n_members"]:
         assert list(a[c]) == list(b[c]), f"seed={seed} col={c}"
+
+
+def test_frontier_crawl_delay_caps_and_parity(spark):
+    """Crawl-delay refinement: declared delays shrink a host's cycle cap
+    (floor(cycle/delay), 0 = skip this cycle), undeclared hosts keep the
+    flat cap; default plan unchanged; DuckDB twin agrees."""
+    import duckdb
+
+    links = spark.createDataFrame(
+        [(f"p{i}", f"https://{h}.ex.com/u{i}") for h in ("a", "b", "c")
+         for i in range(4)],
+        ["doc_key", "link"],
+    )
+    crawled = spark.createDataFrame([("https://a.ex.com/u999",)], ["url"])
+    ranks = spark.createDataFrame([("a.ex.com", 100)], "host string, rank_units long")
+    delays = spark.createDataFrame(
+        [("a.ex.com", 30.0), ("b.ex.com", 120.0)],  # cycle 60 → caps 2, 0
+        "host string, crawl_delay_sec double",
+    )
+    base = wg.frontier(crawled, links, ranks, per_host_cap=3)
+    per_host = {h: 0 for h in ("a.ex.com", "b.ex.com", "c.ex.com")}
+    for r in base.collect():
+        per_host[r["host"]] += 1
+    assert per_host == {"a.ex.com": 3, "b.ex.com": 3, "c.ex.com": 3}
+
+    capped = wg.frontier(
+        crawled, links, ranks, per_host_cap=3, crawl_delays=delays, cycle_sec=60.0
+    )
+    got = sorted((r["host"], r["url"], r["slot"]) for r in capped.collect())
+    per_host = {}
+    for h, _u, _s in got:
+        per_host[h] = per_host.get(h, 0) + 1
+    assert per_host == {"a.ex.com": 2, "c.ex.com": 3}  # b skipped this cycle
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE links(doc_key VARCHAR, link VARCHAR)")
+    con.executemany("INSERT INTO links VALUES (?,?)",
+                    [(r["doc_key"], r["link"]) for r in links.collect()])
+    con.execute("CREATE TABLE crawled(url VARCHAR)")
+    con.execute("INSERT INTO crawled VALUES ('https://a.ex.com/u999')")
+    con.execute("CREATE TABLE ranks(host VARCHAR, rank_units BIGINT)")
+    con.execute("INSERT INTO ranks VALUES ('a.ex.com', 100)")
+    con.execute("CREATE TABLE delays(host VARCHAR, crawl_delay_sec DOUBLE)")
+    con.execute("INSERT INTO delays VALUES ('a.ex.com', 30.0), ('b.ex.com', 120.0)")
+    sql = wg.frontier_sql(
+        "SELECT * FROM crawled", "SELECT * FROM links", "SELECT * FROM ranks",
+        per_host_cap=3, crawl_delays_sql="SELECT * FROM delays", cycle_sec=60.0,
+    )
+    oracle = sorted((h, u, s) for h, u, _ru, _n, s in con.execute(sql).fetchall())
+    assert got == oracle

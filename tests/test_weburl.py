@@ -428,3 +428,39 @@ def test_parse_sitemaps_fields_and_parity(spark):
         for _, r in b.iterrows()
     )
     assert got_b == got
+
+
+def test_parse_crawl_delay_star_group_and_parity(spark):
+    """Crawl-delay: star-group resolution, conservative max, junk dropped,
+    DuckDB twin parity."""
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.weburl import (
+        parse_crawl_delay,
+        parse_crawl_delay_sql,
+    )
+
+    rows = [
+        # star group with delay; a second star group declares a bigger one
+        ("A.example.com", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"
+                          "User-agent: *\nCrawl-delay: 10.5\n"),
+        # delay only in a non-star group → host absent
+        ("b.example.com", "User-agent: googlebot\nCrawl-delay: 7\n"
+                          "User-agent: *\nDisallow: /\n"),
+        # junk value and negative dropped; comment stripped
+        ("c.example.com", "User-agent: *\nCrawl-delay: soon # tomorrow\n"
+                          "Crawl-delay: -3\n"),
+        # multi-UA block containing star
+        ("d.example.com", "User-agent: bingbot\nUser-agent: *\nCrawl-delay: 1.5\n"),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = {r["host"]: r["crawl_delay_sec"] for r in parse_crawl_delay(df).collect()}
+    assert got == {"a.example.com": 10.5, "d.example.com": 1.5}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE robots(host VARCHAR, robots_txt VARCHAR)")
+    con.executemany("INSERT INTO robots VALUES (?,?)", rows)
+    oracle = dict(con.execute(
+        parse_crawl_delay_sql("SELECT * FROM robots")
+    ).fetchall())
+    assert got == oracle
