@@ -209,6 +209,98 @@ FROM stacked_n a JOIN stacked_s b ON a.bucket = b.bucket
 """
 
 
+def verify_candidate_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN candidate-pair table — the
+    precision filter production pipelines (Gopher, FineWeb) run after the
+    MinHash-LSH recall stage: LSH banding admits false positives by
+    design, and keeping them would over-delete.
+
+    Shape: pairs ⋈ per-doc shingle ARRAYS on each side (two hash joins
+    bounded by |pairs|, which LSH already made near-linear), then the
+    intersection is a per-row ``array_intersect`` fold — no shingle
+    self-join, no re-expansion to co-occurrence scale.  Shingle arrays are
+    text-sized, so the join payload is ~2× corpus bytes ACROSS THE PAIR
+    SET only; at 100 TB pre-bucket both sides by doc key so the pair join
+    co-locates without a full text shuffle.
+
+    Returns (left_key, right_key, jaccard, is_dup) for EVERY input pair
+    (the caller keeps/filters; a verification stage must report what it
+    rejected).  ``jaccard`` rounds to 4 decimals like
+    :func:`ngram_jaccard_pairs` — the DuckDB twin matches exactly.
+    """
+    sh = _spread(docs).select(
+        F.col(id_col).alias("doc_key"),
+        F.array_distinct(_shingles(text_col, n)).alias("shset"),
+    )
+    p = pairs.select("left_key", "right_key")
+    la, rb = sh.alias("la"), sh.alias("rb")
+    joined = (
+        p.join(la, F.col("left_key") == F.col("la.doc_key"))
+        .join(rb, F.col("right_key") == F.col("rb.doc_key"))
+        .select(
+            "left_key",
+            "right_key",
+            F.size(F.array_intersect("la.shset", "rb.shset")).alias("inter"),
+            F.size("la.shset").alias("sa"),
+            F.size("rb.shset").alias("sb"),
+        )
+    )
+    jac = F.round(
+        F.col("inter")
+        / F.greatest(F.col("sa") + F.col("sb") - F.col("inter"), F.lit(1)),
+        4,
+    )
+    return joined.select(
+        "left_key",
+        "right_key",
+        jac.alias("jaccard"),
+        (jac >= F.lit(float(threshold))).alias("is_dup"),
+    )
+
+
+def verify_candidate_pairs_sql(
+    table: str,
+    pairs_sql: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`verify_candidate_pairs` (list_distinct +
+    list_intersect per pair)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_key, string_split({text_col}, ' ') AS t FROM {table}
+),
+sh AS (
+  SELECT doc_key,
+         list_distinct(list_transform(
+             range(1, greatest(len(t) - {n - 1}, 1) + 1),
+             i -> array_to_string(t[i : i + {n - 1}], ' '))) AS shset
+  FROM toks
+),
+j AS (
+  SELECT p.left_key, p.right_key,
+         len(list_intersect(a.shset, b.shset)) AS inter,
+         len(a.shset) AS sa, len(b.shset) AS sb
+  FROM ({pairs_sql}) p
+  JOIN sh a ON p.left_key = a.doc_key
+  JOIN sh b ON p.right_key = b.doc_key
+)
+SELECT left_key, right_key,
+       ROUND(inter / greatest(sa + sb - inter, 1), 4) AS jaccard,
+       ROUND(inter / greatest(sa + sb - inter, 1), 4) >= {float(threshold)} AS is_dup
+FROM j
+"""
+
+
 def simhash64(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over word unigrams, md5-derived bit planes.
 

@@ -572,6 +572,7 @@ FROM best
 _SITEMAP_URL_BLOCK_RE = r"(?is)<url>.*?</url>"
 _SITEMAP_LOC_RE = r"(?is)<loc>\s*([^<]*?)\s*</loc>"
 _SITEMAP_LASTMOD_RE = r"(?is)<lastmod>\s*([^<]*?)\s*</lastmod>"
+_SITEMAP_INDEX_BLOCK_RE = r"(?is)<sitemap>.*?</sitemap>"
 
 
 def parse_sitemaps(sitemaps: DataFrame, host_col: str, xml_col: str) -> DataFrame:
@@ -617,6 +618,65 @@ def parse_sitemaps(sitemaps: DataFrame, host_col: str, xml_col: str) -> DataFram
         )
         .filter(F.col("url") != "")
     )
+
+
+def parse_sitemap_index(
+    sitemaps: DataFrame, host_col: str, xml_col: str
+) -> DataFrame:
+    """Sitemap INDEX files (`<sitemapindex>` — sitemaps.org nesting: a site
+    over 50k urls must shard into child sitemaps and declare them in an
+    index) → one row per child sitemap: (host, sitemap_url, lastmod).
+
+    The recursion driver for sitemap discovery: fetch robots.txt's Sitemap
+    line → if the body is an index, this yields the child sitemap urls to
+    fetch → :func:`parse_sitemaps` parses the leaves.  A document can be
+    both (malformed reality): ``<sitemap>`` blocks parse here, ``<url>``
+    blocks parse there — run both and union.  Same per-block extraction
+    and entity/lastmod semantics as :func:`parse_sitemaps`; hosts-bounded,
+    pure codegen.
+    """
+    from .webtext import _decode_entities
+
+    blocks = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(xml_col), F.lit("")),
+                F.lit(_SITEMAP_INDEX_BLOCK_RE),
+                0,
+            )
+        ).alias("block"),
+    )
+    return (
+        blocks.select(
+            "host",
+            _decode_entities(
+                F.regexp_extract("block", _SITEMAP_LOC_RE, 1)
+            ).alias("sitemap_url"),
+            F.try_to_timestamp(
+                F.regexp_extract("block", _SITEMAP_LASTMOD_RE, 1)
+            ).alias("lastmod"),
+        )
+        .filter(F.col("sitemap_url") != "")
+    )
+
+
+def parse_sitemap_index_sql(sitemaps_sql: str, host_col: str, xml_col: str) -> str:
+    """DuckDB twin of :func:`parse_sitemap_index`."""
+    from .webtext import _decode_entities_sql
+
+    loc = f"regexp_extract(block, '{_SITEMAP_LOC_RE}', 1)"
+    return f"""
+SELECT host,
+       {_decode_entities_sql(loc)} AS sitemap_url,
+       TRY_CAST(regexp_extract(block, '{_SITEMAP_LASTMOD_RE}', 1) AS TIMESTAMP) AS lastmod
+FROM (
+  SELECT {host_col} AS host,
+         unnest(regexp_extract_all(COALESCE({xml_col}, ''), '{_SITEMAP_INDEX_BLOCK_RE}', 0)) AS block
+  FROM ({sitemaps_sql})
+)
+WHERE {loc} <> ''
+"""
 
 
 def parse_sitemaps_sql(sitemaps_sql: str, host_col: str, xml_col: str) -> str:

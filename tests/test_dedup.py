@@ -492,3 +492,55 @@ def test_shuffle_assign_deterministic_balanced_duckdb_parity(spark, sf_dir):
     # intra-shard order is the md5 order, not the id order (it shuffles)
     s0 = pa[pa["shard"] == 0].sort_values("shuffle_key")["doc_id"].tolist()
     assert s0 != sorted(s0)
+
+
+def test_verify_candidate_pairs_precision_filter(spark):
+    """The LSH→exact verification stage (FineWeb/Gopher precision filter):
+    every input pair gets an exact Jaccard verdict, near-dups confirmed,
+    LSH false positives rejected; DuckDB twin bit-matches."""
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        verify_candidate_pairs,
+        verify_candidate_pairs_sql,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " tonight"),            # near-dup of 1
+        (3, "completely different words about spark sql engines and joins"),
+        (4, base.replace("quick", "rapid")),  # near-dup of 1/2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_candidates(docs, "doc_id", "text")
+    # add a known FALSE candidate pair to prove rejection is reported
+    fake = spark.createDataFrame([(1, 3)], "left_key long, right_key long")
+    allp = pairs.select("left_key", "right_key").unionByName(fake).distinct()
+
+    out = verify_candidate_pairs(docs, allp, "doc_id", "text", threshold=0.5)
+    got = {(r["left_key"], r["right_key"]): (r["jaccard"], r["is_dup"])
+           for r in out.collect()}
+    assert got[(1, 3)][1] is False          # false positive rejected
+    assert got[(1, 2)][1] is True           # near-dup confirmed
+    assert all(0.0 <= j <= 1.0 for j, _ in got.values())
+    # every input pair verdicted — nothing silently dropped
+    assert len(got) == allp.count()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?,?)", rows)
+    con.execute("CREATE TABLE p(left_key BIGINT, right_key BIGINT)")
+    con.executemany(
+        "INSERT INTO p VALUES (?,?)",
+        [(a, b) for a, b in (r[:2] for r in allp.collect())],
+    )
+    oracle = {
+        (lk, rk): (float(j), bool(d))
+        for lk, rk, j, d in con.execute(
+            verify_candidate_pairs_sql("d", "SELECT * FROM p", "doc_id", "text",
+                                       threshold=0.5)
+        ).fetchall()
+    }
+    assert {k: (float(v[0]), bool(v[1])) for k, v in got.items()} == oracle

@@ -464,3 +464,57 @@ def test_parse_crawl_delay_star_group_and_parity(spark):
         parse_crawl_delay_sql("SELECT * FROM robots")
     ).fetchall())
     assert got == oracle
+
+
+def test_parse_sitemap_index_nesting_and_parity(spark):
+    """Sitemap INDEX files: child sitemap urls + freshness extracted; a
+    mixed (malformed) document parses its <sitemap> blocks here and its
+    <url> blocks in parse_sitemaps; DuckDB twin parity."""
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.weburl import (
+        parse_sitemap_index,
+        parse_sitemap_index_sql,
+        parse_sitemaps,
+    )
+
+    rows = [
+        ("a.ex.com",
+         '<?xml version="1.0"?><sitemapindex>'
+         "<sitemap><loc>https://a.ex.com/maps/a1.xml</loc>"
+         "<lastmod>2026-01-05</lastmod></sitemap>"
+         "<SITEMAP><loc> https://a.ex.com/maps/a2.xml?p=1&amp;q=2 </loc></SITEMAP>"
+         "<sitemap><lastmod>2026-01-01</lastmod></sitemap>"  # loc-less drops
+         "</sitemapindex>"),
+        # mixed document: one child sitemap AND one leaf url
+        ("b.ex.com",
+         "<sitemapindex><sitemap><loc>https://b.ex.com/s.xml</loc></sitemap>"
+         "</sitemapindex><urlset><url><loc>https://b.ex.com/page</loc></url>"
+         "</urlset>"),
+        ("c.ex.com", None),
+    ]
+    df = spark.createDataFrame(rows, "host string, xml string")
+    got = sorted(
+        (r["host"], r["sitemap_url"], str(r["lastmod"]))
+        for r in parse_sitemap_index(df, "host", "xml").collect()
+    )
+    assert got == [
+        ("a.ex.com", "https://a.ex.com/maps/a1.xml", "2026-01-05 00:00:00"),
+        ("a.ex.com", "https://a.ex.com/maps/a2.xml?p=1&q=2", "None"),
+        ("b.ex.com", "https://b.ex.com/s.xml", "None"),
+    ]
+    # the mixed document's LEAF url comes out of parse_sitemaps, not here
+    leaves = {r["url"] for r in parse_sitemaps(df, "host", "xml").collect()}
+    assert leaves == {"https://b.ex.com/page"}
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute("CREATE TABLE sm(host VARCHAR, xml VARCHAR)")
+    con.executemany("INSERT INTO sm VALUES (?,?)", rows)
+    oracle = sorted(
+        (h, u, str(lm) if lm is not None else "None")
+        for h, u, lm in con.execute(
+            parse_sitemap_index_sql("SELECT * FROM sm", "host", "xml")
+        ).fetchall()
+    )
+    assert got == oracle
