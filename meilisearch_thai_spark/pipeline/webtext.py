@@ -41,7 +41,15 @@ from .textstats import ws_tokens
 
 # Gopher-style acceptance thresholds (Rae et al. 2021, Table A1), expressed
 # in integer basis points against the emitted columns.
+# Gopher's "must contain >= 2 distinct common stop words" language test
+# (Rae et al. 2021 Table A1 — removes lorem-ipsum/keyword-stuffing pages).
+# English-centric by construction: pass stop_words=None for Thai-tokenized
+# text (the ZWSP-joined segments never contain these), or supply a
+# Thai function-word list.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
 GOPHER_THRESHOLDS = {
+    "min_stop_words": 2,
     "min_words": 50,
     "max_words": 100_000,
     "min_mean_word_len_bp": 30_000,   # mean word length >= 3
@@ -181,6 +189,7 @@ def gopher_quality(
     text_col: str,
     delim: str = "\n",
     word_split: str = " |\n",
+    stop_words: tuple | None = GOPHER_STOP_WORDS,
 ) -> DataFrame:
     """Gopher-style per-document quality signals, all integer basis points.
 
@@ -240,11 +249,29 @@ def gopher_quality(
             " div greatest(cast(size(lines) as long), 1)"
         ).alias("dup_line_bp"),
         F.expr(f"(10000 * ({top_run})) div greatest(cast(size(bg) as long), 1)").alias("top_bigram_bp"),
+        *(
+            [
+                F.expr(
+                    "cast(size(array_intersect("
+                    " array_distinct(transform(ws, x -> lower(x))),"
+                    " array(" + ", ".join(f"'{w}'" for w in stop_words) + ")"
+                    ")) as long)"
+                ).alias("stop_word_distinct")
+            ]
+            if stop_words
+            else []
+        ),
     )
     t = GOPHER_THRESHOLDS
+    stop_ok = (
+        (F.col("stop_word_distinct") >= t["min_stop_words"])
+        if stop_words
+        else F.lit(True)
+    )
     return sig.withColumn(
         "gopher_pass",
-        (F.col("n_words") >= t["min_words"])
+        stop_ok
+        & (F.col("n_words") >= t["min_words"])
         & (F.col("n_words") <= t["max_words"])
         & (F.col("mean_word_len_bp") >= t["min_mean_word_len_bp"])
         & (F.col("mean_word_len_bp") <= t["max_mean_word_len_bp"])
@@ -257,9 +284,20 @@ def gopher_quality(
 
 
 def gopher_quality_sql(
-    table: str, id_col: str, text_col: str, word_split_sql: str = "' |' || chr(10)"
+    table: str, id_col: str, text_col: str, word_split_sql: str = "' |' || chr(10)",
+    stop_words: tuple | None = GOPHER_STOP_WORDS,
 ) -> str:
     t = GOPHER_THRESHOLDS
+    stop_col = (
+        ",\n         len(list_intersect(list_distinct(list_transform(b.ws, x -> lower(x))), ["
+        + ", ".join(f"'{w}'" for w in stop_words)
+        + "]))::BIGINT AS stop_word_distinct"
+        if stop_words
+        else ""
+    )
+    stop_clause = (
+        f"stop_word_distinct >= {t['min_stop_words']} AND " if stop_words else ""
+    )
     return f"""
 WITH base AS (
   SELECT {id_col} AS doc_key,
@@ -292,11 +330,11 @@ sig AS (
             // greatest(len(b.lines), 1))::BIGINT AS ellipsis_line_bp,
          ((10000 * (len(b.lines) - len(list_distinct(b.lines))))
             // greatest(len(b.lines), 1))::BIGINT AS dup_line_bp,
-         ((10000 * COALESCE(g.top_run, 0)) // greatest(COALESCE(g.n_bg, 0), 1))::BIGINT AS top_bigram_bp
+         ((10000 * COALESCE(g.top_run, 0)) // greatest(COALESCE(g.n_bg, 0), 1))::BIGINT AS top_bigram_bp{stop_col}
   FROM base b LEFT JOIN bgtop g USING (doc_key)
 )
 SELECT *,
-       (n_words >= {t['min_words']} AND n_words <= {t['max_words']}
+       ({stop_clause}n_words >= {t['min_words']} AND n_words <= {t['max_words']}
         AND mean_word_len_bp >= {t['min_mean_word_len_bp']}
         AND mean_word_len_bp <= {t['max_mean_word_len_bp']}
         AND alpha_word_bp >= {t['min_alpha_word_bp']}

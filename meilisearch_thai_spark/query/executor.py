@@ -780,6 +780,9 @@ class SearchEngine:
         as the Column version."""
         w = self.warm_postings()
         if getattr(self, "_warm_view_df", None) is not w:
+            if getattr(self, "_warm_view_name", None):
+                # the old view pins the replaced tier's plan in the catalog
+                self.spark.catalog.dropTempView(self._warm_view_name)
             SearchEngine._VIEW_SEQ += 1
             name = f"mst_warm_{SearchEngine._VIEW_SEQ}"
             w.createOrReplaceTempView(name)
@@ -817,6 +820,8 @@ class SearchEngine:
         (query.federation's warm fast path)."""
         ds = self.doc_stats
         if getattr(self, "_stats_view_df", None) is not ds:
+            if getattr(self, "_stats_view_name", None):
+                self.spark.catalog.dropTempView(self._stats_view_name)
             SearchEngine._VIEW_SEQ += 1
             name = f"mst_stats_{SearchEngine._VIEW_SEQ}"
             ds.createOrReplaceTempView(name)

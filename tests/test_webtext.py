@@ -45,20 +45,32 @@ def test_remove_boilerplate_preserves_order(spark, boiler_corpus):
 
 
 def test_gopher_pass_and_signals(spark):
-    good = " ".join(f"token{i}" for i in range(60))  # 60 distinct words, clean
+    # real language carries common stop words (the published Gopher rule)
+    good = "the report and " + " ".join(f"token{i}" for i in range(57))
+    nostop = " ".join(f"token{i}" for i in range(60))  # keyword-stuffing shape
     short = "too short"
     repeats = " ".join(["spam ham"] * 40)  # one bigram dominates
     bullets = "\n".join(f"- item {i} in a long enough bullet list of words" for i in range(20))
-    rows = [(1, good), (2, short), (3, repeats), (4, bullets)]
+    rows = [(1, good), (2, short), (3, repeats), (4, bullets), (5, nostop)]
     out = {r.doc_key: r for r in wt.gopher_quality(_docs(spark, rows), "id", "text").collect()}
 
-    assert out[1].gopher_pass
+    assert out[1].stop_word_distinct == 2 and out[1].gopher_pass
     assert out[2].n_words == 2 and not out[2].gopher_pass
     # "ham spam" repeated ~39 times out of 79 bigrams -> ~49%
     assert out[3].top_bigram_bp > wt.GOPHER_THRESHOLDS["max_top_bigram_bp"]
     assert not out[3].gopher_pass
     assert out[4].bullet_line_bp == 10000  # every line is a bullet
     assert not out[4].gopher_pass  # > 90% bullet lines
+    # the stop-word language test alone rejects the stuffing doc...
+    assert out[5].stop_word_distinct == 0 and not out[5].gopher_pass
+    # ...and disabling it (Thai-tokenized text) restores the old behavior
+    off = {
+        r.doc_key: r
+        for r in wt.gopher_quality(
+            _docs(spark, rows), "id", "text", stop_words=None
+        ).collect()
+    }
+    assert off[5].gopher_pass and "stop_word_distinct" not in off[5].asDict()
 
 
 def test_gopher_empty_doc_zero_signals(spark):
