@@ -162,3 +162,55 @@ def test_pool_embeddings_null_and_empty_chunks(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["doc_id"], r["embedding"], r["n_chunks"]) == (1, [2.0, 4.0], 1)
+
+
+def test_quantize_embeddings_parity_and_recall(spark, sf_dir):
+    """int8 symmetric quantization: DuckDB bit-parity on codes+scales,
+    dequantization error bounded by the step size, and quantized-cosine
+    top-k recall vs the exact path on the real embeddings table."""
+    import duckdb
+    import os
+
+    from meilisearch_thai_spark.pipeline.similarity import (
+        cosine_topk_to_query,
+        quantize_embeddings,
+        quantized_cosine_topk_to_query,
+        quantize_embeddings_sql,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    id_col, vec_col = emb.columns[0], emb.columns[1]
+    qt = quantize_embeddings(emb, id_col, vec_col)
+    rows = qt.collect()
+    # codes in range; scale reconstructs within half a quantization step
+    src = {r[id_col]: list(r[vec_col]) for r in emb.collect()}
+    for r in rows:
+        assert all(-127 <= int(c) <= 127 for c in r["qv"])
+        v = src[r["vec_key"]]
+        if r["scale"] > 0:
+            err = max(abs(float(c) * r["scale"] - float(x))
+                      for c, x in zip(r["qv"], v))
+            assert err <= r["scale"] / 2 + 1e-12
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW e AS SELECT * FROM read_parquet('{os.path.join(sf_dir, 'embeddings.parquet')}')"
+    )
+    oracle = {
+        k: (round(s, 9), [int(c) for c in q])
+        for k, s, q in con.execute(
+            quantize_embeddings_sql("e", id_col, vec_col)
+        ).fetchall()
+    }
+    got = {r["vec_key"]: (round(r["scale"], 9), [int(c) for c in r["qv"]])
+           for r in rows}
+    assert got == oracle
+
+    # recall: quantized top-10 overlaps exact top-10 >= 80% for 5 queries
+    qids = sorted(src)[:5]
+    for qid in qids:
+        exact = {r["vec_key"] for r in
+                 cosine_topk_to_query(emb, id_col, vec_col, qid, k=10).collect()}
+        approx = {r["vec_key"] for r in
+                  quantized_cosine_topk_to_query(qt, qid, k=10).collect()}
+        assert len(exact & approx) >= 8, (qid, exact, approx)
