@@ -620,6 +620,47 @@ def parse_sitemaps(sitemaps: DataFrame, host_col: str, xml_col: str) -> DataFram
     )
 
 
+def robots_sitemap_urls(
+    robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """robots.txt ``Sitemap:`` lines → (host, sitemap_url) — the FIRST link
+    of the discovery chain (robots → :func:`parse_sitemap_index` children →
+    :func:`parse_sitemaps` leaves).  Per RFC 9309 §2.3 / sitemaps.org the
+    directive is GROUP-INDEPENDENT (valid anywhere in the file, applies
+    regardless of user-agent), so no block windows — a pure per-line
+    filter, zero shuffle beyond the explode."""
+    return (
+        robots.select(
+            F.lower(F.col(host_col)).alias("host"),
+            F.explode(F.split(F.col(body_col), "\n")).alias("raw"),
+        )
+        .withColumn("line", F.trim(F.regexp_replace("raw", "#.*$", "")))
+        .withColumn(
+            "sitemap_url",
+            F.trim(F.regexp_extract("line", r"(?i)^sitemap\s*:(.*)$", 1)),
+        )
+        .filter(F.col("sitemap_url") != "")
+        .select("host", "sitemap_url")
+        .distinct()
+    )
+
+
+def robots_sitemap_urls_sql(
+    robots_sql: str, host_col: str = "host", body_col: str = "robots_txt"
+) -> str:
+    """DuckDB twin of :func:`robots_sitemap_urls`."""
+    return f"""
+SELECT DISTINCT host,
+       trim(regexp_extract(line, '(?i)^sitemap\\s*:(.*)$', 1)) AS sitemap_url
+FROM (
+  SELECT lower({host_col}) AS host,
+         trim(regexp_replace(unnest(string_split({body_col}, chr(10))), '#.*$', '')) AS line
+  FROM ({robots_sql})
+)
+WHERE trim(regexp_extract(line, '(?i)^sitemap\\s*:(.*)$', 1)) <> ''
+"""
+
+
 def parse_sitemap_index(
     sitemaps: DataFrame, host_col: str, xml_col: str
 ) -> DataFrame:

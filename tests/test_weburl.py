@@ -518,3 +518,40 @@ def test_parse_sitemap_index_nesting_and_parity(spark):
         ).fetchall()
     )
     assert got == oracle
+
+
+def test_robots_sitemap_urls_group_independent_and_parity(spark):
+    """Sitemap: directives are group-independent (RFC 9309 §2.3) — found in
+    any group or outside all groups, case-insensitive key, comments
+    stripped, deduplicated; DuckDB twin parity."""
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.weburl import (
+        robots_sitemap_urls,
+        robots_sitemap_urls_sql,
+    )
+
+    rows = [
+        ("A.ex.com",
+         "Sitemap: https://a.ex.com/s1.xml\n"
+         "User-agent: googlebot\nDisallow: /\n"
+         "SITEMAP: https://a.ex.com/s2.xml # the index\n"
+         "Sitemap: https://a.ex.com/s1.xml\n"),  # dup collapses
+        ("b.ex.com", "User-agent: *\nDisallow: /private\n"),  # none
+        ("c.ex.com", "sitemap:https://c.ex.com/map.xml\n"),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = sorted((r["host"], r["sitemap_url"])
+                 for r in robots_sitemap_urls(df).collect())
+    assert got == [
+        ("a.ex.com", "https://a.ex.com/s1.xml"),
+        ("a.ex.com", "https://a.ex.com/s2.xml"),
+        ("c.ex.com", "https://c.ex.com/map.xml"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE robots(host VARCHAR, robots_txt VARCHAR)")
+    con.executemany("INSERT INTO robots VALUES (?,?)", rows)
+    oracle = sorted(con.execute(
+        robots_sitemap_urls_sql("SELECT * FROM robots")
+    ).fetchall())
+    assert got == oracle
