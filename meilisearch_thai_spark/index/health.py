@@ -90,6 +90,90 @@ def trigger_reload(engine) -> dict:
     return reload_status(engine)
 
 
+def _prom_escape(v: str) -> str:
+    return str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+def prometheus_metrics(
+    spark,
+    root_dir: str,
+    engines: dict | None = None,
+    services: dict | None = None,
+) -> str:
+    """The reference's ``GET /metrics`` Prometheus text exposition
+    (src/api/endpoints/metrics.py:489-516 — health/system/search-proxy
+    gauge families rendered as ``# HELP``/``# TYPE``/sample lines), scoped
+    to what a Spark-native engine actually has: per-index document and
+    lifecycle gauges, per-engine warm-tier memory and settings staleness,
+    and per-service query counters/latency sums (Prometheus convention:
+    export count + sum, let the scraper compute rates and means).
+
+    Driver-side only — composes :func:`health_report` (without stats) and
+    the services' in-memory metric records; no Spark jobs, safe on a
+    scrape interval.
+    """
+    rep = health_report(spark, root_dir, engines=engines, with_stats=False)
+    lines: list[str] = []
+
+    def metric(name: str, mtype: str, help_: str, samples: list) -> None:
+        lines.append(f"# HELP {name} {help_}")
+        lines.append(f"# TYPE {name} {mtype}")
+        for labels, value in samples:
+            lbl = (
+                "{" + ",".join(f'{k}="{_prom_escape(v)}"' for k, v in sorted(labels.items())) + "}"
+                if labels
+                else ""
+            )
+            lines.append(f"{name}{lbl} {value}")
+
+    metric(
+        "mst_up", "gauge", "1 when the SparkSession answers driver calls",
+        [({}, 1 if rep["spark"]["alive"] else 0)],
+    )
+    metric(
+        "mst_index_documents", "gauge", "documents per index (-1: staging)",
+        [({"uid": i["uid"]}, i["n_docs"]) for i in rep["indexes"]],
+    )
+    metric(
+        "mst_index_available", "gauge", "1 when the index lifecycle state is servable",
+        [({"uid": i["uid"], "state": i["state"]}, 1 if i["state"] == "available" else 0)
+         for i in rep["indexes"]],
+    )
+    eng_samples, stale_samples, mem_samples = [], [], []
+    for uid, er in rep["engines"].items():
+        stale_samples.append(({"uid": uid}, 1 if er["reload"]["stale"] else 0))
+        mem = er["memory"]
+        if mem.get("cached_bytes_actual") is not None:
+            mem_samples.append(({"uid": uid}, mem["cached_bytes_actual"]))
+        eng_samples.append(({"uid": uid}, er["reload"]["loaded_n_docs"]))
+    if eng_samples:
+        metric("mst_engine_loaded_documents", "gauge",
+               "documents in each live engine's loaded meta", eng_samples)
+        metric("mst_engine_settings_stale", "gauge",
+               "1 when on-disk settings drifted from the loaded engine", stale_samples)
+    if mem_samples:
+        metric("mst_engine_cached_bytes", "gauge",
+               "Spark block-manager bytes cached by the engine", mem_samples)
+    svc_cnt, svc_sum, svc_zero = [], [], []
+    for uid, svc in (services or {}).items():
+        recs = getattr(svc, "metrics", [])
+        svc_cnt.append(({"uid": uid}, len(recs)))
+        svc_sum.append(
+            ({"uid": uid}, round(sum(float(r.get("p50_ms", 0)) for r in recs), 3))
+        )
+        svc_zero.append(
+            ({"uid": uid}, sum(1 for r in recs if not r.get("n_hits")))
+        )
+    if svc_cnt:
+        metric("mst_queries_total", "counter",
+               "queries served by each SearchService since start", svc_cnt)
+        metric("mst_query_search_ms_sum", "counter",
+               "summed search-stage milliseconds (rate/mean via scraper)", svc_sum)
+        metric("mst_queries_zero_results_total", "counter",
+               "queries that returned no hits", svc_zero)
+    return "\n".join(lines) + "\n"
+
+
 def health_report(
     spark,
     root_dir: str,

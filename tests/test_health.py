@@ -142,3 +142,39 @@ def test_service_level_dictionary_and_health(spark, tmp_path):
 
     svc.update_dictionary(remove=[WORD])
     assert svc.get_custom_dictionary() == []
+
+
+def test_prometheus_metrics_exposition(spark, root):
+    """GET /metrics parity: valid Prometheus text exposition with index,
+    engine, and service families; label values escaped."""
+    from meilisearch_thai_spark.index.health import prometheus_metrics
+    from meilisearch_thai_spark.query.service import SearchService
+
+    idx = os.path.join(root, "idx1")
+    svc = SearchService(spark, idx)
+    svc.search("เทคโนโลยี", limit=3)
+    svc.search("zzznothing", limit=3)  # likely zero hits (typo-tolerant)
+    eng = svc.engine
+    text = prometheus_metrics(spark, root, engines={"idx1": eng}, services={"idx1": svc})
+
+    lines = text.strip().splitlines()
+    assert lines[0].startswith("# HELP mst_up")
+    assert "mst_up 1" in lines
+    assert any(l.startswith('mst_index_documents{uid="idx1"} 60') for l in lines)
+    assert any(l.startswith('mst_index_available{state="available",uid="idx1"} 1') for l in lines)
+    assert any(l.startswith('mst_engine_settings_stale{uid="idx1"} 0') for l in lines)
+    assert any(l.startswith('mst_queries_total{uid="idx1"} 2') for l in lines)
+    expected_zero = sum(1 for r in svc.metrics if not r.get("n_hits"))
+    assert any(
+        l == f'mst_queries_zero_results_total{{uid="idx1"}} {expected_zero}'
+        for l in lines
+    )
+    # every sample line belongs to a declared family and parses as
+    # name{labels} value
+    families = {l.split()[2] for l in lines if l.startswith("# TYPE")}
+    for l in lines:
+        if l.startswith("#"):
+            continue
+        name = l.split("{")[0].split(" ")[0]
+        assert name in families
+        assert len(l.rsplit(" ", 1)) == 2 and float(l.rsplit(" ", 1)[1]) is not None
