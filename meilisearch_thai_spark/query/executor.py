@@ -800,19 +800,40 @@ class SearchEngine:
                 )
         return self._warm_view_name
 
+    _PLAN_CACHE_CAP = 512  # parsed point-query plans per engine (tiny objects)
+
     def _warm_point_rows(self, terms: list[str], k: int) -> list:
         """Single-variant warm point query as ONE spark.sql call (see
         :meth:`_warm_view`).  Returns the scored top-k rows
         (doc_id, score, terms_matched) — same columns, same values as the
-        Column-API warm path."""
+        Column-API warm path.
+
+        Repeated queries reuse the parsed Dataset (a per-engine LRU keyed
+        by (term set, k) — the plan cache every serving engine keeps):
+        Spark caches the analyzed/compiled QueryExecution on the Dataset
+        object, so a repeat pays only scheduling + execution.  The cache
+        binds to one warm view generation and drops wholesale on
+        refresh/rebuild, so it can never serve a stale tier."""
         view = self._warm_view()
-        in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
-        return self.spark.sql(
-            f"SELECT doc_id, sum({self._warm_s_sql}) AS score,"
-            f" count(1) AS terms_matched"
-            f" FROM {view} WHERE term IN ({in_list})"
-            f" GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
-        ).collect()
+        cache = getattr(self, "_point_plan_cache", None)
+        if cache is None or getattr(self, "_point_plan_view", None) != view:
+            cache, self._point_plan_cache = {}, {}
+            cache = self._point_plan_cache
+            self._point_plan_view = view
+        key = (tuple(sorted(set(terms))), int(k))
+        df = cache.get(key)
+        if df is None:
+            in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in key[0])
+            df = self.spark.sql(
+                f"SELECT doc_id, sum({self._warm_s_sql}) AS score,"
+                f" count(1) AS terms_matched"
+                f" FROM {view} WHERE term IN ({in_list})"
+                f" GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+            )
+            if len(cache) >= self._PLAN_CACHE_CAP:
+                cache.pop(next(iter(cache)))  # FIFO eviction — bounded, simple
+            cache[key] = df
+        return df.collect()
 
     def _stats_view(self) -> str:
         """doc_stats as a temp view (same once-per-binding contract as

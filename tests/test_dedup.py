@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from meilisearch_thai_spark.pipeline.dedup import connected_components
 
 
@@ -544,3 +546,56 @@ def test_verify_candidate_pairs_precision_filter(spark):
         ).fetchall()
     }
     assert {k: (float(v[0]), bool(v[1])) for k, v in got.items()} == oracle
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_lsh_verify_chain_randomized_batch_parity(spark, seed):
+    """Seeded randomized corpora through the FULL recall→precision chain
+    (minhash LSH candidates → exact-Jaccard verification) vs DuckDB —
+    one Spark job per seed (the r4 batch-parity pattern), catching
+    interactions single-case tests cannot."""
+    import random
+
+    import duckdb
+
+    from meilisearch_thai_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_sql,
+        verify_candidate_pairs,
+        verify_candidate_pairs_sql,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        n = rng.randint(6, 25)
+        words = [rng.choice(vocab) for _ in range(n)]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.3:  # inject a near-dup with small edits
+            j = 1000 + i
+            mutated = list(words)
+            for _ in range(rng.randint(0, 2)):
+                mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+            rows.append((j, " ".join(mutated)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_lsh_candidates(docs, "doc_id", "text")
+    verdicts = verify_candidate_pairs(docs, pairs, "doc_id", "text", threshold=0.6)
+    got = sorted(
+        (r["left_key"], r["right_key"], float(r["jaccard"]), bool(r["is_dup"]))
+        for r in verdicts.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?,?)", rows)
+    pairs_sql = minhash_lsh_candidates_sql("d", "doc_id", "text")
+    oracle = sorted(
+        (lk, rk, float(j), bool(x))
+        for lk, rk, j, x in con.execute(
+            verify_candidate_pairs_sql("d", pairs_sql, "doc_id", "text", threshold=0.6)
+        ).fetchall()
+    )
+    assert got == oracle
+    assert len(got) > 0  # the injected near-dups guarantee candidates
