@@ -87,6 +87,10 @@ def _wg_edges_sql() -> str:
     )
 
 
+# tail appended to the near-dup copies in the dedup_winnow_overlap entry
+# (same literal in the DuckDB twin)
+_WINNOW_TAIL = " appended tail for the near duplicate copy"
+
 # injected boilerplate lines for the webtext_* entries (identical strings in
 # the DuckDB oracle)
 _WT_HEADER = "accept cookies to continue"
@@ -560,6 +564,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_fingerprint(spark, sf):
         return ts.doc_fingerprint(_t(spark, sf, "documents"), "doc_id", "text")
+
+    def stats_winnow_fingerprints(spark, sf):
+        # rolling-hash doc fingerprints (winnowing, Schleimer et al. 2003)
+        return ts.winnow_fingerprints(_t(spark, sf, "documents"), "doc_id", "text")
+
+    def dedup_winnow_overlap(spark, sf):
+        # MOSS report stage over original + tail-appended near-dup copies
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        aug = docs.unionAll(
+            docs.select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(_WINNOW_TAIL)).alias("text"),
+            )
+        )
+        fps = ts.winnow_fingerprints(aug, "doc_id", "text")
+        return dd.winnow_overlap(fps, min_shared=5, max_df=10)
 
     def dedup_ngram_jaccard(spark, sf):
         return dd.ngram_jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.2)
@@ -1687,6 +1707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entry to rest twice; verified by scripts/selfcheck.py + pytest
         # instead — the same DuckDB compare the driver runs) ----
         "quality_classifier_trained": quality_classifier_trained,
+        "stats_winnow_fingerprints": stats_winnow_fingerprints,
+        "dedup_winnow_overlap": dedup_winnow_overlap,
     }
 
 
@@ -1976,6 +1998,19 @@ SELECT md5(text) AS content_hash, MIN(doc_id) AS representative, COUNT(*) AS n_c
 FROM documents GROUP BY 1
 """,
         "dedup_fingerprint": ts.doc_fingerprint_sql("documents", "doc_id", "text"),
+        "stats_winnow_fingerprints": ts.winnow_fingerprints_sql(
+            "documents", "doc_id", "text"
+        ),
+        "dedup_winnow_overlap": dd.winnow_overlap_sql(
+            ts.winnow_fingerprints_sql(
+                "(SELECT doc_id, text FROM documents UNION ALL "
+                f"SELECT doc_id + 100000, text || '{_WINNOW_TAIL}' FROM documents)",
+                "doc_id",
+                "text",
+            ),
+            min_shared=5,
+            max_df=10,
+        ),
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.2),
         "dedup_minhash_lsh": dd.minhash_lsh_candidates_sql("documents", "doc_id", "text"),
         "dedup_components": dd.connected_components_sql(

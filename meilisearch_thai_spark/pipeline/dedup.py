@@ -301,6 +301,66 @@ FROM j
 """
 
 
+def winnow_overlap(
+    fps: DataFrame, min_shared: int = 2, max_df: int = 20
+) -> DataFrame:
+    """Substring-overlap candidate pairs from winnowing fingerprints (the
+    MOSS report stage, Schleimer et al. 2003 §5): two documents that share
+    ``min_shared`` or more distinct selected hashes contain repeated runs —
+    the signal MOSS ranks plagiarism matches by, and the rolling-hash
+    complement to token-set MinHash for near-dup mining.
+
+    Input is :func:`~meilisearch_thai_spark.pipeline.textstats.
+    winnow_fingerprints` output (doc_key, pos, fp).  Fingerprints occurring
+    in more than ``max_df`` documents are dropped FIRST (boilerplate hashes
+    — the MOSS "too common to be interesting" cut); this is also the scale
+    guard: the self-equijoin on fp then fans out at most ``max_df²/2`` pairs
+    per fingerprint, so the pair stage is linear in the fingerprint count,
+    never all-pairs.  At 100 TB this is one hash-bucket equijoin whose
+    payload is (doc_key, fp) — positions and text never ride the shuffle.
+
+    Returns (left_key, right_key, n_shared) with left_key < right_key,
+    ordered for the oracle gate.
+    """
+    d = fps.select("doc_key", "fp").distinct()
+    keep = (
+        d.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    dk = d.join(keep, "fp")
+    a, b = dk.alias("a"), dk.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_key") < F.col("b.doc_key")))
+        .groupBy(
+            F.col("a.doc_key").alias("left_key"),
+            F.col("b.doc_key").alias("right_key"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .orderBy("left_key", "right_key")
+    )
+
+
+def winnow_overlap_sql(
+    fps_sql: str, min_shared: int = 2, max_df: int = 20
+) -> str:
+    """DuckDB twin of :func:`winnow_overlap` over a fingerprint subquery."""
+    return f"""
+WITH fps AS ({fps_sql}),
+d AS (SELECT DISTINCT doc_key, fp FROM fps),
+keep AS (SELECT fp FROM d GROUP BY fp HAVING COUNT(*) <= {max_df}),
+dk AS (SELECT d.doc_key, d.fp FROM d JOIN keep USING (fp))
+SELECT a.doc_key AS left_key, b.doc_key AS right_key,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM dk a JOIN dk b ON a.fp = b.fp AND a.doc_key < b.doc_key
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+ORDER BY left_key, right_key
+"""
+
+
 def simhash64(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over word unigrams, md5-derived bit planes.
 

@@ -169,6 +169,96 @@ FROM {table}
 """
 
 
+# Winnowing index-encoding width: positions are packed as zero-padded
+# (9999999 - pos) so a plain string MIN implements "smallest hash, rightmost
+# tie" — documents are capped at 10^7 normalized chars (far past any sane
+# web-page size; chunk longer inputs upstream).
+_WINNOW_POS_SENTINEL = 9999999
+
+
+def winnow_fingerprints(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer, Wilkerson
+    & Aiken, SIGMOD 2003 — the MOSS algorithm): hash every ``k``-char gram of
+    the normalized text, slide a ``w``-hash window, and keep the minimum hash
+    of each window (rightmost occurrence on ties — the classic tie-break that
+    makes selections position-stable).  Guarantee: any substring match of at
+    least ``w + k - 1`` characters between two documents yields at least one
+    SHARED fingerprint, so the selected set is a provably sufficient sketch
+    for substring-overlap detection at ~``2/(w+1)`` the k-gram density.
+
+    Normalization: lowercase + collapse ``[ \\t\\n\\r]+`` runs to one space +
+    trim (explicit class, not ``\\s`` — Java and RE2 disagree on ``\\s``).
+    Documents shorter than ``k`` normalized chars emit no fingerprints.
+
+    Engine shape: pure Column codegen over per-row arrays — sequence →
+    k-gram md5 → windowed ``array_min`` — ZERO shuffle, scan-speed at
+    100 TB.  The winnowing selection rides ONE string ``array_min`` by
+    encoding each candidate as ``hash8 || lpad(9999999 - pos, 7)``:
+    lexicographic min picks the smallest hash and, among equal hashes, the
+    rightmost position.  The DuckDB twin is the same expression tree over
+    list comprehensions, so parity is bit-exact.
+
+    Returns (doc_key, pos, fp): 0-based k-gram start offset in the
+    normalized text and the 32-bit (8 hex chars of md5) fingerprint.
+    """
+    if k < 2 or w < 1:
+        raise ValueError("winnow_fingerprints requires k >= 2 and w >= 1")
+    t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[ \\t\\n\\r]+", " "))
+    sent = F.lit(_WINNOW_POS_SENTINEL)
+    hs = F.transform(
+        F.sequence(F.lit(0), F.length(t) - k),
+        lambda i: F.concat(
+            F.substring(F.md5(F.substring(t, i + 1, F.lit(k))), 1, 8),
+            F.lpad((sent - i).cast("string"), 7, "0"),
+        ),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(F.col("h")) - w, F.lit(0))),
+        lambda j: F.array_min(F.slice(F.col("h"), j + 1, w)),
+    )
+    return (
+        docs.where(F.length(t) >= k)
+        .select(F.col(id_col).alias("doc_key"), hs.alias("h"))
+        .select("doc_key", F.explode(F.array_distinct(wins)).alias("u"))
+        .select(
+            "doc_key",
+            (F.lit(_WINNOW_POS_SENTINEL) - F.substring("u", 9, 7).cast("int")).alias("pos"),
+            F.substring("u", 1, 8).alias("fp"),
+        )
+        .orderBy("doc_key", "pos")
+    )
+
+
+def winnow_fingerprints_sql(
+    table: str, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` (same encoded-min trick)."""
+    s = _WINNOW_POS_SENTINEL
+    return f"""
+WITH norm AS (
+  SELECT {id_col} AS doc_key,
+         trim(regexp_replace(lower({text_col}), '[ \\t\\n\\r]+', ' ', 'g')) AS t
+  FROM {table}
+), hs AS (
+  SELECT doc_key,
+         [substr(md5(substr(t, i+1, {k})), 1, 8) || lpad(CAST({s} - i AS VARCHAR), 7, '0')
+          for i in range(0, length(t)-{k}+1)] AS h
+  FROM norm WHERE length(t) >= {k}
+), sel AS (
+  SELECT doc_key,
+         list_distinct([list_min(h[j+1: j+{w}]) for j in range(0, greatest(len(h)-{w}+1, 1))]) AS s
+  FROM hs
+)
+SELECT doc_key,
+       {s} - CAST(substr(u, 9, 7) AS INTEGER) AS pos,
+       substr(u, 1, 8) AS fp
+FROM sel, unnest(s) AS t(u)
+ORDER BY doc_key, pos
+"""
+
+
 def source_mixture(
     docs: DataFrame, group_cols: list[str], text_col: str
 ) -> DataFrame:
