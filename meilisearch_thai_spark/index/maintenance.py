@@ -924,6 +924,159 @@ def restore_index(snapshot_dir: str, index_dir: str, overwrite: bool = False) ->
         shutil.rmtree(aside, ignore_errors=True)
 
 
+def dump_index(
+    spark: SparkSession, index_dir: str, dump_dir: str, pages: "DataFrame"
+) -> dict:
+    """MeiliSearch dumps (``POST /dumps``): a PORTABLE logical export —
+    live documents + the full settings object — re-importable on any
+    version, unlike :func:`snapshot_index` which is a binary-exact copy of
+    this layout.  MeiliSearch draws exactly this line (snapshots restore
+    as-is, dumps re-index on import); :func:`import_dump` therefore
+    RETOKENIZES, so a dump also migrates across dictionary versions.
+
+    ``pages`` supplies the document text (url + text + any field/stored
+    columns) — the same caller-supplied contract as
+    :func:`~..index.settings.reprocess_documents`: at web scale the corpus
+    lives in the lake, not inside the index.  The dump keeps only LIVE
+    documents (doc_stats minus tombstones — a dump must not resurrect
+    deletions) and REFUSES if ``pages`` is missing any live url: a silently
+    partial dump is worse than no dump.
+
+    Shape: one url semi-join (doc_stats urls are index-sized, text stays in
+    ``pages``' own partitions) + one parquet write.  Staged + atomic rename
+    like snapshots — a crashed dump never looks complete.
+
+    Returns the dump manifest (also written as ``dump_meta.json``)."""
+    from .settings import export_settings
+
+    d = os.path.abspath(index_dir)
+    if not index_exists(d):
+        raise ValueError(f"{index_dir} is not an index (no meta.json or tf/ staging)")
+    if os.path.exists(os.path.join(d, "_COMPACTING")):
+        raise RuntimeError(f"{index_dir} has an in-progress/interrupted compaction")
+    for marker in (d + ".swapping", d + ".swap_tmp"):
+        if os.path.exists(marker):
+            raise RuntimeError(f"{index_dir} is mid-swap ({os.path.basename(marker)})")
+    if os.path.exists(dump_dir):
+        raise ValueError(f"dump target {dump_dir} already exists")
+    if "url" not in pages.columns or "text" not in pages.columns:
+        raise ValueError("pages must carry at least (url, text) columns")
+
+    live = spark.read.parquet(os.path.join(d, "doc_stats")).select("url").distinct()
+    tomb = _tombstone_urls(spark, d)
+    if tomb is not None:
+        live = live.join(tomb, "url", "left_anti")
+    n_live = live.count()
+    docs = pages.join(live, "url", "left_semi")
+    n_dumped = docs.count()
+    if n_dumped != n_live:
+        raise ValueError(
+            f"pages covers {n_dumped} of {n_live} live documents — a dump "
+            "must be complete; pass the full source corpus"
+        )
+
+    meta = load_meta(d)
+    tmp = dump_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    docs.write.parquet(os.path.join(tmp, "documents"))
+    settings = export_settings(d)
+    settings["block_size"] = meta.block_size
+    settings["bucket_span"] = meta.bucket_span
+    with open(os.path.join(tmp, "settings.json"), "w") as f:
+        json.dump(settings, f, indent=1)
+    manifest = {
+        "format": "mst-dump-v1",
+        "n_documents": int(n_dumped),
+        "positional": bool(meta.positional),
+        # doc_stats carried stored text — informational only; the dump has
+        # full text regardless, callers choose store_text_crop on import
+        "had_text_crop": "text_crop" in spark.read.parquet(
+            os.path.join(d, "doc_stats")
+        ).columns,
+    }
+    with open(os.path.join(tmp, "dump_meta.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, dump_dir)
+    return manifest
+
+
+def import_dump(
+    spark: SparkSession,
+    dump_dir: str,
+    index_dir: str,
+    overwrite: bool = False,
+    postings_partitions: int | None = None,
+    store_text_crop: int | None = None,
+) -> IndexMeta:
+    """Re-index a :func:`dump_index` export into ``index_dir`` — the
+    MeiliSearch dump-import semantic: documents RETOKENIZE under the dump's
+    persisted settings (custom dictionary overlay applied first, so a dump
+    taken after ``update_dictionary`` imports with the same effective
+    dictionary), then query-time-only settings (query stop-words drift,
+    typo tolerance, filterable/sortable declarations) are re-applied on top
+    so ``export_settings`` round-trips field-for-field.
+
+    Builds into a staging directory and swaps in LAST: a failed import
+    leaves an existing target untouched.  Live engines on the target must
+    be reconstructed afterwards (the swap/compact contract)."""
+    from ..dictionary import set_custom_words
+    from .builder import build_index
+    from .settings import (
+        update_filterable_attributes,
+        update_sortable_attributes,
+        update_stop_words,
+        update_typo_tolerance,
+    )
+
+    if not os.path.exists(os.path.join(dump_dir, "dump_meta.json")):
+        raise ValueError(f"{dump_dir} is not a dump (no dump_meta.json)")
+    d = os.path.abspath(index_dir)
+    if os.path.exists(d) and not overwrite:
+        raise ValueError(f"{index_dir} exists; pass overwrite=True to replace it")
+    with open(os.path.join(dump_dir, "settings.json")) as f:
+        s = json.load(f)
+
+    set_custom_words(s.get("custom_dictionary") or [])
+    docs = spark.read.parquet(os.path.join(dump_dir, "documents"))
+    tmp = d + ".import_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    meta = build_index(
+        spark,
+        docs,
+        tmp,
+        block_size=int(s["block_size"]),
+        bucket_span=int(s["bucket_span"]),
+        params=BM25Params(k1=float(s["k1"]), b=float(s["b"])),
+        postings_partitions=postings_partitions,
+        store_text_crop=store_text_crop,
+        positional=bool(s.get("positional")),
+        stopwords=s.get("stop_words_build") or None,
+        fields=s.get("fields") or None,
+        field_weights=s.get("field_weights") or None,
+        stored_fields=s.get("stored_fields") or None,
+        synonyms=s.get("synonyms") or None,
+    )
+    # query-time-only settings drift back on top of the fresh build
+    if sorted(s.get("stop_words") or []) != sorted(s.get("stop_words_build") or []):
+        meta = update_stop_words(tmp, s.get("stop_words") or [])
+    if s.get("typo_tolerance") is not None:
+        meta = update_typo_tolerance(tmp, **s["typo_tolerance"])
+    if s.get("filterable_attributes") is not None:
+        meta = update_filterable_attributes(tmp, s["filterable_attributes"])
+    if s.get("sortable_attributes") is not None:
+        meta = update_sortable_attributes(tmp, s["sortable_attributes"])
+    aside = None
+    if os.path.exists(d):
+        aside = d + ".import_replaced"
+        shutil.rmtree(aside, ignore_errors=True)
+        os.replace(d, aside)
+    os.replace(tmp, d)
+    if aside:
+        shutil.rmtree(aside, ignore_errors=True)
+    return meta
+
+
 def list_indexes(root_dir: str) -> list[dict]:
     """MeiliSearch ``GET /indexes`` over a directory of index dirs: every
     child directory that :func:`index_exists` (built OR mid-build staging),
