@@ -237,6 +237,18 @@ def main() -> None:
     for name in names:
         timings[name] = round(best_q[name], 3)
 
+    # round 5 (session 2): winnowing fingerprints + MOSS overlap (registry
+    # positions 102-103, ledger amendment in COVERAGE.md).  Timed ONCE each
+    # under `extra`, NOT in the 3-rep headline: the cost is one md5 per
+    # corpus character (the cross-engine hash that gives DuckDB bit-parity)
+    # — ~30-36 s each at sf0.1, which would double headline_total with two
+    # entries whose cost is intrinsic hashing, not plan shape (zero-shuffle
+    # scan; same honest-exclusion precedent as chunk_documents above).
+    for name in ("stats_winnow_fingerprints", "dedup_winnow_overlap"):
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        extra[name + "_once"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -202,6 +202,12 @@ def winnow_fingerprints(
 
     Returns (doc_key, pos, fp): 0-based k-gram start offset in the
     normalized text and the 32-bit (8 hex chars of md5) fingerprint.
+
+    Cost note: winnowing hashes EVERY k-gram — one md5 per corpus
+    character.  md5 is chosen because Spark and DuckDB compute it
+    identically (bit-exact oracle parity); a deployment that does not need
+    the cross-engine oracle can swap ``F.md5`` for ``F.xxhash64``
+    (~10x cheaper JVM-side) without touching the selection logic.
     """
     if k < 2 or w < 1:
         raise ValueError("winnow_fingerprints requires k >= 2 and w >= 1")
