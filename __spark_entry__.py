@@ -30,6 +30,7 @@ from meilisearch_thai_spark.pipeline import webgraph as wg
 from meilisearch_thai_spark.pipeline import sampling as smp
 from meilisearch_thai_spark.pipeline import packing as pk
 from meilisearch_thai_spark.query import adhoc
+from meilisearch_thai_spark.query import requests
 from meilisearch_thai_spark.query import ranker as rk
 
 _BM25_QUERY = ["merge", "join", "table", "scan"]
@@ -228,6 +229,40 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> str:
     build_index(spark, pages, out, stored_fields=["rating"])
     _IDX_CACHE[sf_dir] = out
     return out
+
+
+def _docs_index_geo(spark: SparkSession, sf_dir: str) -> str:
+    """``documents`` index with deterministic geo metadata: lat/lng derived
+    from doc_id (lat = ((id*37) % 17000)/100 - 85, lng = ((id*73) % 35000)
+    /100 - 175 — globe-spread, exactly reproducible in the DuckDB oracle).
+    Separate from :func:`_docs_index` so the geo columns cannot perturb any
+    other gated entry's doc_stats schema."""
+    key = sf_dir + ":geo"
+    if key in _IDX_CACHE:
+        return _IDX_CACHE[key]
+    import tempfile
+
+    from meilisearch_thai_spark.index.builder import build_index
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        (F.pmod(F.col("doc_id") * 37, F.lit(17000)).cast("double") / 100.0 - 85.0).alias("lat"),
+        (F.pmod(F.col("doc_id") * 73, F.lit(35000)).cast("double") / 100.0 - 175.0).alias("lng"),
+    )
+    out = tempfile.mkdtemp(prefix="drv_idx_geo_")
+    build_index(spark, pages, out, stored_fields=["lat", "lng"])
+    _IDX_CACHE[key] = out
+    return out
+
+
+# the same derivation as SQL over the raw documents table (oracle side)
+_GEO_LAT_SQL = "((doc_id * 37) % 17000) / 100.0 - 85.0"
+_GEO_LNG_SQL = "((doc_id * 73) % 35000) / 100.0 - 175.0"
 
 
 def _docs_sharded(spark: SparkSession, sf_dir: str, n_shards: int = 2) -> str:
@@ -580,6 +615,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         fps = ts.winnow_fingerprints(aug, "doc_id", "text")
         return dd.winnow_overlap(fps, min_shared=5, max_df=10)
+
+    def x22_geo_radius_search(spark, sf):
+        # MeiliSearch geosearch: `_geoRadius(lat, lng, meters)` filter —
+        # haversine-distance predicate over lat/lng doc metadata, corpus-wide
+        # BM25 stats unchanged (filters prune candidates only).  Coordinates
+        # derive deterministically from doc_id (see _docs_index_geo) so the
+        # DuckDB oracle recomputes them inline.
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index_geo(spark, sf), cache_postings=False)
+        hits = eng.search_terms(
+            _BM25_QUERY, k=20,
+            filters={"_geo": {"$radius": [13.7563, 100.5018, 6_000_000.0]}},
+        )
+        return hits.select(
+            F.col("url").cast("long").alias("doc_key"),
+            F.round("score", 4).alias("score"),
+            F.col("terms_matched").cast("long").alias("terms_matched"),
+        ).orderBy(F.desc("score"), F.asc("doc_key"))
+
+    def x23_geo_sort_search(spark, sf):
+        # MeiliSearch geosearch: `_geoPoint(lat, lng):asc` sort — hits are
+        # the k nearest matching docs, each carrying `_geoDistance` (floored
+        # meters: whole-meter grain absorbs cross-engine libm sin/asin ulps)
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index_geo(spark, sf), cache_postings=False)
+        hits = eng.search_terms(
+            _BM25_QUERY, k=20, sort=["_geoPoint(13.7563, 100.5018):asc"]
+        )
+        return hits.select(
+            F.col("url").cast("long").alias("doc_key"),
+            F.col("_geoDistance").alias("geo_distance_m"),
+            F.col("terms_matched").cast("long").alias("terms_matched"),
+        ).orderBy(F.asc("geo_distance_m"), F.asc("doc_key"))
 
     def dedup_ngram_jaccard(spark, sf):
         return dd.ngram_jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.2)
@@ -1709,6 +1779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_trained": quality_classifier_trained,
         "stats_winnow_fingerprints": stats_winnow_fingerprints,
         "dedup_winnow_overlap": dedup_winnow_overlap,
+        "x22_geo_radius_search": x22_geo_radius_search,
+        "x23_geo_sort_search": x23_geo_sort_search,
     }
 
 
@@ -2010,6 +2082,36 @@ FROM documents GROUP BY 1
             ),
             min_shared=5,
             max_df=10,
+        ),
+        "x22_geo_radius_search": adhoc.bm25_topk_sql_oracle(
+            "documents", "doc_id", "text", _BM25_QUERY, k=20,
+            candidate_where=(
+                requests.geo_distance_sql(
+                    13.7563, 100.5018, lat_sql=_GEO_LAT_SQL, lng_sql=_GEO_LNG_SQL
+                )
+                + " <= 6000000.0"
+            ),
+        ),
+        "x23_geo_sort_search": (
+            "SELECT doc_key, CAST(floor("
+            + requests.geo_distance_sql(
+                13.7563, 100.5018,
+                lat_sql="((doc_key * 37) % 17000) / 100.0 - 85.0",
+                lng_sql="((doc_key * 73) % 35000) / 100.0 - 175.0",
+            )
+            + ") AS BIGINT) AS geo_distance_m, terms_matched FROM ("
+            + adhoc.bm25_topk_sql_oracle(
+                "documents", "doc_id", "text", _BM25_QUERY, k=20,
+                order_by=(
+                    requests.geo_distance_sql(
+                        13.7563, 100.5018,
+                        lat_sql="((tf.doc_key * 37) % 17000) / 100.0 - 85.0",
+                        lng_sql="((tf.doc_key * 73) % 35000) / 100.0 - 175.0",
+                    )
+                    + " ASC, doc_key ASC"
+                ),
+            )
+            + ") ORDER BY geo_distance_m ASC, doc_key ASC"
         ),
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.2),
         "dedup_minhash_lsh": dd.minhash_lsh_candidates_sql("documents", "doc_id", "text"),

@@ -324,6 +324,7 @@ def update_filterable_attributes(index_dir: str, attrs: list[str] | None) -> Ind
     meta = load_meta(index_dir)
     if attrs is not None:
         public = set(meta.public_fields(_doc_stats_columns(index_dir))) | {"doc_len"}
+        public |= _geo_declarable(index_dir)
         bad = sorted(set(attrs) - public)
         if bad:
             raise ValueError(
@@ -333,6 +334,13 @@ def update_filterable_attributes(index_dir: str, attrs: list[str] | None) -> Ind
     meta.filterable_attributes = attrs
     _write_meta(index_dir, meta)
     return meta
+
+
+def _geo_declarable(index_dir: str) -> set[str]:
+    """The reserved ``_geo`` name is declarable exactly when the index
+    stores geo metadata (MeiliSearch: ``_geo`` in filterable/sortable
+    attributes enables `_geoRadius`/`_geoBoundingBox`/`_geoPoint`)."""
+    return {"_geo"} if {"lat", "lng"} <= set(_doc_stats_columns(index_dir)) else set()
 
 
 def _doc_stats_columns(index_dir: str) -> list[str]:
@@ -354,6 +362,7 @@ def update_sortable_attributes(index_dir: str, attrs: list[str] | None) -> Index
             "doc_len",
             "doc_id",
         }
+        public |= _geo_declarable(index_dir)
         bad = sorted(set(attrs) - public)
         if bad:
             raise ValueError(

@@ -16,6 +16,7 @@ MeiliSearch's internal index (SURVEY X1/X2/R11).
 from __future__ import annotations
 
 import os
+import re
 from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Iterator
@@ -457,17 +458,58 @@ def matching_prefixes(
     return [uniq[:j] for j in range(len(uniq), lo - 1, -1)]
 
 
+_GEOPOINT_RE = re.compile(r"^_geoPoint\(\s*(-?\d+(?:\.\d+)?)\s*,\s*(-?\d+(?:\.\d+)?)\s*\)$")
+
+
+def parse_geo_point(field: str) -> tuple[float, float] | None:
+    """``_geoPoint(lat, lng)`` sort field → (lat, lng), else None; a
+    malformed _geoPoint raises (MeiliSearch 400s on bad geo syntax)."""
+    if not field.startswith("_geoPoint"):
+        return None
+    m = _GEOPOINT_RE.match(field)
+    if not m:
+        raise ValueError(f"malformed _geoPoint sort field {field!r} (want _geoPoint(lat, lng))")
+    lat, lng = float(m.group(1)), float(m.group(2))
+    if not (-90.0 <= lat <= 90.0 and -180.0 <= lng <= 180.0):
+        raise ValueError(f"_geoPoint out of range: {field!r}")
+    return lat, lng
+
+
+def geo_sort_point(sort: list[str] | None) -> tuple[float, float] | None:
+    """First ``_geoPoint`` in the sort list — the point whose distance the
+    hits expose as ``_geoDistance`` (MeiliSearch geosearch semantics)."""
+    for s in sort or []:
+        pt = parse_geo_point(s.partition(":")[0])
+        if pt is not None:
+            return pt
+    return None
+
+
 def parse_sort(sort: list[str], available: list[str]) -> list:
     """``["field:asc|desc", ...]`` → orderBy Column list; unknown fields raise
     (the reference 400s on non-sortable attributes; silently dropping a sort
-    is worse than rejecting it — VERDICT.md r1 'wire or reject')."""
+    is worse than rejecting it — VERDICT.md r1 'wire or reject').
+    ``_geoPoint(lat, lng):asc|desc`` sorts by haversine distance from the
+    point to the document's lat/lng metadata (MeiliSearch geosearch)."""
+    from .requests import geo_distance_m
+
     cols = []
     for s in sort:
         fld, _, direction = s.partition(":")
-        if fld not in available:
-            raise ValueError(f"sort field {fld!r} not in doc metadata {sorted(available)}")
         if direction not in ("asc", "desc"):
             raise ValueError(f"sort direction must be 'asc' or 'desc', got {s!r}")
+        pt = parse_geo_point(fld)
+        if pt is not None:
+            missing = {"lat", "lng"} - set(available)
+            if missing:
+                raise ValueError(
+                    f"_geoPoint sort needs lat/lng doc metadata; missing {sorted(missing)}"
+                )
+            expr = geo_distance_m(*pt)
+            cols.append(expr.asc() if direction == "asc" else expr.desc())
+            continue
+        if fld not in available:
+            raise ValueError(f"sort field {fld!r} not in doc metadata {sorted(available)}")
         cols.append(F.asc(fld) if direction == "asc" else F.desc(fld))
     return cols
 
@@ -1490,6 +1532,12 @@ class SearchEngine:
             getattr(self.meta, "filterable_attributes", None),
             "filterable fields",
         )
+        if "_geo" in (filters or {}):
+            missing = {"lat", "lng"} - set(self.doc_stats.columns)
+            if missing:
+                raise ValueError(
+                    f"_geo filter needs lat/lng doc metadata; missing {sorted(missing)}"
+                )
         return self.doc_stats.filter(filters_to_column(filters)).select("doc_id")
 
     def score_variants_topk_filtered(
@@ -1845,6 +1893,14 @@ class SearchEngine:
                 "terms_matched", F.lit(0).cast("long")
             )
             out_cols = self._hit_cols(attributes_to_retrieve)
+            gp = geo_sort_point(sort)
+            if gp is not None:
+                from .requests import geo_distance_m
+
+                joined = joined.withColumn(
+                    "_geoDistance", F.floor(geo_distance_m(*gp)).cast("long")
+                )
+                out_cols = [*out_cols, "_geoDistance"]
             return joined.orderBy(*order).limit(k).select(*out_cols)
         if distinct or sort:
             # exact full-scoring path: a block-max top-k could starve a
@@ -1885,6 +1941,17 @@ class SearchEngine:
             order = (
                 [*parse_sort(sort, self.doc_stats.columns)] if sort else []
             ) + [F.desc("score"), F.asc("doc_id")]
+            gp = geo_sort_point(sort)
+            if gp is not None:
+                # MeiliSearch attaches _geoDistance (meters) to hits when
+                # sorting by _geoPoint; floored to whole meters so the
+                # DuckDB oracle hash-compares despite libm sin/asin ulps
+                from .requests import geo_distance_m
+
+                joined = joined.withColumn(
+                    "_geoDistance", F.floor(geo_distance_m(*gp)).cast("long")
+                )
+                out_cols = [*out_cols, "_geoDistance"]
             return joined.orderBy(*order).limit(k).select(*out_cols)
         topk = self._scored_topk_expanded(
             qterms, required, prefixes, k, filters, neg_ids=neg_ids, blocked=blocked

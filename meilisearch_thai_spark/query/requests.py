@@ -70,6 +70,90 @@ def validate_request(req: SearchRequest) -> SearchRequest:
 # MeiliSearch filter strings (search_executor.py:766-829); here the target is
 # a typed Spark Column predicate.
 _OPS = {"$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$exists"}
+_GEO_OPS = {"$radius", "$boundingBox"}
+
+# Geo search (MeiliSearch `_geoRadius` / `_geoBoundingBox` filters and
+# `_geoPoint` sort).  Documents carry plain ``lat``/``lng`` DOUBLE metadata
+# columns (degrees); the reserved request name is ``_geo``, matching
+# MeiliSearch's reserved attribute.  The degree→radian factor is a shared
+# LITERAL (math.pi/180) rather than each engine's radians() builtin: Java's
+# Math.toRadians computes ``x / 180 * PI`` (two roundings) while DuckDB's
+# radians() computes ``x * (PI/180)`` — pinning the literal keeps the Spark
+# and DuckDB expression trees arithmetically identical.
+EARTH_RADIUS_M = 6371000.0
+DEG_TO_RAD = 0.017453292519943295  # math.pi / 180, as a pinned double
+
+
+def geo_distance_m(lat: float, lng: float, lat_col: str = "lat", lng_col: str = "lng"):
+    """Haversine distance (meters) from a fixed point to each doc's
+    (``lat_col``, ``lng_col``) as a pure Column — JVM codegen, no Python.
+
+    The expression order mirrors :func:`geo_distance_sql` term for term so
+    the DuckDB oracle agrees bit-for-bit up to libm's sin/asin ulps (outputs
+    are floored to whole meters wherever cross-engine hashes compare)."""
+    from pyspark.sql import functions as F
+
+    p1 = F.lit(float(lat) * DEG_TO_RAD)
+    l1 = F.lit(float(lng) * DEG_TO_RAD)
+    p2 = F.col(lat_col) * F.lit(DEG_TO_RAD)
+    l2 = F.col(lng_col) * F.lit(DEG_TO_RAD)
+    sp = F.sin((p2 - p1) / F.lit(2.0))
+    sl = F.sin((l2 - l1) / F.lit(2.0))
+    h = sp * sp + (F.cos(p1) * F.cos(p2)) * (sl * sl)
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+
+
+def geo_distance_sql(lat: float, lng: float, lat_sql: str = "lat", lng_sql: str = "lng") -> str:
+    """DuckDB twin of :func:`geo_distance_m` — same literals, same order.
+    ``lat_sql``/``lng_sql`` may be arbitrary SQL expressions (e.g. the
+    deterministic coordinate derivation the driver entries use)."""
+    p1 = repr(float(lat) * DEG_TO_RAD)
+    l1 = repr(float(lng) * DEG_TO_RAD)
+    sp = f"sin((({lat_sql}) * {DEG_TO_RAD} - {p1}) / 2.0)"
+    sl = f"sin((({lng_sql}) * {DEG_TO_RAD} - {l1}) / 2.0)"
+    h = f"{sp} * {sp} + (cos({p1}) * cos(({lat_sql}) * {DEG_TO_RAD})) * ({sl} * {sl})"
+    return f"{2.0 * EARTH_RADIUS_M!r} * asin(least(1.0, sqrt({h})))"
+
+
+def _geo_filter_column(cond: dict):
+    """``_geo`` filter conditions → Column predicate over lat/lng metadata.
+
+    ``{"$radius": [lat, lng, meters]}`` — MeiliSearch `_geoRadius`:
+    haversine distance ≤ meters.  ``{"$boundingBox": [[lat, lng], [lat,
+    lng]]}`` — MeiliSearch `_geoBoundingBox(topRight, bottomLeft)`; a box
+    whose left longitude exceeds its right one crosses the antimeridian and
+    becomes the OR of the two wrapped ranges, like MeiliSearch."""
+    from pyspark.sql import functions as F
+
+    pred = None
+    for op, val in cond.items():
+        if op not in _GEO_OPS:
+            raise ValueError(
+                f"unsupported _geo operator {op!r} (allowed {sorted(_GEO_OPS)})"
+            )
+        if op == "$radius":
+            lat, lng, meters = val
+            p = geo_distance_m(lat, lng) <= F.lit(float(meters))
+        else:
+            (top, right), (bottom, left) = val
+            if not (-90.0 <= bottom <= top <= 90.0):
+                raise ValueError(f"boundingBox latitudes must satisfy -90 <= bottom <= top <= 90, got {val}")
+            p = F.col("lat").between(F.lit(float(bottom)), F.lit(float(top)))
+            if left <= right:
+                p = p & F.col("lng").between(F.lit(float(left)), F.lit(float(right)))
+            else:  # antimeridian crossing
+                p = p & ((F.col("lng") >= F.lit(float(left))) | (F.col("lng") <= F.lit(float(right))))
+        pred = p if pred is None else (pred & p)
+    if pred is None:
+        raise ValueError("_geo filter requires $radius or $boundingBox")
+    return pred
+
+
+def normalize_declared_name(field: str) -> str:
+    """Request-level field → the name a declaration covers: any
+    ``_geoPoint(lat, lng)`` sort key and the ``_geo`` filter key are both
+    declared as ``_geo`` (MeiliSearch's reserved geo attribute)."""
+    return "_geo" if field.startswith("_geoPoint(") else field
 
 
 def check_declared(fields, declared, kind: str) -> None:
@@ -79,7 +163,7 @@ def check_declared(fields, declared, kind: str) -> None:
     two can never drift on what a declaration allows."""
     if declared is None:
         return
-    bad = sorted(set(fields) - set(declared))
+    bad = sorted({normalize_declared_name(f) for f in fields} - set(declared))
     if bad:
         raise ValueError(
             f"{kind} {bad} not declared (settings allow {sorted(declared)}); "
@@ -98,6 +182,11 @@ def filters_to_column(filters: dict):
         pred = p if pred is None else (pred & p)
 
     for fld, cond in (filters or {}).items():
+        if fld == "_geo":
+            if not isinstance(cond, dict):
+                raise ValueError("_geo filter must be a {'$radius'|'$boundingBox': ...} dict")
+            _and(_geo_filter_column(cond))
+            continue
         col = F.col(fld)
         if not isinstance(cond, dict):
             _and(col == F.lit(cond))
