@@ -2483,9 +2483,15 @@ class SearchEngine:
         dedup, sort_cols = self._multi_variant_dedup(
             query, k, min_score_threshold, normalize, filters, sort, pq=pq
         )
+        gp = geo_sort_point(sort)
+        if gp is not None:
+            # _geoPoint sort exposes _geoDistance on every response shape
+            # (MeiliSearch geosearch), including the empty and placeholder ones
+            out_cols = [*out_cols, "_geoDistance"]
         if dedup is None and getattr(pq, "exclude_terms", None):
             # negative-only query → placeholder page (search_terms owns the
-            # semantics); variant_type marks it for the proxy response shape
+            # semantics, including the _geoDistance attach); variant_type
+            # marks it for the proxy response shape
             page = self.search_terms(
                 [], k=k, filters=filters, sort=sort,
                 attributes_to_retrieve=attributes_to_retrieve,
@@ -2499,6 +2505,7 @@ class SearchEngine:
                 "score": T.DoubleType(),
                 "variant_type": T.StringType(),
                 "terms_matched": T.LongType(),
+                "_geoDistance": T.LongType(),
             }
             ds_types = {f.name: f.dataType for f in self.doc_stats.schema.fields}
             empty = T.StructType(
@@ -2508,9 +2515,15 @@ class SearchEngine:
         if sort_cols:
             # sort fields first, relevance as tie-break; limit AFTER the
             # metadata join (TakeOrderedAndProject — no full sort materializes)
+            joined = self.doc_stats.join(dedup, "doc_id")
+            if gp is not None:
+                from .requests import geo_distance_m
+
+                joined = joined.withColumn(
+                    "_geoDistance", F.floor(geo_distance_m(*gp)).cast("long")
+                )
             return (
-                self.doc_stats.join(dedup, "doc_id")
-                .orderBy(*sort_cols, F.desc("score"), F.asc("doc_id"))
+                joined.orderBy(*sort_cols, F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .select(*out_cols)
             )

@@ -213,7 +213,11 @@ class SearchService:
                 "variant_type": r["variant_type"],
                 "terms_matched": int(r["terms_matched"]),
                 "text": r.get("text_crop") or r["url"],
-                "attributes": {a: r[a] for a in attrs if a in r},
+                # _geoDistance (meters, present iff the sort has a _geoPoint)
+                # rides on attributes — MeiliSearch returns it inside the hit
+                "attributes": {
+                    a: r[a] for a in attrs if a in r
+                } | ({"_geoDistance": r["_geoDistance"]} if "_geoDistance" in r else {}),
                 "hl_values": {a: r[a] for a in hl_attrs if a in r and isinstance(r[a], str)},
             }
             for r in rows

@@ -159,6 +159,31 @@ def test_geo_point_sort_attaches_distance(spark, geo_idx):
     assert fd == sorted(fd, reverse=True) and fd[0] >= dists[-1]
 
 
+def test_geo_through_search_service(spark, geo_idx):
+    """The proxy facade passes geo filters/sort through and surfaces
+    _geoDistance on hits (MeiliSearch returns it inside the hit body)."""
+    from meilisearch_thai_spark.query.service import SearchService
+
+    out, coords = geo_idx
+    svc = SearchService(spark, out)
+    eng = SearchEngine(spark, out, cache_postings=False)
+    term = _common_term(eng)
+    r = svc.search(term, limit=5, sort=[f"_geoPoint({BKK[0]}, {BKK[1]}):asc"])
+    assert len(r.hits) == 5
+    dists = [h.attributes["_geoDistance"] for h in r.hits]
+    assert dists == sorted(dists)
+    for h in r.hits:
+        la, ln = coords[h.url]
+        assert h.attributes["_geoDistance"] == math.floor(_py_haversine(*BKK, la, ln))
+    # radius filter through the facade restricts the page
+    center, radius = (-29.5, -65.5), 3_000_000.0
+    r2 = svc.search(term, limit=10, filters={"_geo": {"$radius": [*center, radius]}})
+    assert r2.hits
+    for h in r2.hits:
+        la, ln = coords[h.url]
+        assert _py_haversine(*center, la, ln) <= radius
+
+
 def test_geo_declarations_and_errors(spark, geo_idx, tmp_path):
     out, _ = geo_idx
     eng = SearchEngine(spark, out, cache_postings=False)
