@@ -129,6 +129,17 @@ class IndexMeta:
     # contract).  dictionary_fingerprint above covers the dictionary in
     # effect when the CURRENT postings were tokenized.
     custom_dictionary: list[str] = field(default_factory=list)
+    # S5 pagination/faceting settings (MeiliSearch `pagination.maxTotalHits`,
+    # `faceting.maxValuesPerFacet`, and the v1.12 facetSearch/prefixSearch
+    # toggles).  None = PERMISSIVE mode (no cap/limit — same drop-in
+    # precedent as filterable_attributes: MeiliSearch's own defaults are
+    # 1000/100, enforced only once the operator sets them); the toggles
+    # default on, and disabling one turns the matching endpoint into a
+    # request error like MeiliSearch's 400.
+    pagination: dict | None = None
+    faceting: dict | None = None
+    facet_search: bool = True
+    prefix_search: bool = True
 
     def public_fields(self, available_columns) -> list[str]:
         """The retrievable/facetable/distinct-able document fields: the

@@ -1066,6 +1066,22 @@ def import_dump(
         meta = update_filterable_attributes(tmp, s["filterable_attributes"])
     if s.get("sortable_attributes") is not None:
         meta = update_sortable_attributes(tmp, s["sortable_attributes"])
+    if s.get("pagination") is not None:
+        from .settings import update_pagination
+
+        meta = update_pagination(tmp, s["pagination"]["max_total_hits"])
+    if s.get("faceting") is not None:
+        from .settings import update_faceting
+
+        meta = update_faceting(tmp, s["faceting"]["max_values_per_facet"])
+    if s.get("facet_search", True) is False:
+        from .settings import update_facet_search
+
+        meta = update_facet_search(tmp, False)
+    if s.get("prefix_search", True) is False:
+        from .settings import update_prefix_search
+
+        meta = update_prefix_search(tmp, False)
     aside = None
     if os.path.exists(d):
         aside = d + ".import_replaced"

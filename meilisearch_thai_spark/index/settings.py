@@ -242,6 +242,11 @@ def export_settings(index_dir: str) -> dict:
         # None = permissive undeclared mode (see IndexMeta)
         "filterable_attributes": getattr(meta, "filterable_attributes", None),
         "sortable_attributes": getattr(meta, "sortable_attributes", None),
+        # None = permissive uncapped mode (MeiliSearch defaults: 1000 / 100)
+        "pagination": getattr(meta, "pagination", None),
+        "faceting": getattr(meta, "faceting", None),
+        "facet_search": getattr(meta, "facet_search", True),
+        "prefix_search": getattr(meta, "prefix_search", True),
     }
 
 
@@ -311,6 +316,61 @@ def update_typo_tolerance(
             f"{cfg['one_typo']}/{cfg['two_typos']}"
         )
     meta.typo_tolerance = cfg
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def update_pagination(index_dir: str, max_total_hits: int | None) -> IndexMeta:
+    """MeiliSearch ``pagination.maxTotalHits`` (their default: 1000): the
+    deepest row the offset/limit window may reach — the guardrail that keeps
+    deep offset pagination from growing every executor's top-(offset+limit)
+    heap (the exhaustive-export path is ``search_after``, which this cap
+    deliberately does NOT govern).  ``None`` resets to the permissive
+    uncapped mode (drop-in compat, like the attribute declarations)."""
+    meta = load_meta(index_dir)
+    if max_total_hits is not None:
+        if int(max_total_hits) < 1:
+            raise ValueError(f"maxTotalHits must be >= 1, got {max_total_hits}")
+        meta.pagination = {"max_total_hits": int(max_total_hits)}
+    else:
+        meta.pagination = None
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def update_faceting(index_dir: str, max_values_per_facet: int | None) -> IndexMeta:
+    """MeiliSearch ``faceting.maxValuesPerFacet`` (their default: 100): cap
+    on distinct values returned per facet by ``facet_distribution`` when the
+    call does not pass an explicit ``max_values_per_facet``.  ``None`` =
+    uncapped permissive mode."""
+    meta = load_meta(index_dir)
+    if max_values_per_facet is not None:
+        if int(max_values_per_facet) < 1:
+            raise ValueError(
+                f"maxValuesPerFacet must be >= 1, got {max_values_per_facet}"
+            )
+        meta.faceting = {"max_values_per_facet": int(max_values_per_facet)}
+    else:
+        meta.faceting = None
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def update_facet_search(index_dir: str, enabled: bool) -> IndexMeta:
+    """MeiliSearch v1.12 ``facetSearch`` toggle: disabling it turns
+    ``SearchEngine.facet_search`` into a request error (their 400)."""
+    meta = load_meta(index_dir)
+    meta.facet_search = bool(enabled)
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def update_prefix_search(index_dir: str, enabled: bool) -> IndexMeta:
+    """MeiliSearch v1.12 ``prefixSearch`` toggle (their values:
+    indexingTime|disabled; this engine expands prefixes query-side, so the
+    toggle gates ``SearchEngine.search_prefix``)."""
+    meta = load_meta(index_dir)
+    meta.prefix_search = bool(enabled)
     _write_meta(index_dir, meta)
     return meta
 

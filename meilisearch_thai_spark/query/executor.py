@@ -2106,6 +2106,12 @@ class SearchEngine:
         from .ranker import PREFIX_COMPLETION_WEIGHT
         from ..tokenizer import extract_index_terms, tokenize_for_index
 
+        if not getattr(self.meta, "prefix_search", True):
+            # S5 prefixSearch toggle (MeiliSearch v1.12: disabled) → 400
+            raise ValueError(
+                "prefix search is disabled on this index "
+                "(settings.update_prefix_search to re-enable)"
+            )
         positive, exclude_terms = split_query_negatives(query)
         base = list(
             dict.fromkeys(
@@ -2611,6 +2617,12 @@ class SearchEngine:
             facets, getattr(self.meta, "filterable_attributes", None),
             "filterable fields",
         )
+        if max_values_per_facet is None:
+            # S5 faceting.maxValuesPerFacet: the index setting supplies the
+            # default when the call doesn't pass one (None = uncapped)
+            max_values_per_facet = (getattr(self.meta, "faceting", None) or {}).get(
+                "max_values_per_facet"
+            )
         # query-side stop-words never match at search time, so they must not
         # inflate facet counts either (parity with the hit set)
         qterms = list(dict.fromkeys(self._drop_stopwords(list(terms))))
@@ -2743,6 +2755,12 @@ class SearchEngine:
         INSET-pruned match set as facetDistribution (or a plain doc_stats
         scan without terms), one map-side-combined groupBy on the value,
         top-N via TakeOrderedAndProject — never a full sort."""
+        if not getattr(self.meta, "facet_search", True):
+            # S5 facetSearch toggle (MeiliSearch v1.12): disabled → 400
+            raise ValueError(
+                "facet search is disabled on this index "
+                "(settings.update_facet_search to re-enable)"
+            )
         if facet_name not in self._public_fields():
             raise ValueError(
                 f"unknown facet field {facet_name!r}; available {self._public_fields()}"

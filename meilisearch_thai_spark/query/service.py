@@ -151,6 +151,13 @@ class SearchService:
 
         # need offset+limit rows, +headroom when content-dedup may drop some
         k = req.offset + req.limit
+        cap = (getattr(self.engine.meta, "pagination", None) or {}).get(
+            "max_total_hits"
+        )
+        if cap is not None:
+            # S5 maxTotalHits: never even FETCH past the cap — the setting's
+            # point is bounding the distributed top-(offset+limit) heap
+            k = min(k, cap)
         fetch_k = k * 2 if config.content_dedup else k
         # Q7: fallback tokenization doubles the candidate fetch, capped at
         # 100 (search_executor.py:884-886) — but never below the requested
@@ -224,6 +231,15 @@ class SearchService:
         ]
         if config.content_dedup:
             hits = content_similarity_dedup(hits, text_key="text")
+        # S5 pagination.maxTotalHits: rows past the cap are unreachable and
+        # the reported total is clamped (MeiliSearch caps estimatedTotalHits
+        # at the setting) — the guardrail that bounds every executor's
+        # offset+limit heap; deep exports go through search_after instead
+        cap = (getattr(self.engine.meta, "pagination", None) or {}).get(
+            "max_total_hits"
+        )
+        if cap is not None:
+            hits = hits[:cap]
         total = len(hits)
         page = hits[req.offset : req.offset + req.limit]
 

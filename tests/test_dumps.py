@@ -109,6 +109,15 @@ def test_dump_preserves_query_time_settings_drift(spark, tmp_path):
     update_typo_tolerance(d, one_typo=6, two_typos=11, disable_on_words=["Spark"])
     update_filterable_attributes(d, ["warc_ts"])
     update_stop_words(d, ["ขณะที่"])
+    from meilisearch_thai_spark.index.settings import (
+        update_faceting,
+        update_pagination,
+        update_prefix_search,
+    )
+
+    update_pagination(d, 50)
+    update_faceting(d, 7)
+    update_prefix_search(d, False)
 
     dump = str(tmp_path / "dump")
     dump_index(spark, d, dump, pages)
@@ -121,3 +130,6 @@ def test_dump_preserves_query_time_settings_drift(spark, tmp_path):
     assert b["filterable_attributes"] == ["warc_ts"]
     assert b["stop_words"] == ["ขณะที่"]
     assert b["stored_fields"] == ["warc_ts"]
+    assert b["pagination"] == {"max_total_hits": 50}
+    assert b["faceting"] == {"max_values_per_facet": 7}
+    assert b["prefix_search"] is False and b["facet_search"] is True

@@ -238,3 +238,74 @@ def test_declarations_respect_actual_columns_and_gate_facets(spark, tmp_path):
     eng = SearchEngine(spark, out, cache_postings=False)
     with pytest.raises(ValueError, match="filterable fields.*lang"):
         eng.facet_distribution(["wakame"], ["lang"])
+
+
+def test_pagination_faceting_and_toggles(spark, tmp_path):
+    """S5 pagination.maxTotalHits / faceting.maxValuesPerFacet and the v1.12
+    facetSearch/prefixSearch toggles (MeiliSearch settings surface)."""
+    from meilisearch_thai_spark.index.settings import (
+        update_faceting,
+        update_facet_search,
+        update_pagination,
+        update_prefix_search,
+    )
+    from meilisearch_thai_spark.query.service import SearchService
+    from meilisearch_thai_spark.sources.pages import generate_pages
+
+    out = str(tmp_path / "idx_pag")
+    build_index(spark, generate_pages(spark, 300, seed=21), out, bucket_span=128)
+    eng = SearchEngine(spark, out, cache_postings=False)
+    term = (
+        eng.postings.groupBy("term").count().orderBy("count", ascending=False)
+        .limit(1).collect()[0]["term"]
+    )
+
+    # permissive default: deep page reachable, settings export None/True
+    s = export_settings(out)
+    assert s["pagination"] is None and s["faceting"] is None
+    assert s["facet_search"] is True and s["prefix_search"] is True
+    svc = SearchService(spark, out)
+    deep = svc.search(term, limit=5, offset=10)
+    assert deep.hits and deep.total_unique_hits > 15
+
+    # maxTotalHits: the window past the cap is unreachable, total clamps,
+    # has_next honors the cap
+    update_pagination(out, 8)
+    svc2 = SearchService(spark, out)
+    capped = svc2.search(term, limit=5, offset=0)
+    assert capped.total_unique_hits <= 8 and capped.has_next is (capped.total_unique_hits > 5)
+    beyond = svc2.search(term, limit=5, offset=8)
+    assert beyond.hits == [] and beyond.total_unique_hits <= 8
+    assert export_settings(out)["pagination"] == {"max_total_hits": 8}
+    with pytest.raises(ValueError, match="maxTotalHits"):
+        update_pagination(out, 0)
+    update_pagination(out, None)  # reset round-trips
+    assert export_settings(out)["pagination"] is None
+
+    # maxValuesPerFacet: the setting caps facet_distribution's per-facet
+    # value list when the call passes no explicit cap
+    n_vals = len(eng.facet_distribution([term], ["lang"]).collect())
+    assert n_vals > 1  # >1 matching language, so a cap of 1 must bite
+    update_faceting(out, 1)
+    eng2 = SearchEngine(spark, out, cache_postings=False)
+    vals = eng2.facet_distribution([term], ["lang"]).collect()
+    assert len(vals) == 1  # capped to the top value
+    explicit = eng2.facet_distribution([term], ["lang"], max_values_per_facet=100).collect()
+    assert len(explicit) == n_vals  # explicit arg overrides the setting
+    update_faceting(out, None)
+    eng3 = SearchEngine(spark, out, cache_postings=False)
+    assert len(eng3.facet_distribution([term], ["lang"]).collect()) == n_vals
+
+    # facetSearch / prefixSearch toggles: disabled -> request error
+    update_facet_search(out, False)
+    update_prefix_search(out, False)
+    eng4 = SearchEngine(spark, out, cache_postings=False)
+    with pytest.raises(ValueError, match="facet search is disabled"):
+        eng4.facet_search("lang", "t")
+    with pytest.raises(ValueError, match="prefix search is disabled"):
+        eng4.search_prefix(term[:2], k=3)
+    update_facet_search(out, True)
+    update_prefix_search(out, True)
+    eng5 = SearchEngine(spark, out, cache_postings=False)
+    eng5.facet_search("lang", "t").collect()
+    eng5.search_prefix(term[:2], k=3).collect()
