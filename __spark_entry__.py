@@ -699,6 +699,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "embeddings"), "vec_id", "embedding", 0, k=20, n_cells=8, n_probe=4
         )
 
+    def ann_ivf_persisted(spark, sf):
+        # persisted IVF vector index (MeiliSearch vector-store analogue):
+        # centroids + cell-partitioned parquet built ONCE (memoized), the
+        # query probes 4 of 8 cells reading only their files.  Bit-identical
+        # to the ad-hoc seeded IVF, so the same DuckDB oracle gates it.
+        import tempfile
+
+        from meilisearch_thai_spark.pipeline.similarity import (
+            VectorIndex,
+            build_vector_index,
+        )
+
+        key = sf + ":vecidx"
+        if key not in _IDX_CACHE:
+            out = tempfile.mkdtemp(prefix="drv_vec_") + "/vidx"
+            build_vector_index(
+                spark, _t(spark, sf, "embeddings"), "vec_id", "embedding", out, n_cells=8
+            )
+            _IDX_CACHE[key] = out
+        return VectorIndex(spark, _IDX_CACHE[key]).query_by_id(0, k=20, n_probe=4)
+
     def stats_token(spark, sf):
         return ts.token_stats(_t(spark, sf, "documents"), "doc_id", "text")
 
@@ -1781,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_overlap": dedup_winnow_overlap,
         "x22_geo_radius_search": x22_geo_radius_search,
         "x23_geo_sort_search": x23_geo_sort_search,
+        "ann_ivf_persisted": ann_ivf_persisted,
     }
 
 
@@ -2112,6 +2134,9 @@ FROM documents GROUP BY 1
                 ),
             )
             + ") ORDER BY geo_distance_m ASC, doc_key ASC"
+        ),
+        "ann_ivf_persisted": sim.ivf_cosine_topk_sql(
+            "embeddings", "vec_id", "embedding", 0, k=20, n_cells=8, n_probe=4
         ),
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.2),
         "dedup_minhash_lsh": dd.minhash_lsh_candidates_sql("documents", "doc_id", "text"),

@@ -470,6 +470,145 @@ LIMIT {k}
 """
 
 
+def build_vector_index(
+    spark,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dir: str,
+    n_cells: int = 16,
+    quantizer: str = "seeded",
+    seed: int = 42,
+) -> dict:
+    """Persist an IVF vector index: the MeiliSearch vector-store analogue of
+    ``index.builder.build_index`` — centroids + cell assignments written once
+    at build time, reused by every query, instead of :func:`ivf_cosine_topk`
+    recomputing the coarse quantizer per call.
+
+    Layout: ``{out_dir}/vectors`` — parquet PARTITIONED BY ``cell``, so a
+    probe of ``n_probe`` cells reads ONLY those cells' files (partition
+    pruning; this is the documented 100 TB claim of ``ivf_assignments``,
+    made physical — verified by ``tests/test_vector_index.py`` via
+    ``input_file_name``) — plus ``vector_meta.json`` carrying the centroid
+    matrix (n_cells × dim doubles: driver-sized, the IVF equivalent of
+    meta.json).  Staged write + atomic rename like snapshots/dumps.
+
+    ``quantizer='seeded'`` (md5-seeded medoids) keeps the whole structure
+    reproducible by the DuckDB oracle; ``'kmeans'`` trains Spark-ML cells
+    (better balance, pytest-verified by recall only)."""
+    import json
+    import os
+    import shutil
+
+    out = os.path.abspath(out_dir)
+    if os.path.exists(out):
+        raise ValueError(f"vector index target {out_dir} already exists")
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("vec_key"), vec_d.alias("v"))
+    if quantizer == "kmeans":
+        assignments, centroids = ivf_assignments(emb, id_col, vec_col, n_cells, seed)
+        cents = [[float(x) for x in c] for c in centroids]
+        table = base.join(assignments, "vec_key")
+    elif quantizer == "seeded":
+        cents = seeded_centroids(emb, id_col, vec_col, n_cells)
+        cos_arr = F.array(*[_cell_cos_expr(F.col("v"), c) for c in cents])
+        table = base.withColumn(
+            "cell", (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
+        )
+    else:
+        raise ValueError(f"quantizer must be 'seeded' or 'kmeans', got {quantizer!r}")
+    tmp = out + ".build_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    table.write.partitionBy("cell").parquet(os.path.join(tmp, "vectors"))
+    n_vectors = spark.read.parquet(os.path.join(tmp, "vectors")).count()
+    meta = {
+        "format": "mst-vec-v1",
+        "n_cells": int(n_cells),
+        "quantizer": quantizer,
+        "seed": int(seed),
+        "dim": len(cents[0]) if cents else 0,
+        "n_vectors": int(n_vectors),
+        "centroids": cents,
+    }
+    with open(os.path.join(tmp, "vector_meta.json"), "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, out)
+    return meta
+
+
+class VectorIndex:
+    """Query side of :func:`build_vector_index`: driver-side probe choice
+    against the persisted centroid matrix, then one cell-pruned scan.
+
+    Probe selection uses the same sequential-fold cosine (and the seeded
+    quantizer's same smallest-index tie-break) as :func:`ivf_cosine_topk`,
+    so a persisted-index query is bit-identical to the ad-hoc path and to
+    the DuckDB oracle :func:`ivf_cosine_topk_sql`."""
+
+    def __init__(self, spark, index_dir: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.dir = os.path.abspath(index_dir)
+        with open(os.path.join(self.dir, "vector_meta.json")) as f:
+            self.meta = json.load(f)
+        self._vectors_path = os.path.join(self.dir, "vectors")
+
+    def _vectors(self) -> DataFrame:
+        return self.spark.read.parquet(self._vectors_path)
+
+    def probe_cells(self, qv: list[float], n_probe: int) -> list[int]:
+        """The ``n_probe`` cells nearest the query vector (cosine desc,
+        cell index asc on ties — the seeded quantizer's ordering)."""
+        qnorm = float(np.sqrt(_seq_dot(qv, qv)))
+        sims = [
+            (_seq_dot(qv, c) / (qnorm * float(np.sqrt(_seq_dot(c, c)))), j)
+            for j, c in enumerate(self.meta["centroids"])
+        ]
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        return [j for _s, j in sims[:n_probe]]
+
+    def query_by_vector(
+        self, qv, k: int = 10, n_probe: int = 4, exclude_key=None
+    ) -> DataFrame:
+        """Top-k by cosine among the probed cells' vectors → (vec_key,
+        cosine).  The ``cell`` filter is a PARTITION filter: only the probed
+        cells' parquet files are read."""
+        qv = [float(x) for x in qv]
+        if len(qv) != self.meta["dim"]:
+            raise ValueError(f"query dim {len(qv)} != index dim {self.meta['dim']}")
+        probes = self.probe_cells(qv, n_probe)
+        qlit = F.array(*[F.lit(x) for x in qv])
+        df = self._vectors().filter(F.col("cell").isin(probes))
+        if exclude_key is not None:
+            df = df.filter(F.col("vec_key") != exclude_key)
+        return (
+            df.withColumn(
+                "cosine",
+                F.round(
+                    _dot(F.col("v"), qlit)
+                    / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(qlit, qlit))),
+                    4,
+                ),
+            )
+            .select("vec_key", "cosine")
+            .orderBy(F.desc("cosine"), F.asc("vec_key"))
+            .limit(k)
+        )
+
+    def query_by_id(self, vec_key, k: int = 10, n_probe: int = 4) -> DataFrame:
+        """Similar-vectors serving by stored key (the similar-documents
+        shape): fetch the key's vector, then :meth:`query_by_vector`
+        excluding the key itself."""
+        rows = self._vectors().filter(F.col("vec_key") == vec_key).select("v").collect()
+        if not rows:
+            raise ValueError(f"vec_key {vec_key!r} not in the vector index")
+        return self.query_by_vector(
+            list(rows[0]["v"]), k=k, n_probe=n_probe, exclude_key=vec_key
+        )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
