@@ -115,6 +115,41 @@ def geo_distance_sql(lat: float, lng: float, lat_sql: str = "lat", lng_sql: str 
     return f"{2.0 * EARTH_RADIUS_M!r} * asin(least(1.0, sqrt({h})))"
 
 
+def _radius_prefilter(lat: float, lng: float, meters: float):
+    """Conservative bounding box around a `_geoRadius` circle, as plain
+    range Columns on lat/lng (driver-side spherical math; Matuschek's
+    bounding-coordinates construction).  Guarantees box ⊇ circle:
+    Δlat = the angular radius; Δlng = asin(sin t / cos φ) taken at the
+    latitude of the RANGE with the smallest cosine (≥ the exact center
+    formula, so conservative); a circle containing a pole, or one whose
+    asin argument reaches 1, drops the longitude constraint entirely."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    t = meters / EARTH_RADIUS_M  # angular radius, radians
+    if t >= math.pi:
+        return F.lit(True)  # the circle covers the sphere
+    dlat = math.degrees(t) + 1e-9
+    lat_lo, lat_hi = lat - dlat, lat + dlat
+    p = F.col("lat").between(F.lit(max(-90.0, lat_lo)), F.lit(min(90.0, lat_hi)))
+    if lat_lo <= -90.0 or lat_hi >= 90.0 or t >= math.pi / 2:
+        return p  # a pole may be inside: every longitude is reachable
+    cos_min = min(math.cos(math.radians(lat_lo)), math.cos(math.radians(lat_hi)))
+    y = math.sin(t) / cos_min
+    if y >= 1.0:
+        return p
+    dlng = math.degrees(math.asin(y)) + 1e-9
+    if dlng >= 180.0:
+        return p
+    left, right = lng - dlng, lng + dlng
+    if left < -180.0:
+        return p & ((F.col("lng") >= F.lit(left + 360.0)) | (F.col("lng") <= F.lit(right)))
+    if right > 180.0:
+        return p & ((F.col("lng") >= F.lit(left)) | (F.col("lng") <= F.lit(right - 360.0)))
+    return p & F.col("lng").between(F.lit(left), F.lit(right))
+
+
 def _geo_filter_column(cond: dict):
     """``_geo`` filter conditions → Column predicate over lat/lng metadata.
 
@@ -133,7 +168,15 @@ def _geo_filter_column(cond: dict):
             )
         if op == "$radius":
             lat, lng, meters = val
-            p = geo_distance_m(lat, lng) <= F.lit(float(meters))
+            # conservative bounding-box PREFILTER before the exact haversine:
+            # the trig predicate cannot reach the parquet scan, but the box's
+            # plain range comparisons on lat/lng push down to row-group
+            # min/max pruning (PushedFilters — the thing that matters at
+            # 100 TB; plan-guarded in tests/test_geo.py).  The box is a
+            # strict superset of the circle, so AND-ing it never changes the
+            # result set.
+            p = _radius_prefilter(float(lat), float(lng), float(meters))
+            p = p & (geo_distance_m(lat, lng) <= F.lit(float(meters)))
         else:
             (top, right), (bottom, left) = val
             if not (-90.0 <= bottom <= top <= 90.0):

@@ -227,3 +227,42 @@ def test_geo_declarations_and_errors(spark, geo_idx, tmp_path):
         peng.allowed_docs({"_geo": {"$radius": [*BKK, 1000.0]}})
     with pytest.raises(ValueError, match="lat/lng"):
         peng.search_terms(["a"], k=3, sort=["_geoPoint(0.0, 0.0):asc"])
+
+
+def test_radius_prefilter_is_conservative_and_pushes_down(spark, geo_idx):
+    """The _geoRadius bounding-box prefilter must (a) never change the
+    result set — box ⊇ circle even near poles and across the antimeridian —
+    and (b) reach the parquet scan as PushedFilters on lat/lng (the part of
+    the predicate that prunes row groups at 100 TB; the haversine itself is
+    not scan-pushable)."""
+    out, coords = geo_idx
+    eng = SearchEngine(spark, out, cache_postings=False)
+    id_of = {r["url"]: r["doc_id"] for r in eng.doc_stats.select("url", "doc_id").collect()}
+    cases = [
+        (-29.5, -65.5, 3_000_000.0),     # mid-line, the plain case
+        (-84.0, -100.0, 2_000_000.0),    # near-pole: lng constraint must drop
+        (-40.0, -178.0, 2_500_000.0),    # antimeridian wrap on the left
+        (-40.0, 178.0, 2_500_000.0),     # antimeridian wrap on the right
+        (0.0, 0.0, 19_000_000.0),        # near-antipodal radius
+        (-85.0, 0.0, 700_000.0),         # pole INSIDE the circle
+    ]
+    for lat, lng, radius in cases:
+        allowed = {
+            r["doc_id"]
+            for r in eng.allowed_docs({"_geo": {"$radius": [lat, lng, radius]}}).collect()
+        }
+        expect = {
+            id_of[u] for u, (la, ln) in coords.items()
+            if _py_haversine(lat, lng, la, ln) <= radius
+        }
+        assert allowed == expect, (lat, lng, radius)
+
+    # plan guard: the box ranges reach the scan
+    df = eng.doc_stats.filter(
+        __import__("meilisearch_thai_spark.query.requests", fromlist=["x"]).filters_to_column(
+            {"_geo": {"$radius": [-29.5, -65.5, 3_000_000.0]}}
+        )
+    )
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in txt
+    assert "lat" in txt and "lng" in txt
