@@ -699,17 +699,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "embeddings"), "vec_id", "embedding", 0, k=20, n_cells=8, n_probe=4
         )
 
-    def ann_ivf_persisted(spark, sf):
-        # persisted IVF vector index (MeiliSearch vector-store analogue):
-        # centroids + cell-partitioned parquet built ONCE (memoized), the
-        # query probes 4 of 8 cells reading only their files.  Bit-identical
-        # to the ad-hoc seeded IVF, so the same DuckDB oracle gates it.
+    def _vec_index(spark, sf):
+        # persisted IVF vector index over ``embeddings`` (memoized build)
         import tempfile
 
-        from meilisearch_thai_spark.pipeline.similarity import (
-            VectorIndex,
-            build_vector_index,
-        )
+        from meilisearch_thai_spark.pipeline.similarity import build_vector_index
 
         key = sf + ":vecidx"
         if key not in _IDX_CACHE:
@@ -718,7 +712,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark, _t(spark, sf, "embeddings"), "vec_id", "embedding", out, n_cells=8
             )
             _IDX_CACHE[key] = out
-        return VectorIndex(spark, _IDX_CACHE[key]).query_by_id(0, k=20, n_probe=4)
+        return _IDX_CACHE[key]
+
+    def ann_ivf_persisted(spark, sf):
+        # persisted IVF vector index (MeiliSearch vector-store analogue):
+        # centroids + cell-partitioned parquet built ONCE (memoized), the
+        # query probes 4 of 8 cells reading only their files.  Bit-identical
+        # to the ad-hoc seeded IVF, so the same DuckDB oracle gates it.
+        from meilisearch_thai_spark.pipeline.similarity import VectorIndex
+
+        return VectorIndex(spark, _vec_index(spark, sf)).query_by_id(0, k=20, n_probe=4)
+
+    def hybrid_pool_search(spark, sf):
+        # pool-union hybrid over the REAL index structures (the 100 TB path
+        # hybrid_topk's docstring commits to): keyword pool = the BM25
+        # engine's top-30, semantic pool = the persisted IVF index's top-30
+        # (4/8 cells probed), blended by hybrid_pools_topk with exact
+        # backfill of each candidate's missing side
+        from meilisearch_thai_spark.pipeline.similarity import (
+            VectorIndex,
+            hybrid_pools_topk,
+        )
+        from meilisearch_thai_spark.query.executor import SearchEngine
+
+        eng = SearchEngine(spark, _docs_index(spark, sf), cache_postings=False)
+        kw = eng.search_terms(_BM25_QUERY, k=30).select(
+            F.col("url").cast("long").alias("doc_key"), F.col("score").alias("bm25")
+        )
+        sem = (
+            VectorIndex(spark, _vec_index(spark, sf))
+            .query_by_id(0, k=30, n_probe=4)
+            .select(F.col("vec_key").alias("doc_key"), "cosine")
+        )
+        return hybrid_pools_topk(
+            kw, sem, _t(spark, sf, "embeddings"), "vec_id", "embedding", 0,
+            k=20, semantic_ratio=0.6,
+        )
 
     def stats_token(spark, sf):
         return ts.token_stats(_t(spark, sf, "documents"), "doc_id", "text")
@@ -1803,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x22_geo_radius_search": x22_geo_radius_search,
         "x23_geo_sort_search": x23_geo_sort_search,
         "ann_ivf_persisted": ann_ivf_persisted,
+        "hybrid_pool_search": hybrid_pool_search,
     }
 
 
@@ -2137,6 +2167,13 @@ FROM documents GROUP BY 1
         ),
         "ann_ivf_persisted": sim.ivf_cosine_topk_sql(
             "embeddings", "vec_id", "embedding", 0, k=20, n_cells=8, n_probe=4
+        ),
+        "hybrid_pool_search": sim.hybrid_pools_topk_sql(
+            adhoc.bm25_topk_sql_oracle("documents", "doc_id", "text", _BM25_QUERY, k=30),
+            sim.ivf_cosine_topk_sql(
+                "embeddings", "vec_id", "embedding", 0, k=30, n_cells=8, n_probe=4
+            ),
+            "embeddings", "vec_id", "embedding", 0, k=20, semantic_ratio=0.6,
         ),
         "dedup_ngram_jaccard": dd.ngram_jaccard_pairs_sql("documents", "doc_id", "text", n=3, threshold=0.2),
         "dedup_minhash_lsh": dd.minhash_lsh_candidates_sql("documents", "doc_id", "text"),

@@ -838,6 +838,138 @@ LIMIT {k}
 """
 
 
+def hybrid_pools_topk(
+    keyword_pool: DataFrame,
+    semantic_pool: DataFrame,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec_id: int,
+    k: int = 10,
+    semantic_ratio: float = 0.5,
+) -> DataFrame:
+    """Pool-union hybrid — the 100 TB path :func:`hybrid_topk` documents,
+    made real over the ACTUAL index structures: ``keyword_pool`` is the BM25
+    engine's top-k ``(doc_key, bm25)`` (block-max path), ``semantic_pool``
+    the vector index's top-k ``(doc_key, cosine)`` (cell-pruned IVF probe,
+    cosine already at 4 decimals).  Candidates = the UNION of the two pools
+    (pool merge is exactly how MeiliSearch's hybrid executes); each
+    candidate's MISSING side is backfilled exactly — a pool-sized lookup:
+    keyword-only docs get their true cosine from ``emb``, semantic-only docs
+    get bm25 = 0 (they matched no query term or fell below the keyword
+    pool, where their normalized contribution is ~0 anyway).
+
+    Blend = ``ratio * (cosine+1)/2 + (1-ratio) * bm25 / max_pool_bm25``
+    (same formula and 4-decimal rounding as :func:`hybrid_topk`, max over
+    the keyword pool).  The query vector's own row is excluded BEFORE the
+    max.  Only embedded docs rank (inner join on ``emb``), like
+    :func:`hybrid_topk`.  Recall vs the all-docs blend is bounded by pool
+    truncation — that is the scale trade, and the ONLY difference: on pools
+    covering the union's support the two paths agree bit-for-bit.
+
+    Returns (doc_key, hybrid_score, cosine) — DuckDB twin:
+    :func:`hybrid_pools_topk_sql`."""
+    if not 0.0 <= semantic_ratio <= 1.0:
+        raise ValueError(f"semantic_ratio must be in [0, 1], got {semantic_ratio}")
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = _spread(emb).select(F.col(id_col).alias("doc_key"), vec_d.alias("v"))
+    q = base.filter(F.col("doc_key") == query_vec_id).select(F.col("v").alias("qv"))
+    kw = (
+        keyword_pool.select("doc_key", F.round("bm25", 4).alias("bm25"))
+        .filter(F.col("doc_key") != query_vec_id)
+    )
+    sem = semantic_pool.select("doc_key", "cosine").filter(
+        F.col("doc_key") != query_vec_id
+    )
+    keys = kw.select("doc_key").union(sem.select("doc_key")).distinct()
+    mx = kw.agg(F.max("bm25").alias("mx"))
+    joined = (
+        keys.join(sem, "doc_key", "left")
+        .join(kw, "doc_key", "left")
+        .join(base, "doc_key")  # inner: only embedded docs rank
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cosine",
+            F.coalesce(
+                F.col("cosine"),
+                F.round(
+                    _dot(F.col("v"), F.col("qv"))
+                    / (
+                        F.sqrt(_dot(F.col("v"), F.col("v")))
+                        * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    ),
+                    4,
+                ),
+            ),
+        )
+        .crossJoin(F.broadcast(mx))
+    )
+    r = float(semantic_ratio)
+    return (
+        joined.select(
+            "doc_key",
+            F.round(
+                F.lit(r) * (F.col("cosine") + 1.0) / 2.0
+                + F.lit(1.0 - r) * F.coalesce(F.col("bm25") / F.col("mx"), F.lit(0.0)),
+                4,
+            ).alias("hybrid_score"),
+            "cosine",
+        )
+        .orderBy(F.desc("hybrid_score"), F.asc("doc_key"))
+        .limit(k)
+    )
+
+
+def hybrid_pools_topk_sql(
+    keyword_pool_sql: str,
+    semantic_pool_sql: str,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_vec_id: int,
+    k: int = 10,
+    semantic_ratio: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`hybrid_pools_topk`: ``keyword_pool_sql`` yields
+    (doc_key, score[, ...]) — e.g. ``bm25_topk_sql_oracle`` — and
+    ``semantic_pool_sql`` yields (vec_key, cosine) — e.g.
+    ``ivf_cosine_topk_sql``."""
+    r = float(semantic_ratio)
+    return f"""
+WITH kw AS (
+  SELECT doc_key, ROUND(score, 4) AS bm25 FROM ({keyword_pool_sql})
+  WHERE doc_key <> {query_vec_id}
+),
+sem AS (
+  SELECT vec_key AS doc_key, cosine FROM ({semantic_pool_sql})
+  WHERE vec_key <> {query_vec_id}
+),
+v AS (
+  SELECT {id_col} AS doc_key, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+),
+q AS (SELECT v AS qv FROM v WHERE doc_key = {query_vec_id}),
+keys AS (SELECT doc_key FROM kw UNION SELECT doc_key FROM sem),
+m AS (SELECT MAX(bm25) AS mx FROM kw),
+j AS (
+  SELECT keys.doc_key,
+         COALESCE(sem.cosine,
+                  ROUND(list_dot_product(v.v, q.qv)
+                        / (sqrt(list_dot_product(v.v, v.v))
+                           * sqrt(list_dot_product(q.qv, q.qv))), 4)) AS cosine,
+         kw.bm25 AS bm25
+  FROM keys LEFT JOIN sem USING (doc_key) LEFT JOIN kw USING (doc_key)
+  JOIN v ON v.doc_key = keys.doc_key CROSS JOIN q
+)
+SELECT j.doc_key AS doc_key,
+       ROUND({r!r} * (j.cosine + 1.0) / 2.0
+             + {1.0 - r!r} * COALESCE(j.bm25 / m.mx, 0.0), 4) AS hybrid_score,
+       j.cosine AS cosine
+FROM j CROSS JOIN m
+ORDER BY hybrid_score DESC, doc_key ASC
+LIMIT {k}
+"""
+
+
 def pool_embeddings(
     chunks: DataFrame,
     group_col: str,

@@ -100,3 +100,79 @@ def test_query_errors(spark, vidx):
         vi.query_by_id(10**9, k=5)
     with pytest.raises(ValueError, match="quantizer"):
         build_vector_index(spark, vi._vectors(), "vec_key", "v", out + "_x", quantizer="nope")
+
+
+def test_hybrid_pools_blend_matches_python_twin(spark, emb, vidx, sf_dir):
+    """Pool-union hybrid (hybrid_pools_topk) vs an independent pure-Python
+    twin computed from the collected pools + exact backfilled cosines, and
+    high agreement with the all-docs blend (hybrid_topk) when pools are
+    deep enough to cover its winners."""
+    import math
+
+    from meilisearch_thai_spark.query import adhoc
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out, _ = vidx
+    vi = sim.VectorIndex(spark, out)
+    terms, qid, ratio, k = ["merge", "join", "table", "scan"], 0, 0.6, 10
+
+    kw_pool = adhoc.bm25_topk(docs, "doc_id", "text", terms, k=30).select(
+        F.col("doc_key"), F.col("score").alias("bm25")
+    )
+    sem_pool = vi.query_by_id(qid, k=30, n_probe=4).select(
+        F.col("vec_key").alias("doc_key"), "cosine"
+    )
+    got = [
+        (r["doc_key"], r["hybrid_score"], r["cosine"])
+        for r in sim.hybrid_pools_topk(
+            kw_pool, sem_pool, emb, "vec_id", "embedding", qid, k=k, semantic_ratio=ratio
+        ).collect()
+    ]
+
+    # pure-Python twin over the same pools
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    qv = vecs[qid]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))), 4)
+
+    kwp = {r["doc_key"]: round(r["bm25"], 4) for r in kw_pool.collect() if r["doc_key"] != qid}
+    semp = {r["doc_key"]: r["cosine"] for r in sem_pool.collect() if r["doc_key"] != qid}
+    mx = max(kwp.values()) if kwp else None
+    rows = []
+    for key in set(kwp) | set(semp):
+        if key not in vecs:
+            continue
+        c = semp.get(key, None)
+        if c is None:
+            c = cos(vecs[key], qv)
+        b = kwp.get(key, 0.0)
+        h = round(ratio * (c + 1.0) / 2.0 + (1 - ratio) * (b / mx if mx else 0.0), 4)
+        rows.append((key, h, c))
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    assert got == rows[:k]
+
+    # deep pools (all cells probed, corpus-wide keyword pool) ≈ the
+    # all-docs blend: top-k sets overlap heavily (rounding of pooled bm25
+    # is the only difference by construction)
+    kw_all = adhoc.bm25_topk(docs, "doc_id", "text", terms, k=10**6).select(
+        F.col("doc_key"), F.col("score").alias("bm25")
+    )
+    sem_all = vi.query_by_id(qid, k=10**6, n_probe=8).select(
+        F.col("vec_key").alias("doc_key"), "cosine"
+    )
+    pooled = {
+        r["doc_key"]
+        for r in sim.hybrid_pools_topk(
+            kw_all, sem_all, emb, "vec_id", "embedding", qid, k=k, semantic_ratio=ratio
+        ).collect()
+    }
+    alldocs = {
+        r["doc_key"]
+        for r in sim.hybrid_topk(
+            docs, emb, "doc_id", "text", "vec_id", "embedding", terms, qid,
+            k=k, semantic_ratio=ratio,
+        ).collect()
+    }
+    assert len(pooled & alldocs) >= int(0.8 * k)
