@@ -231,6 +231,11 @@ def main() -> None:
         # the untimed warm loop)
         "x22_geo_radius_search",
         "x23_geo_sort_search",
+        # round 5 (session 3): persisted-IVF probe (cell-pruned file reads)
+        # and the pool-union hybrid over the real BM25 + vector indexes
+        # (positions 106-107; both index builds land in the warm loop)
+        "ann_ivf_persisted",
+        "hybrid_pool_search",
     ]
     for name in names[6:]:
         qs[name](spark, SF_DIR).collect()  # untimed: builds the memoized index
