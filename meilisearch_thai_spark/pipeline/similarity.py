@@ -600,7 +600,16 @@ class VectorIndex:
     def query_by_id(self, vec_key, k: int = 10, n_probe: int = 4) -> DataFrame:
         """Similar-vectors serving by stored key (the similar-documents
         shape): fetch the key's vector, then :meth:`query_by_vector`
-        excluding the key itself."""
+        excluding the key itself.
+
+        Scale note: only the PROBE scan is cell-pruned; this key→vector
+        point lookup pushes ``vec_key`` down to parquet row-group min/max
+        stats but still consults every cell's footers (keys hash across
+        cells, so no cell can be ruled out).  At 100 TB serve the lookup
+        from the primary key-partitioned store (exactly what
+        ``x17_similar_documents`` does for documents) and call
+        :meth:`query_by_vector` directly — the persisted structure's claim
+        is about the probe, not the lookup."""
         rows = self._vectors().filter(F.col("vec_key") == vec_key).select("v").collect()
         if not rows:
             raise ValueError(f"vec_key {vec_key!r} not in the vector index")

@@ -485,6 +485,16 @@ def geo_sort_point(sort: list[str] | None) -> tuple[float, float] | None:
     return None
 
 
+def attach_geo_distance(df: DataFrame, gp: tuple[float, float]) -> DataFrame:
+    """MeiliSearch attaches ``_geoDistance`` (meters) to hits when sorting
+    by ``_geoPoint`` — floored to WHOLE meters so the DuckDB oracle hash
+    cannot flip on libm sin/asin ulps.  The one definition of that grain,
+    shared by every response path that exposes the field."""
+    from .requests import geo_distance_m
+
+    return df.withColumn("_geoDistance", F.floor(geo_distance_m(*gp)).cast("long"))
+
+
 def parse_sort(sort: list[str], available: list[str]) -> list:
     """``["field:asc|desc", ...]`` → orderBy Column list; unknown fields raise
     (the reference 400s on non-sortable attributes; silently dropping a sort
@@ -1532,13 +1542,19 @@ class SearchEngine:
             getattr(self.meta, "filterable_attributes", None),
             "filterable fields",
         )
+        self._check_geo_filter(filters)
+        return self.doc_stats.filter(filters_to_column(filters)).select("doc_id")
+
+    def _check_geo_filter(self, filters: dict | None) -> None:
+        """A ``_geo`` filter needs lat/lng doc metadata — raise the clean
+        request error (not a plan-time AnalysisException) on EVERY path that
+        hands filters to ``filters_to_column``: search, facets, deletes."""
         if "_geo" in (filters or {}):
             missing = {"lat", "lng"} - set(self.doc_stats.columns)
             if missing:
                 raise ValueError(
                     f"_geo filter needs lat/lng doc metadata; missing {sorted(missing)}"
                 )
-        return self.doc_stats.filter(filters_to_column(filters)).select("doc_id")
 
     def score_variants_topk_filtered(
         self,
@@ -1895,11 +1911,7 @@ class SearchEngine:
             out_cols = self._hit_cols(attributes_to_retrieve)
             gp = geo_sort_point(sort)
             if gp is not None:
-                from .requests import geo_distance_m
-
-                joined = joined.withColumn(
-                    "_geoDistance", F.floor(geo_distance_m(*gp)).cast("long")
-                )
+                joined = attach_geo_distance(joined, gp)
                 out_cols = [*out_cols, "_geoDistance"]
             return joined.orderBy(*order).limit(k).select(*out_cols)
         if distinct or sort:
@@ -1943,14 +1955,7 @@ class SearchEngine:
             ) + [F.desc("score"), F.asc("doc_id")]
             gp = geo_sort_point(sort)
             if gp is not None:
-                # MeiliSearch attaches _geoDistance (meters) to hits when
-                # sorting by _geoPoint; floored to whole meters so the
-                # DuckDB oracle hash-compares despite libm sin/asin ulps
-                from .requests import geo_distance_m
-
-                joined = joined.withColumn(
-                    "_geoDistance", F.floor(geo_distance_m(*gp)).cast("long")
-                )
+                joined = attach_geo_distance(joined, gp)
                 out_cols = [*out_cols, "_geoDistance"]
             return joined.orderBy(*order).limit(k).select(*out_cols)
         topk = self._scored_topk_expanded(
@@ -2523,11 +2528,7 @@ class SearchEngine:
             # metadata join (TakeOrderedAndProject — no full sort materializes)
             joined = self.doc_stats.join(dedup, "doc_id")
             if gp is not None:
-                from .requests import geo_distance_m
-
-                joined = joined.withColumn(
-                    "_geoDistance", F.floor(geo_distance_m(*gp)).cast("long")
-                )
+                joined = attach_geo_distance(joined, gp)
             return (
                 joined.orderBy(*sort_cols, F.desc("score"), F.asc("doc_id"))
                 .limit(k)
@@ -2656,6 +2657,7 @@ class SearchEngine:
         (term INSET pushdown); only those blocks decode."""
         from .requests import filters_to_column
 
+        self._check_geo_filter(filters)
         if self._fp:  # fielded index: a word appears once per indexed field
             inset = [f"{i}{FIELD_SEP}{t}" for i in range(len(self.meta.fields)) for t in qterms]
         else:
@@ -2784,6 +2786,7 @@ class SearchEngine:
                     getattr(self.meta, "filterable_attributes", None),
                     "filterable fields",
                 )
+                self._check_geo_filter(filters)
                 ds = ds.filter(filters_to_column(filters))
         value = F.col(facet_name).cast("string")
         out = ds.select(value.alias("value")).filter(F.col("value").isNotNull())

@@ -168,6 +168,13 @@ def _geo_filter_column(cond: dict):
             )
         if op == "$radius":
             lat, lng, meters = val
+            # validate like the sort path does (MeiliSearch 400s on bad geo):
+            # beyond the request-error contract, an out-of-range center would
+            # break the prefilter's box-superset-of-circle invariant
+            if not (-90.0 <= float(lat) <= 90.0 and -180.0 <= float(lng) <= 180.0):
+                raise ValueError(f"_geoRadius center out of range: ({lat}, {lng})")
+            if float(meters) < 0.0:
+                raise ValueError(f"_geoRadius distance must be >= 0, got {meters}")
             # conservative bounding-box PREFILTER before the exact haversine:
             # the trig predicate cannot reach the parquet scan, but the box's
             # plain range comparisons on lat/lng push down to row-group
@@ -181,6 +188,8 @@ def _geo_filter_column(cond: dict):
             (top, right), (bottom, left) = val
             if not (-90.0 <= bottom <= top <= 90.0):
                 raise ValueError(f"boundingBox latitudes must satisfy -90 <= bottom <= top <= 90, got {val}")
+            if not (-180.0 <= left <= 180.0 and -180.0 <= right <= 180.0):
+                raise ValueError(f"boundingBox longitudes must be in [-180, 180], got {val}")
             p = F.col("lat").between(F.lit(float(bottom)), F.lit(float(top)))
             if left <= right:
                 p = p & F.col("lng").between(F.lit(float(left)), F.lit(float(right)))

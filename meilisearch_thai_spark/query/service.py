@@ -143,7 +143,14 @@ class SearchService:
         if prefix_search:
             # search-as-you-type: completions of the last word ride the same
             # one-job variant fan-out (MeiliSearch prefix-matches the final
-            # word by default; opt-in keeps existing exact-token behavior)
+            # word by default; opt-in keeps existing exact-token behavior).
+            # The prefixSearch=disabled setting governs BOTH prefix surfaces
+            # — this one and SearchEngine.search_prefix — identically.
+            if not getattr(self.engine.meta, "prefix_search", True):
+                raise ValueError(
+                    "prefix search is disabled on this index "
+                    "(settings.update_prefix_search to re-enable)"
+                )
             from .pipeline import add_prefix_variants
 
             add_prefix_variants(pq, self.engine.expand_terms, raw_query=req.query)
@@ -151,9 +158,7 @@ class SearchService:
 
         # need offset+limit rows, +headroom when content-dedup may drop some
         k = req.offset + req.limit
-        cap = (getattr(self.engine.meta, "pagination", None) or {}).get(
-            "max_total_hits"
-        )
+        cap = self._max_total_hits()
         if cap is not None:
             # S5 maxTotalHits: never even FETCH past the cap — the setting's
             # point is bounding the distributed top-(offset+limit) heap
@@ -198,6 +203,15 @@ class SearchService:
             show_ranking_score_details=show_ranking_score_details,
         )
 
+    def _max_total_hits(self) -> int | None:
+        """pagination.maxTotalHits from the index settings (None = uncapped)
+        — the ONE lookup shared by search(), batch_search(), and
+        _postprocess() so the fetch clamp and the response clamp can never
+        read the setting differently."""
+        return (getattr(self.engine.meta, "pagination", None) or {}).get(
+            "max_total_hits"
+        )
+
     def _postprocess(
         self, req, pq, rows, algorithm, config, session_id, sort, t0, t_tok, t_search,
         include_tokenization_info: bool = False,
@@ -235,9 +249,7 @@ class SearchService:
         # the reported total is clamped (MeiliSearch caps estimatedTotalHits
         # at the setting) — the guardrail that bounds every executor's
         # offset+limit heap; deep exports go through search_after instead
-        cap = (getattr(self.engine.meta, "pagination", None) or {}).get(
-            "max_total_hits"
-        )
+        cap = self._max_total_hits()
         if cap is not None:
             hits = hits[:cap]
         total = len(hits)
@@ -449,6 +461,9 @@ class SearchService:
         pqs = [process_query(r.query, synonyms=self.engine._synonyms or None) for r in reqs]
         t_tok = time.time()
         k = offset + limit
+        cap = self._max_total_hits()
+        if cap is not None:
+            k = min(k, cap)  # same fetch-side maxTotalHits clamp as search()
         fetch_k = k * 2 if config.content_dedup else k
         if any(pq.fallback_used for pq in pqs):
             fetch_k = min(fetch_k * 2, max(100, fetch_k))

@@ -196,6 +196,17 @@ def test_geo_declarations_and_errors(spark, geo_idx, tmp_path):
         eng.allowed_docs({"_geo": {"$near": [0, 0]}})
     with pytest.raises(ValueError, match="bottom <= top"):
         eng.allowed_docs({"_geo": {"$boundingBox": [[-10.0, 0.0], [10.0, 0.0]]}})
+    # out-of-range radius centers are request errors, not silent wrong
+    # results (an out-of-range center would break the prefilter's
+    # box-superset-of-circle invariant)
+    with pytest.raises(ValueError, match="center out of range"):
+        eng.allowed_docs({"_geo": {"$radius": [95.0, 0.0, 700_000.0]}})
+    with pytest.raises(ValueError, match="center out of range"):
+        eng.allowed_docs({"_geo": {"$radius": [0.0, 200.0, 700_000.0]}})
+    with pytest.raises(ValueError, match="must be >= 0"):
+        eng.allowed_docs({"_geo": {"$radius": [0.0, 0.0, -5.0]}})
+    with pytest.raises(ValueError, match="longitudes"):
+        eng.allowed_docs({"_geo": {"$boundingBox": [[10.0, 200.0], [-10.0, 0.0]]}})
 
     # declared filterable/sortable lists must include _geo (MeiliSearch 400)
     from meilisearch_thai_spark.index.settings import (
@@ -227,6 +238,12 @@ def test_geo_declarations_and_errors(spark, geo_idx, tmp_path):
         peng.allowed_docs({"_geo": {"$radius": [*BKK, 1000.0]}})
     with pytest.raises(ValueError, match="lat/lng"):
         peng.search_terms(["a"], k=3, sort=["_geoPoint(0.0, 0.0):asc"])
+    # ... on the facet paths too — a clean request error on EVERY path
+    # that hands filters to filters_to_column, not an AnalysisException
+    with pytest.raises(ValueError, match="lat/lng"):
+        peng.facet_distribution(["a"], ["lang"], filters={"_geo": {"$radius": [*BKK, 1000.0]}})
+    with pytest.raises(ValueError, match="lat/lng"):
+        peng.facet_search("lang", "t", filters={"_geo": {"$radius": [*BKK, 1000.0]}})
 
 
 def test_radius_prefilter_is_conservative_and_pushes_down(spark, geo_idx):

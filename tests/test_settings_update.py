@@ -304,6 +304,12 @@ def test_pagination_faceting_and_toggles(spark, tmp_path):
         eng4.facet_search("lang", "t")
     with pytest.raises(ValueError, match="prefix search is disabled"):
         eng4.search_prefix(term[:2], k=3)
+    # the toggle governs BOTH prefix surfaces: the service's
+    # search-as-you-type path must refuse identically
+    svc4 = SearchService(spark, out)
+    with pytest.raises(ValueError, match="prefix search is disabled"):
+        svc4.search(term[:2], limit=3, prefix_search=True)
+    svc4.search(term[:2], limit=3, prefix_search=False)  # plain search unaffected
     update_facet_search(out, True)
     update_prefix_search(out, True)
     eng5 = SearchEngine(spark, out, cache_postings=False)
