@@ -1756,6 +1756,27 @@ class SearchEngine:
             )
         return out
 
+    def get_document(self, url: str, fields: list[str] | None = None) -> dict:
+        """MeiliSearch ``GET /indexes/:uid/documents/:id``: ONE stored
+        document by its external key (url — this layout's primary key),
+        tombstoned documents excluded like every read path; absent documents
+        raise (the MeiliSearch 404).  ``fields`` prunes like
+        :meth:`list_documents`.
+
+        Plan: a pushed-down point read — the url equality lands in
+        PushedFilters so parquet row-group min/max stats prune the scan."""
+        cols = self._check_attrs(fields) if fields else self._public_fields()
+        rows = (
+            self._exclude_deleted(self.doc_stats)
+            .filter(F.col("url") == url)
+            .select("doc_id", *[c for c in cols if c != "doc_id"])
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"document not found: {url!r}")
+        return rows[0].asDict()
+
     def search_page(
         self,
         query: str,

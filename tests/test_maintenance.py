@@ -224,6 +224,17 @@ def test_list_documents_pagination_and_deletes(spark, tmp_path):
         eng.list_documents(fields=["norm_hash"])
     with pytest.raises(ValueError, match="offset"):
         eng.list_documents(offset=-1)
+    # GET /documents/:id — single fetch by external key, 404 on absent or
+    # tombstoned keys, field selection like the listing
+    doc = eng.get_document("https://t/05")
+    assert doc["url"] == "https://t/05" and doc["lang"] == "en"
+    assert set(eng.get_document("https://t/05", fields=["lang"])) == {"doc_id", "lang"}
+    with pytest.raises(ValueError, match="not found"):
+        eng.get_document("https://t/02")  # deleted above
+    with pytest.raises(ValueError, match="not found"):
+        eng.get_document("https://no.such/url")
+    with pytest.raises(ValueError, match="attributes_to_retrieve"):
+        eng.get_document("https://t/05", fields=["norm_hash"])
 
 
 def test_index_exists_and_delete_index(spark, tmp_path):
