@@ -343,6 +343,121 @@ def winnow_overlap(
     )
 
 
+def _lcs_via_suffix_automaton(a: str, b: str) -> str:
+    """Longest common substring of two strings — suffix automaton of ``a``
+    (Blumer et al. 1985 construction, O(|a|)) walked over ``b`` (O(|b|)).
+    Deterministic tie-break: among all maximal-length shared substrings,
+    the lexicographically smallest (so engines and test twins agree)."""
+    # --- build the suffix automaton of a ---
+    # states: link[], length[], trans[] (dict per state)
+    length = [0]
+    link = [-1]
+    trans: list[dict] = [{}]
+    last = 0
+    for ch in a:
+        cur = len(length)
+        length.append(length[last] + 1)
+        link.append(-1)
+        trans.append({})
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = trans[p][ch]
+            if length[p] + 1 == length[q]:
+                link[cur] = q
+            else:
+                clone = len(length)
+                length.append(length[p] + 1)
+                link.append(link[q])
+                trans.append(dict(trans[q]))
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    # --- walk b, tracking the best match length at each position ---
+    v, l = 0, 0
+    best = 0
+    cands: set[str] = set()
+    for i, ch in enumerate(b):
+        while v and ch not in trans[v]:
+            v = link[v]
+            l = length[v]
+        if ch in trans[v]:
+            v = trans[v][ch]
+            l += 1
+        else:
+            v, l = 0, 0
+        if l > best:
+            best = l
+            cands = {b[i - l + 1 : i + 1]}
+        elif l == best and best > 0:
+            cands.add(b[i - l + 1 : i + 1])
+    return min(cands) if cands else ""
+
+
+def winnow_align(
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, min_len: int = 20
+) -> DataFrame:
+    """Exact longest-common-substring extraction for the candidate pairs
+    :func:`winnow_overlap` mined — the final MOSS report step, and the
+    exact-substring complement to the n-gram span dedup (Lee et al. 2022):
+    given ``(left_key, right_key, ...)`` pairs, return each pair's LONGEST
+    exact shared substring of the two NORMALIZED texts (the same
+    lowercase/whitespace-collapse normalization winnowing fingerprinted, so
+    a reported match is exactly what the fingerprints guaranteed exists).
+    Pairs whose best run is shorter than ``min_len`` drop out.
+
+    Shape: two |pairs|-bounded hash joins fetch the texts (the corpus never
+    self-joins — winnow_overlap already bounded the candidates), then ONE
+    Arrow-batched pass runs the linear-time suffix-automaton LCS per pair.
+    Deterministic: ties broken to the lexicographically smallest maximal
+    substring.  Returns (left_key, right_key, match_len, match_text),
+    ordered."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    norm = lambda c: F.trim(F.regexp_replace(F.lower(c), "[ \\t\\n\\r]+", " "))  # noqa: E731
+    texts = docs.select(F.col(id_col).alias("_k"), norm(F.col(text_col)).alias("_t"))
+    joined = (
+        pairs.select("left_key", "right_key")
+        .join(texts.withColumnRenamed("_k", "left_key").withColumnRenamed("_t", "_lt"), "left_key")
+        .join(texts.withColumnRenamed("_k", "right_key").withColumnRenamed("_t", "_rt"), "right_key")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("left_key", T.LongType()),
+            T.StructField("right_key", T.LongType()),
+            T.StructField("match_len", T.LongType()),
+            T.StructField("match_text", T.StringType()),
+        ]
+    )
+
+    def align(batches):
+        for pdf in batches:
+            rows = []
+            # name=None: plain tuples — namedtuple would positional-rename
+            # the underscore-prefixed text columns
+            for lk, rk, lt, rt in pdf[["left_key", "right_key", "_lt", "_rt"]].itertuples(
+                index=False, name=None
+            ):
+                m = _lcs_via_suffix_automaton(lt, rt)
+                if len(m) >= min_len:
+                    rows.append((lk, rk, len(m), m))
+            yield pd.DataFrame(rows, columns=["left_key", "right_key", "match_len", "match_text"])
+
+    return (
+        joined.select("left_key", "right_key", "_lt", "_rt")
+        .mapInPandas(align, schema)
+        .orderBy("left_key", "right_key")
+    )
+
+
 def winnow_overlap_sql(
     fps_sql: str, min_shared: int = 2, max_df: int = 20
 ) -> str:

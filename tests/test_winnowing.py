@@ -184,3 +184,78 @@ def test_overlap_duckdb_parity(spark, sf_dir):
     n_docs = docs.count()
     matched = sum(1 for l, r in got if r == l + 100000)
     assert matched >= 0.8 * n_docs
+
+
+def _lcs_bruteforce(a: str, b: str) -> str:
+    """O(|a|·|b|) DP twin: longest common substring, lexicographically
+    smallest on length ties — the independent oracle for winnow_align."""
+    best, cands = 0, set()
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        for j in range(1, len(b) + 1):
+            if a[i - 1] == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best, cands = cur[j], {b[j - cur[j]: j]}
+                elif cur[j] == best and best > 0:
+                    cands.add(b[j - cur[j]: j])
+        prev = cur
+    return min(cands) if cands else ""
+
+
+def test_lcs_automaton_matches_bruteforce():
+    from meilisearch_thai_spark.pipeline.dedup import _lcs_via_suffix_automaton
+
+    import random
+
+    cases = [
+        ("abcdefg", "xxcdefyy"),
+        ("the quick brown fox", "a quick brown cat"),
+        ("aaaa", "aa"),
+        ("abab", "baba"),          # tie: 'aba' vs 'bab' -> lexicographic min
+        ("", "abc"),
+        ("abc", ""),
+        ("ไทยแลนด์เชียงใหม่", "เมืองเชียงใหม่ไทย"),  # Thai, multi-codepoint
+        ("xyz", "abc"),            # no overlap -> ""
+    ]
+    rng = random.Random(1234)
+    for _ in range(60):  # randomized small alphabet maximizes tie pressure
+        a = "".join(rng.choice("abc ") for _ in range(rng.randrange(0, 40)))
+        b = "".join(rng.choice("abc ") for _ in range(rng.randrange(0, 40)))
+        cases.append((a, b))
+    for a, b in cases:
+        assert _lcs_via_suffix_automaton(a, b) == _lcs_bruteforce(a, b), (a, b)
+
+
+def test_winnow_align_extracts_shared_run(spark):
+    from meilisearch_thai_spark.pipeline import dedup as dd
+    from meilisearch_thai_spark.pipeline import textstats as ts
+
+    shared = "the identical plagiarized paragraph that both documents carry"
+    rows = [
+        (1, f"Unique preamble alpha. {shared} And a distinct tail one."),
+        (2, f"Other text beta beta. {shared} Completely different end."),
+        (3, "No overlap with anything else at all in this one, truly."),
+        (4, f"ALSO {shared.upper()} via case-folding normalization."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = ts.winnow_fingerprints(docs, "doc_id", "text")
+    pairs = dd.winnow_overlap(fps, min_shared=3, max_df=10)
+    got = {
+        (r["left_key"], r["right_key"]): (r["match_len"], r["match_text"])
+        for r in dd.winnow_align(pairs, docs, "doc_id", "text", min_len=20).collect()
+    }
+    # every surviving pair's match contains the planted paragraph (the
+    # normalized texts share exactly that run plus its flanking spaces)
+    assert got and all(shared in m for (_l, m) in got.values())
+    assert (1, 2) in got and (1, 4) in got and (2, 4) in got
+    assert all(3 not in k for k in got)
+    # the reported length equals the true normalized-text LCS (brute twin)
+    norm = lambda s: " ".join(s.lower().split())  # noqa: E731
+    texts = {i: norm(t) for i, t in rows}
+    for (l, r), (ml, mt) in got.items():
+        want = _lcs_bruteforce(texts[l], texts[r])
+        assert (ml, mt) == (len(want), want)
+    # min_len gates: a huge threshold drops every pair
+    assert dd.winnow_align(pairs, docs, "doc_id", "text", min_len=10_000).count() == 0
